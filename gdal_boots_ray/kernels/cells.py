@@ -1,0 +1,190 @@
+"""Spatial cell indexing: S2 cells, lon/lat grid cells, hex cells.
+
+The north-star rule (BASELINE.json) asks for H3/S2 cell indexing as the
+join/partition key.  This module provides, fully vectorized:
+
+- ``s2_cell_id``: genuine S2 cell ids (face + Hilbert curve position)
+  from the public S2 geometry algorithm (s2geometry.io: unit-sphere XYZ
+  -> cube face (u,v) -> quadratic s,t -> leaf (i,j) -> Hilbert position
+  with the standard lookup tables).  Deterministic + hierarchical
+  (``s2_parent``); bit-layout identical to the reference library's
+  (face << 61 | pos << 1 | 1).
+- ``grid_cell_id``: rectangular lon/lat grid cells (res in degrees) —
+  the primary shuffle/join key because neighbors and covers are O(1)
+  and the id is SQL-expressible for the DuckDB oracle.
+- ``hex_cell_id``: axial hex binning on a planar projection — an
+  H3-*like* index (documented approximation: true H3 icosahedral faces
+  are not reproduced; hexes here are planar axial cells, still giving
+  ~uniform neighbor counts for skew experiments).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+# S2 Hilbert lookup tables (public algorithm constants)
+_IJ_TO_POS = np.array(
+    [
+        [0, 1, 3, 2],  # orientation 0: canonical
+        [0, 3, 1, 2],  # orientation 1 (swap)
+        [2, 3, 1, 0],  # orientation 2 (invert)
+        [2, 1, 3, 0],  # orientation 3 (swap|invert)
+    ],
+    dtype=np.int64,
+)
+_POS_TO_ORIENT = np.array([1, 0, 0, 3], dtype=np.int64)  # swap, none, none, invert|swap
+
+_S2_MAX_LEVEL = 30
+
+
+def _lonlat_to_xyz(lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    clat = np.cos(lat)
+    return clat * np.cos(lon), clat * np.sin(lon), np.sin(lat)
+
+
+def _xyz_to_face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    face = face + np.where(
+        (face == 0) & (x < 0), 3, np.where((face == 1) & (y < 0), 3, np.where((face == 2) & (z < 0), 3, 0))
+    )
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (uf, vf, wf) in enumerate(
+        [
+            (lambda x, y, z: y / x, lambda x, y, z: z / x, None),  # face 0 (+x)
+            (lambda x, y, z: -x / y, lambda x, y, z: z / y, None),  # face 1 (+y)
+            (lambda x, y, z: -x / z, lambda x, y, z: -y / z, None),  # face 2 (+z)
+            (lambda x, y, z: z / x, lambda x, y, z: y / x, None),  # face 3 (-x)
+            (lambda x, y, z: z / y, lambda x, y, z: -x / y, None),  # face 4 (-y)
+            (lambda x, y, z: -y / z, lambda x, y, z: -x / z, None),  # face 5 (-z)
+        ]
+    ):
+        m = face == f
+        if np.any(m):
+            u[m] = uf(x[m], y[m], z[m])
+            v[m] = vf(x[m], y[m], z[m])
+    return face.astype(np.int64), u, v
+
+
+def _uv_to_st(u):
+    """S2 quadratic projection."""
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(np.maximum(1 - 3 * u, 0.0)))
+
+
+def s2_cell_id(lon_deg, lat_deg, level: int = 9) -> np.ndarray:
+    """Vectorized S2 cell id at ``level`` (<= 30) for lon/lat arrays."""
+    if not 0 <= level <= _S2_MAX_LEVEL:
+        raise ValueError(f"S2 level must be 0..30, got {level}")
+    x, y, z = _lonlat_to_xyz(lon_deg, lat_deg)
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    max_size = 1 << _S2_MAX_LEVEL
+    i = np.clip((_uv_to_st(u) * max_size).astype(np.int64), 0, max_size - 1)
+    j = np.clip((_uv_to_st(v) * max_size).astype(np.int64), 0, max_size - 1)
+
+    orient = face & 1  # swap mask for odd faces
+    pos = np.zeros(face.shape, dtype=np.int64)
+    for k in range(_S2_MAX_LEVEL - 1, _S2_MAX_LEVEL - 1 - level, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        p = _IJ_TO_POS[orient, ij]
+        pos = (pos << 2) | p
+        orient = orient ^ _POS_TO_ORIENT[p]
+    # id layout: 3 face bits, 2*level pos bits, then a 1 bit and zeros
+    shift = 2 * (_S2_MAX_LEVEL - level)
+    cell = (face << 61) | (pos << (shift + 1)) | (np.int64(1) << shift)
+    return cell
+
+
+def s2_parent(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Parent of an S2 cell id at a coarser level."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    lsb = np.int64(1) << (2 * (_S2_MAX_LEVEL - level))
+    return (cell_id & ~(lsb - 1)) | lsb
+
+
+def s2_level(cell_id: np.ndarray) -> np.ndarray:
+    """Level of cell ids (position of the lowest set bit)."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    low = (cell_id & -cell_id).astype(np.uint64)
+    return (_S2_MAX_LEVEL - (np.log2(low.astype(np.float64)) / 2)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular lon/lat grid cells (primary join/shuffle key)
+# ---------------------------------------------------------------------------
+
+_GRID_WIDTH = np.int64(1) << 20  # cells per axis band
+
+
+def grid_cell_id(x, y, res: float) -> np.ndarray:
+    """Cell id = (floor(x/res) + 2^19) * 2^20 + (floor(y/res) + 2^19).
+
+    Stable, SQL-expressible (the DuckDB oracle reproduces it verbatim),
+    supports negative coordinates via the +2^19 offset.
+    """
+    cx = np.floor(np.asarray(x, dtype=np.float64) / res).astype(np.int64) + (1 << 19)
+    cy = np.floor(np.asarray(y, dtype=np.float64) / res).astype(np.int64) + (1 << 19)
+    return cx * _GRID_WIDTH + cy
+
+
+def grid_cell_neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
+    """All cells within ``ring`` (Chebyshev) of a cell — for kNN
+    neighbor-ring expansion."""
+    cx, cy = divmod(int(cell_id), int(_GRID_WIDTH))
+    offs = np.arange(-ring, ring + 1)
+    gx, gy = np.meshgrid(offs, offs)
+    return ((cx + gx.ravel()) * _GRID_WIDTH + (cy + gy.ravel())).astype(np.int64)
+
+
+def grid_cells_covering_bounds(b, res: float) -> np.ndarray:
+    """All grid cells intersecting a (minx, miny, maxx, maxy) box —
+    footprint-to-cells assignment for the PIP join (polygons are
+    duplicated to each covering cell, then results deduped)."""
+    minx, miny, maxx, maxy = (float(v) for v in b)
+    cx0 = int(np.floor(minx / res))
+    cx1 = int(np.floor(np.nextafter(maxx, -np.inf) / res))
+    cy0 = int(np.floor(miny / res))
+    cy1 = int(np.floor(np.nextafter(maxy, -np.inf) / res))
+    cx1 = max(cx1, cx0)
+    cy1 = max(cy1, cy0)
+    xs = np.arange(cx0, cx1 + 1, dtype=np.int64) + (1 << 19)
+    ys = np.arange(cy0, cy1 + 1, dtype=np.int64) + (1 << 19)
+    gx, gy = np.meshgrid(xs, ys)
+    return (gx.ravel() * _GRID_WIDTH + gy.ravel()).astype(np.int64)
+
+
+def grid_cell_center(cell_id, res: float) -> Tuple[np.ndarray, np.ndarray]:
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    cx = cell_id // _GRID_WIDTH - (1 << 19)
+    cy = cell_id % _GRID_WIDTH - (1 << 19)
+    return (cx + 0.5) * res, (cy + 0.5) * res
+
+
+# ---------------------------------------------------------------------------
+# Hex cells (H3-like planar axial binning; documented approximation)
+# ---------------------------------------------------------------------------
+
+
+def hex_cell_id(x, y, size: float) -> np.ndarray:
+    """Pointy-top hex binning via axial coords + cube rounding."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    q = (np.sqrt(3) / 3 * x - y / 3) / size
+    r = (2.0 / 3 * y) / size
+    # cube rounding
+    cx, cz = q, r
+    cy = -cx - cz
+    rx, ry, rz = np.round(cx), np.round(cy), np.round(cz)
+    dx, dy, dz = np.abs(rx - cx), np.abs(ry - cy), np.abs(rz - cz)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    qi = rx.astype(np.int64) + (1 << 19)
+    ri = rz.astype(np.int64) + (1 << 19)
+    return qi * _GRID_WIDTH + ri

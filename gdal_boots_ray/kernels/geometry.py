@@ -1,0 +1,393 @@
+"""GeoJSON geometry codec + planar predicates, pure NumPy.
+
+Reimplements the reference's GeoJSON<->OGR layer
+(``GeometryBuilder`` / ``GeometryGeoJson`` / ``to_geojson`` /
+``transform_geojson``, reference geometry.py:7-157) without OGR:
+geometries stay GeoJSON-shaped dicts; kernels extract packed
+``(n, 2)`` float64 coordinate arrays for vectorized math.
+
+Also provides the planar predicates the engine's joins need:
+envelope, even-odd ray-casting point-in-polygon (with holes),
+segment-intersection validity test, Douglas-Peucker simplify, and a
+best-effort ``make_valid`` (bow-tie splitting) standing in for GEOS
+MakeValid (reference geometry.py:160-193).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple, Union
+
+import numpy as np
+
+RawGeometry = Union[str, dict]
+
+_TYPES = {
+    "point",
+    "multipoint",
+    "linestring",
+    "multilinestring",
+    "linearring",
+    "polygon",
+    "multipolygon",
+    "geometrycollection",
+}
+
+
+def parse_geometry(geometry: RawGeometry) -> dict:
+    """str|dict GeoJSON -> dict; validates the type tag (reference
+    GeometryBuilder.create dispatch, geometry.py:14-24)."""
+    if isinstance(geometry, str):
+        geometry = json.loads(geometry)
+    gtype = geometry.get("type", "")
+    if gtype.lower() not in _TYPES and gtype.lower() != "feature" and gtype.lower() != "featurecollection":
+        raise ValueError(f"{gtype.lower()} is not supported")
+    if gtype.lower() == "feature":
+        return geometry["geometry"]
+    return geometry
+
+
+def _round_coords(coords, precision: int):
+    if isinstance(coords, (list, tuple)) and coords and isinstance(coords[0], (int, float)):
+        return [round(float(c), precision) for c in coords]
+    return [_round_coords(c, precision) for c in coords]
+
+
+def _flatten_coords(coords):
+    if isinstance(coords, (list, tuple)) and coords and isinstance(coords[0], (int, float)):
+        return [float(c) for c in coords[:2]]
+    return [_flatten_coords(c) for c in coords]
+
+
+def to_geojson(geometry: RawGeometry, flatten: bool = True, precision: int = 15) -> dict:
+    """Normalize to GeoJSON with coordinate rounding at ``precision``
+    (default 15) and optional 2D flattening — reference ``to_geojson`` /
+    ``GeometryGeoJson`` semantics (geometry.py:72-119)."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [to_geojson(g, flatten, precision) for g in geom["geometries"]],
+        }
+    coords = geom.get("coordinates", [])
+    if flatten:
+        coords = _flatten_coords(coords)
+    return {"type": gtype, "coordinates": _round_coords(coords, precision)}
+
+
+def map_coords(geometry: RawGeometry, fn: Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]) -> dict:
+    """Apply a vectorized (x_arr, y_arr) -> (x_arr, y_arr) function to
+    every coordinate of a geometry; z is dropped (2D flatten).  Used for
+    CRS transforms (reference transform_geojson, geometry.py:148-157)."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        return {"type": gtype, "geometries": [map_coords(g, fn) for g in geom["geometries"]]}
+
+    def walk(coords):
+        if not coords:
+            return []
+        if isinstance(coords[0], (int, float)):
+            x, y = fn(np.array([coords[0]], dtype=np.float64), np.array([coords[1]], dtype=np.float64))
+            return [float(x[0]), float(y[0])]
+        if isinstance(coords[0][0], (int, float)):
+            arr = np.asarray([c[:2] for c in coords], dtype=np.float64)
+            x, y = fn(arr[:, 0], arr[:, 1])
+            return [[float(a), float(b)] for a, b in zip(x, y)]
+        return [walk(c) for c in coords]
+
+    return {"type": gtype, "coordinates": walk(geom.get("coordinates", []))}
+
+
+def transform_geojson(geometry: RawGeometry, from_crs, to_crs, precision: int = 15) -> dict:
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    out = map_coords(geometry, lambda x, y: transform_points(from_crs, to_crs, x, y))
+    return to_geojson(out, flatten=True, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Coordinate extraction
+# ---------------------------------------------------------------------------
+
+
+def iter_coord_arrays(geometry: RawGeometry) -> Iterable[np.ndarray]:
+    """Yield all (n, 2) coordinate arrays (one per point/line/ring)."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        for g in geom["geometries"]:
+            yield from iter_coord_arrays(g)
+        return
+    coords = geom.get("coordinates", [])
+
+    def walk(c):
+        if not c:
+            return
+        if isinstance(c[0], (int, float)):
+            yield np.asarray([c[:2]], dtype=np.float64)
+        elif isinstance(c[0][0], (int, float)):
+            yield np.asarray([p[:2] for p in c], dtype=np.float64)
+        else:
+            for sub in c:
+                yield from walk(sub)
+
+    yield from walk(coords)
+
+
+def envelope(geometry: RawGeometry) -> Tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) — OGR GetEnvelope equivalent."""
+    mins = np.array([np.inf, np.inf])
+    maxs = np.array([-np.inf, -np.inf])
+    for arr in iter_coord_arrays(geometry):
+        mins = np.minimum(mins, arr.min(axis=0))
+        maxs = np.maximum(maxs, arr.max(axis=0))
+    if not np.all(np.isfinite(mins)):
+        raise ValueError("empty geometry has no envelope")
+    return float(mins[0]), float(mins[1]), float(maxs[0]), float(maxs[1])
+
+
+def polygon_rings(geometry: RawGeometry) -> List[np.ndarray]:
+    """All rings of a Polygon/MultiPolygon as closed (n, 2) arrays.
+    Exterior + holes are returned flat — even-odd predicates treat
+    them uniformly."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    rings: List[np.ndarray] = []
+    if gtype == "Polygon":
+        polys = [geom["coordinates"]]
+    elif gtype == "MultiPolygon":
+        polys = geom["coordinates"]
+    elif gtype == "GeometryCollection":
+        for g in geom["geometries"]:
+            rings.extend(polygon_rings(g))
+        return rings
+    else:
+        return rings
+    for poly in polys:
+        for ring in poly:
+            if not ring:
+                continue
+            arr = np.asarray([p[:2] for p in ring], dtype=np.float64)
+            if len(arr) and not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])  # CloseRings (geometry.py:167)
+            rings.append(arr)
+    return rings
+
+
+def close_rings(geometry: RawGeometry) -> dict:
+    """Append the first vertex to unclosed polygon rings (OGR CloseRings)."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        return {"type": gtype, "geometries": [close_rings(g) for g in geom["geometries"]]}
+    if gtype not in ("Polygon", "MultiPolygon"):
+        return geom
+
+    def close(ring):
+        if ring and ring[0] != ring[-1]:
+            return list(ring) + [ring[0]]
+        return list(ring)
+
+    if gtype == "Polygon":
+        coords = [close(r) for r in geom["coordinates"]]
+    else:
+        coords = [[close(r) for r in poly] for poly in geom["coordinates"]]
+    return {"type": gtype, "coordinates": coords}
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: Sequence[np.ndarray]) -> np.ndarray:
+    """Vectorized even-odd ray-casting PIP over a list of closed rings.
+
+    A point is inside when a ray to +x crosses an odd number of edges
+    over all rings — holes flip parity naturally.  Points exactly on a
+    horizontal edge follow the GDAL/GEOS half-open convention
+    (lower-inclusive) used by rasterize.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        if len(ring) < 4:
+            continue
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        # (m edges) x (n points)
+        cond = (y0[:, None] > py[None, :]) != (y1[:, None] > py[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0[:, None] + (py[None, :] - y0[:, None]) / (y1[:, None] - y0[:, None]) * (x1 - x0)[:, None]
+        crosses = cond & (px[None, :] < xint)
+        inside ^= (crosses.sum(axis=0) % 2).astype(bool)
+    return inside
+
+
+def points_in_polygon(points_xy: np.ndarray, geometry: RawGeometry) -> np.ndarray:
+    """points_xy: (n, 2) -> bool (n,). Even-odd rule incl. holes."""
+    pts = np.atleast_2d(np.asarray(points_xy, dtype=np.float64))
+    return points_in_rings(pts[:, 0], pts[:, 1], polygon_rings(geometry))
+
+
+def _seg_intersections(ring: np.ndarray):
+    """All proper self-intersection points of a closed ring's edges.
+    O(m^2) — rings in this engine are small (test fixtures, footprints)."""
+    p0 = ring[:-1]
+    p1 = ring[1:]
+    m = len(p0)
+    pts = []
+    for i in range(m):
+        a, b = p0[i], p1[i]
+        d1 = b - a
+        for j in range(i + 2, m):
+            if i == 0 and j == m - 1:
+                continue  # adjacent via closure
+            c, d = p0[j], p1[j]
+            d2 = d - c
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if denom == 0:
+                continue
+            t = ((c[0] - a[0]) * d2[1] - (c[1] - a[1]) * d2[0]) / denom
+            u = ((c[0] - a[0]) * d1[1] - (c[1] - a[1]) * d1[0]) / denom
+            if 0 < t < 1 and 0 < u < 1:
+                pts.append((i, t, j, u, a + t * d1))
+    return pts
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    return not _seg_intersections(ring)
+
+
+def is_valid(geometry: RawGeometry) -> bool:
+    """Ring-simplicity validity check (subset of GEOS IsValid — catches
+    the self-intersections the reference repairs after reprojection,
+    gdal.py:842-846)."""
+    try:
+        rings = polygon_rings(geometry)
+    except Exception:
+        return False
+    return all(ring_is_simple(r) for r in rings)
+
+
+def make_valid(geometry: RawGeometry) -> dict:
+    """Best-effort self-intersection repair (stands in for GEOS
+    MakeValid, reference geometry.py:160-193).
+
+    Splits each self-intersecting ring at its crossing points and
+    reassembles loops; loops with negligible area are dropped; the
+    result is a Polygon or MultiPolygon matching the input type
+    promotion rule of the reference (POLYGON stays POLYGON when one
+    part survives, else MULTIPOLYGON).  Handles the bow-tie and simple
+    multi-crossing cases of tests/test_geometry.py:184-300; deeply
+    nested GEOS node cases may differ in ring point order (the
+    reference itself gates those goldens on GEOS/GDAL versions).
+    """
+    geom = close_rings(parse_geometry(geometry))
+    gtype = geom["type"]
+    if gtype not in ("Polygon", "MultiPolygon"):
+        return geom
+    polys = [geom["coordinates"]] if gtype == "Polygon" else geom["coordinates"]
+
+    out_polys: List[list] = []
+    for poly in polys:
+        new_rings: List[np.ndarray] = []
+        for ring in poly:
+            arr = np.asarray([p[:2] for p in ring], dtype=np.float64)
+            if len(arr) < 4:
+                continue
+            if not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])
+            inters = _seg_intersections(arr)
+            if not inters:
+                new_rings.append(arr)
+                continue
+            # insert intersection vertices into the edge cycle
+            insertions: Dict[int, list] = {}
+            for i, t, j, u, pt in inters:
+                insertions.setdefault(i, []).append((t, tuple(pt)))
+                insertions.setdefault(j, []).append((u, tuple(pt)))
+            verts: List[Tuple[float, float]] = []
+            for e in range(len(arr) - 1):
+                verts.append(tuple(arr[e]))
+                for _t, pt in sorted(insertions.get(e, [])):
+                    verts.append(pt)
+            # walk the vertex cycle splitting at repeated (intersection) points
+            seen: Dict[Tuple[float, float], int] = {}
+            stack_rings: List[List[Tuple[float, float]]] = []
+            cur: List[Tuple[float, float]] = []
+            for v in verts + [verts[0]]:
+                if v in seen and seen[v] < len(cur):
+                    k = seen[v]
+                    loop = cur[k:] + [v]
+                    if len(loop) >= 4:
+                        stack_rings.append(loop)
+                    cur = cur[: k + 1]
+                    seen = {p: idx for idx, p in enumerate(cur)}
+                else:
+                    seen[v] = len(cur)
+                    cur.append(v)
+            if len(cur) >= 4:
+                if cur[0] != cur[-1]:
+                    cur.append(cur[0])
+                stack_rings.append(cur)
+            for loop in stack_rings:
+                la = np.asarray(loop, dtype=np.float64)
+                if abs(ring_area(la)) > 1e-12:
+                    new_rings.append(la)
+        for r in new_rings:
+            out_polys.append([[list(map(float, p)) for p in r]])
+
+    if not out_polys:
+        return {"type": gtype, "coordinates": []}
+    if len(out_polys) == 1 and gtype == "Polygon":
+        return {"type": "Polygon", "coordinates": out_polys[0]}
+    return {"type": "MultiPolygon", "coordinates": out_polys}
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area of a closed ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Line simplification (reference VectorDataset.simplify is a no-op,
+    gdal.py:1290-1293 — this provides working semantics)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) < 3:
+        return coords
+    keep = np.zeros(len(coords), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(coords) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        seg = coords[hi] - coords[lo]
+        norm = np.hypot(*seg)
+        pts = coords[lo + 1 : hi]
+        if norm == 0:
+            d = np.hypot(*(pts - coords[lo]).T)
+        else:
+            d = np.abs(np.cross(seg / norm, (pts - coords[lo])))
+        idx = int(np.argmax(d))
+        if d[idx] > tolerance:
+            mid = lo + 1 + idx
+            keep[mid] = True
+            stack.extend([(lo, mid), (mid, hi)])
+    return coords[keep]
+
+
+def geometry_bounds_polygon(b) -> dict:
+    """Bounds box -> closed 5-point GeoJSON Polygon (gdal.py:344-362)."""
+    minx, miny, maxx, maxy = (float(v) for v in b)
+    return {
+        "type": "Polygon",
+        "coordinates": [
+            [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+        ],
+    }

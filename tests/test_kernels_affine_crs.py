@@ -1,0 +1,155 @@
+"""Affine/bounds/CRS kernel goldens ported from the reference suite
+(tests/test_raster.py:372-423, tests/test_geometry.py:80-112)."""
+
+import numpy as np
+import pytest
+
+from gdal_boots_ray.kernels.affine import (
+    Affine,
+    GeoInfo,
+    apply_gt,
+    bounds,
+    bounds_polygon_coords,
+    gt_from_bounds,
+    invert_gt,
+    resolution,
+)
+from gdal_boots_ray.kernels.crs import resolve_crs, transform_bounds, transform_points
+from gdal_boots_ray.kernels.geometry import to_geojson, transform_geojson
+
+
+def test_affine_roundtrip():
+    gt = Affine(10.0, 0.0, 600000.0, 0.0, -10.0, 5700000.0)
+    x, y = gt.apply(3, 7)
+    assert (x, y) == (600030.0, 5699930.0)
+    inv = gt.invert()
+    c, r = inv.apply(x, y)
+    assert (round(c), round(r)) == (3, 7)
+    assert Affine.from_gdal(*gt.to_gdal()) == gt
+
+
+def test_affine_scale_compose():
+    gt = Affine(10.0, 0.0, 600000.0, 0.0, -10.0, 5700000.0)
+    gi = GeoInfo(32631, gt).scale(2, 2)
+    assert gi.transform.a == 20.0 and gi.transform.e == -20.0
+    assert gi.transform.c == 600000.0
+
+
+def test_bounds_golden():
+    # reference tests/test_raster.py:372-380: B04.tif 10980x10980 @10m
+    gt = np.array([[10.0, 0, 499980.0, 0, -10.0, 6000000.0]])
+    b = bounds(gt, [10980], [10980])[0]
+    assert np.all(b == [499980.0, 5890200.0, 609780.0, 6000000.0])
+
+
+def test_bounds_reproject_golden():
+    # reference tests/test_raster.py:381-383: 32635 -> 4326 exact floats
+    b = np.array([[499980.0, 5890200.0, 609780.0, 6000000.0]])
+    t = transform_bounds(32635, 4326, b)[0]
+    exp = [26.999700868340735, 53.16117354432605, 28.68033586831364, 54.136377428252246]
+    assert np.allclose(t, exp, atol=1e-9)
+
+
+def test_set_bounds_roundtrip_golden():
+    # reference tests/test_raster.py:385-410
+    b = np.array([[499980.0, 5890200.0, 609780.0, 6000000.0]])
+    gt = gt_from_bounds(b, 100, 100)
+    out = bounds(gt, [100], [100])[0]
+    assert np.all(out == b[0])
+    # 4326 round trip back to 32635 rounds to the utm corners
+    b4326 = transform_bounds(32635, 4326, b)
+    gt2 = gt_from_bounds(b4326, 100, 100)
+    out2 = bounds(gt2, [100], [100])[0]
+    back = transform_bounds(4326, 32635, out2[None])[0]
+    assert np.all(np.round(back) == b[0])
+
+
+def test_bounds_polygon_geojson_golden():
+    # reference tests/test_raster.py:411-423 at precision 9
+    b = [26.999700868340735, 53.16117354432605, 28.68033586831364, 54.136377428252246]
+    ring = bounds_polygon_coords(np.array([b]))[0]
+    geo = to_geojson({"type": "Polygon", "coordinates": [ring.tolist()]}, precision=9)
+    assert geo == {
+        "type": "Polygon",
+        "coordinates": [
+            [
+                [26.999700868, 53.161173544],
+                [28.680335868, 53.161173544],
+                [28.680335868, 54.136377428],
+                [26.999700868, 54.136377428],
+                [26.999700868, 53.161173544],
+            ]
+        ],
+    }
+
+
+def test_transform_paris_golden():
+    # reference tests/test_geometry.py:80-112 (4326 -> 3857)
+    geom = {
+        "type": "Polygon",
+        "coordinates": [
+            [
+                [2.295279, 48.860081],
+                [2.291867, 48.857713],
+                [2.293404, 48.856723],
+                [2.296872, 48.859022],
+                [2.295279, 48.860081],
+            ]
+        ],
+    }
+    out = transform_geojson(geom, 4326, 3857, precision=6)
+    exp = [
+        [255509.289508, 6251153.329039],
+        [255129.467406, 6250752.662865],
+        [255300.565463, 6250585.160244],
+        [255686.621457, 6250974.143639],
+        [255509.289508, 6251153.329039],
+    ]
+    got = np.array(out["coordinates"][0])
+    assert np.allclose(got, exp, atol=2e-6)
+
+
+def test_transform_roundtrips():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-80, 80, 100)
+    # web mercator: global
+    lon = rng.uniform(-179, 179, 100)
+    x, y = transform_points(4326, 3857, lon, lat)
+    lon2, lat2 = transform_points(3857, 4326, x, y)
+    assert np.allclose(lon, lon2, atol=1e-7) and np.allclose(lat, lat2, atol=1e-7)
+    # UTM: valid near the zone's central meridian (Krueger series domain)
+    for crs, cm in ((32635, 27.0), (32720, -63.0)):
+        lon = rng.uniform(cm - 25, cm + 25, 100)
+        x, y = transform_points(4326, crs, lon, lat)
+        lon2, lat2 = transform_points(crs, 4326, x, y)
+        assert np.allclose(lon, lon2, atol=1e-7) and np.allclose(lat, lat2, atol=1e-7)
+
+
+def test_proj4_aea_roundtrip():
+    p4 = "+proj=aea +lat_0=-32 +lon_0=-60 +lat_1=-5 +lat_2=-42 +x_0=0 +y_0=0 +ellps=aust_SA +units=m +no_defs"
+    lon = np.array([-62.4, -60.0, -58.5])
+    lat = np.array([-34.0, -32.0, -30.1])
+    x, y = transform_points(4326, p4, lon, lat)
+    lon2, lat2 = transform_points(p4, 4326, x, y)
+    assert np.allclose(lon, lon2, atol=1e-8) and np.allclose(lat, lat2, atol=1e-8)
+    assert resolve_crs(p4).kind == "projected"
+
+
+def test_unsupported_epsg():
+    with pytest.raises(ValueError):
+        resolve_crs(2154)
+
+
+def test_gt_vector_ops():
+    gts = np.array(
+        [
+            [10.0, 0, 0, 0, -10.0, 0],
+            [0.01, 0, 0, 0, -0.01, 1.0],
+        ]
+    )
+    res = resolution(gts)
+    assert np.allclose(res, [[10, 10], [0.01, 0.01]])
+    inv = invert_gt(gts)
+    x, y = apply_gt(gts[0:1], 5, 3)
+    c, r = apply_gt(inv[0:1], x, y)
+    assert np.allclose(c, 5) and np.allclose(r, 3)

@@ -1,0 +1,139 @@
+"""Geometry codec / predicate kernels (reference test_geometry.py
+semantics: to_geojson round-trips :115-179, make_valid bow-tie :184-300)."""
+
+import numpy as np
+import pytest
+
+from gdal_boots_ray.kernels.geometry import (
+    douglas_peucker,
+    envelope,
+    geometry_bounds_polygon,
+    is_valid,
+    make_valid,
+    parse_geometry,
+    points_in_polygon,
+    polygon_rings,
+    ring_area,
+    to_geojson,
+)
+
+
+def test_to_geojson_roundtrips():
+    # reference tests/test_geometry.py:115-135
+    geom = {"type": "MultiPolygon", "coordinates": []}
+    assert to_geojson(geom) == geom
+    geom = {"type": "MultiPolygon", "coordinates": [[]]}
+    assert to_geojson(geom) == geom
+    geom = {"type": "Polygon", "coordinates": []}
+    assert to_geojson(geom) == geom
+    geom = {"type": "Point", "coordinates": [1, 2]}
+    assert to_geojson(geom) == {"type": "Point", "coordinates": [1.0, 2.0]}
+    geom = {"type": "Point", "coordinates": [1, 2, 0]}
+    assert to_geojson(geom, flatten=False) == {"type": "Point", "coordinates": [1.0, 2.0, 0.0]}
+    assert to_geojson(geom, flatten=True) == {"type": "Point", "coordinates": [1.0, 2.0]}
+
+
+def test_to_geojson_collection():
+    geom = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]},
+            {"type": "MultiLineString", "coordinates": [[[0, 0], [1, 1]]]},
+        ],
+    }
+    out = to_geojson(geom)
+    assert out["type"] == "GeometryCollection"
+    assert out["geometries"][1]["type"] == "MultiLineString"
+
+
+def test_precision_rounding():
+    geom = {"type": "Point", "coordinates": [1.123456789, 2.987654321]}
+    assert to_geojson(geom, precision=3) == {"type": "Point", "coordinates": [1.123, 2.988]}
+
+
+def test_parse_rejects_unknown():
+    with pytest.raises(ValueError):
+        parse_geometry({"type": "Blob", "coordinates": []})
+
+
+def test_envelope(minsk_polygon):
+    env = envelope(minsk_polygon)
+    assert env[0] == pytest.approx(27.401962280273438)
+    assert env[3] == pytest.approx(53.97284922869111)
+
+
+def test_pip_minsk(minsk_polygon):
+    pts = np.array(
+        [
+            [27.55, 53.90],  # inside Minsk
+            [27.40, 53.84],  # outside (SW)
+            [28.00, 53.90],  # outside (E)
+        ]
+    )
+    inside = points_in_polygon(pts, minsk_polygon)
+    assert inside.tolist() == [True, False, False]
+
+
+def test_pip_hole():
+    poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+            [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+        ],
+    }
+    pts = np.array([[5, 5], [2, 2], [11, 5]])
+    assert points_in_polygon(pts, poly).tolist() == [False, True, False]
+
+
+def test_pip_multipolygon():
+    mp = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+            [[[5, 5], [7, 5], [7, 7], [5, 7], [5, 5]]],
+        ],
+    }
+    pts = np.array([[1, 1], [6, 6], [3, 3]])
+    assert points_in_polygon(pts, mp).tolist() == [True, True, False]
+
+
+def test_ring_closure():
+    poly = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1]]]}  # unclosed
+    rings = polygon_rings(poly)
+    assert np.array_equal(rings[0][0], rings[0][-1])
+
+
+def test_is_valid_and_make_valid_bowtie():
+    bowtie = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]]],
+    }
+    assert not is_valid(bowtie)
+    fixed = make_valid(bowtie)
+    assert fixed["type"] == "MultiPolygon"
+    assert len(fixed["coordinates"]) == 2
+    # total area of the two triangles of a 2x2 bow-tie = 1 + 1
+    total = sum(abs(ring_area(r)) for r in polygon_rings(fixed))
+    assert total == pytest.approx(2.0)
+    assert is_valid(fixed)
+
+
+def test_make_valid_noop_on_valid():
+    sq = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+    out = make_valid(sq)
+    assert out["type"] == "Polygon"
+    assert abs(ring_area(polygon_rings(out)[0])) == pytest.approx(1.0)
+
+
+def test_douglas_peucker():
+    line = np.array([[0, 0], [1, 0.01], [2, -0.01], [3, 0], [4, 5], [5, 0]])
+    out = douglas_peucker(line, tolerance=0.1)
+    assert [0, 0] in out.tolist() and [4, 5] in out.tolist() and [5, 0] in out.tolist()
+    assert len(out) < len(line)
+
+
+def test_bounds_polygon_helper():
+    p = geometry_bounds_polygon([0, 1, 2, 3])
+    assert p["coordinates"][0][0] == [0.0, 1.0]
+    assert len(p["coordinates"][0]) == 5
