@@ -1,0 +1,877 @@
+"""Oracle-checked query suite over the driver's sf tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pandas
+DataFrame; ``ORACLE_SQL`` holds the DuckDB twin for every
+SQL-expressible query.  Geo inputs are derived deterministically from
+the TPC-H-ish tables (``part`` -> tiles, ``customer`` -> points,
+``nation`` -> diamond polygons; formulas in sources/fixtures.py) so
+the SQL oracle can replay even decoded-pixel math via the closed-form
+pixel field ``(x*31 + y*17 + key) % 256``.
+
+Column-naming rule: every computed column is named identically in the
+Ray pipeline and the SQL (the driver sorts columns by name and hashes
+values).  Floats that accumulate (sums, ratios, similarities) are
+rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TILE_SQL_CTE = """
+tiles AS (
+    SELECT
+        p_partkey AS k,
+        printf('img-%08d', p_partkey) AS image_id,
+        CAST(32 + (p_partkey % 3) * 16 AS BIGINT) AS w,
+        CAST(32 + (p_partkey % 5) * 8 AS BIGINT) AS h,
+        600000.0 + (p_partkey % 40) * 1000.0 AS x0,
+        5700000.0 - (p_partkey // 40) * 1000.0 AS y0
+    FROM part
+)
+"""
+
+POLY_SQL_CTE = """
+polys AS (
+    SELECT
+        CAST(n_nationkey AS BIGINT) AS poly_id,
+        600000.0 + (n_nationkey % 8) * 5000.0 + 2500.0 AS pcx,
+        5700000.0 - (n_nationkey % 5) * 8000.0 - 4000.0 AS pcy,
+        2609.0 + (n_nationkey % 3) * 401.0 AS rx,
+        3607.0 + (n_nationkey % 2) * 503.0 AS ry
+    FROM nation
+)
+"""
+
+POINT_SQL_CTE = """
+pts AS (
+    SELECT
+        CAST(c_custkey AS BIGINT) AS pid,
+        c_custkey % (SELECT count(*) FROM part) AS k,
+        (c_custkey % 23) + 0.5 AS ox,
+        (c_custkey % 19) + 0.5 AS oy
+    FROM customer
+),
+pt_coords AS (
+    SELECT
+        pid, pts.k,
+        600000.0 + (pts.k % 40) * 1000.0 + ox * 10.0 AS px,
+        5700000.0 - (pts.k // 40) * 1000.0 - oy * 10.0 AS py
+    FROM pts
+)
+"""
+
+
+def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4)):
+    """part keys -> synthesized input_hint images -> (optionally)
+    decoded pixels.  The synth+decode both run distributed."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_images_batch(batch.column("p_partkey").to_numpy())
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    if decode:
+        ds = ds.map_batches(
+            DecodeImages, batch_format="pyarrow", batch_size=128, concurrency=concurrency, num_cpus=1
+        )
+    return ds
+
+
+def _with_bounds(ds):
+    from gdal_boots_ray.stages.geo import add_bounds
+
+    return ds.map_batches(add_bounds, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Geo queries
+# ---------------------------------------------------------------------------
+
+
+def q_tile_bounds(sf_dir: str):
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+    return ds.select_columns(["image_id", "minx", "miny", "maxx", "maxy"])
+
+
+def q_tile_bounds_4326(sf_dir: str):
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to4326(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy()
+        miny = batch.column("miny").to_numpy()
+        maxx = batch.column("maxx").to_numpy()
+        maxy = batch.column("maxy").to_numpy()
+        lon_min, lat_min = transform_points(3857, 4326, minx, miny)
+        lon_max, lat_max = transform_points(3857, 4326, maxx, maxy)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "lon_min": pa.array(np.round(lon_min, 9)),
+                "lat_min": pa.array(np.round(lat_min, 9)),
+                "lon_max": pa.array(np.round(lon_max, 9)),
+                "lat_max": pa.array(np.round(lat_max, 9)),
+            }
+        )
+
+    return ds.map_batches(to4326, batch_format="pyarrow")
+
+
+def q_tile_grid_cells(sf_dir: str):
+    from gdal_boots_ray.stages.geo import make_add_grid_cell
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+    ds = ds.map_batches(make_add_grid_cell(1000.0), batch_format="pyarrow")
+    return ds.select_columns(["image_id", "cell"])
+
+
+def q_tile_s2_cells(sf_dir: str):
+    """No SQL oracle (S2 Hilbert ids are not SQL-expressible)."""
+    from gdal_boots_ray.stages.geo import make_add_lonlat, make_add_s2_cell
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+    ds = ds.map_batches(make_add_lonlat(), batch_format="pyarrow")
+    ds = ds.map_batches(make_add_s2_cell(9), batch_format="pyarrow")
+    return ds.select_columns(["image_id", "s2_cell"])
+
+
+def q_tile_pip_join(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    poly_ref = put_polygons(nation_polygons(nk))
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref, "keep_cols": ["image_id", "cx", "cy"]},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    return joined.select_columns(["poly_id", "image_id"])
+
+
+def q_points_pip_join(sf_dir: str):
+    """Shuffle-path PIP join (cell explode + per-cell probe)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons, point_params
+    from gdal_boots_ray.stages.joins import cell_pip_join
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+
+    pts_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        p = point_params(batch.column("c_custkey").to_numpy(), n_part)
+        return pa.table(
+            {
+                "pid": pa.array(p["custkey"], pa.int64()),
+                "x": pa.array(p["x"], pa.float64()),
+                "y": pa.array(p["y"], pa.float64()),
+            }
+        )
+
+    pts_ds = pts_ds.map_batches(to_points, batch_format="pyarrow")
+    return cell_pip_join(pts_ds, nation_polygons(nk), cell_res=4000.0)
+
+
+def q_point_values(sf_dir: str):
+    """Distributed values_by_points: tiles decoded, point side broadcast
+    (small), gather via inverse affine — SQL twin is the closed-form
+    pixel field."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from gdal_boots_ray.sources.fixtures import point_params
+    from gdal_boots_ray.stages.decode import pixels_view
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(0).to_numpy()
+    p = point_params(ck, n_part)
+    by_tile: Dict[int, list] = {}
+    for pid, tk, x, y in zip(p["custkey"], p["tile_key"], p["x"], p["y"]):
+        by_tile.setdefault(int(tk), []).append((int(pid), float(x), float(y)))
+    pts_ref = ray.put(by_tile)
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    class Sample:
+        def __init__(self):
+            self.by_tile = ray.get(pts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from gdal_boots_ray.kernels.sampling import sample_points
+
+            gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+            ws = batch.column("w").to_numpy()
+            hs = batch.column("h").to_numpy()
+            bands = batch.column("bands").to_numpy()
+            pix = batch.column("pixels")
+            ids = batch.column("image_id").to_pylist()
+            out_pid, out_val = [], []
+            for i, iid in enumerate(ids):
+                key = int(iid.split("-")[1])
+                pts = self.by_tile.get(key)
+                if not pts:
+                    continue
+                img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+                xs = np.array([t[1] for t in pts])
+                ys = np.array([t[2] for t in pts])
+                vals, ok = sample_points(img if img.ndim == 2 else img[0], gts[i], xs, ys)
+                for j, t in enumerate(pts):
+                    if ok[j]:
+                        out_pid.append(t[0])
+                        out_val.append(int(vals[j]))
+            return pa.table({"pid": pa.array(out_pid, pa.int64()), "value": pa.array(out_val, pa.int64())})
+
+    return ds.map_batches(Sample, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def q_zonal_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
+    from gdal_boots_ray.stages.zonal import ZonalStats
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    polys = nation_polygons(nk)
+    poly_ref = put_polygons(polys)
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=True))
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    stats = joined.map_batches(
+        ZonalStats,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    agg = stats.groupby("poly_id").aggregate(
+        Sum("n_px", alias_name="n_px"), Sum("sum_v", alias_name="sum_v")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "poly_id": batch.column("poly_id").cast(pa.int64()),
+                "n_px": batch.column("n_px").cast(pa.int64()),
+                "sum_v": pc.round(batch.column("sum_v").cast(pa.float64()), 0),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_image_stats(sf_dir: str):
+    """Per-image pixel stats off the decode path (validates codec +
+    zero-copy view end-to-end; SQL twin enumerates the pixel field)."""
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    from gdal_boots_ray.stages.decode import pixels_view
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        bands = batch.column("bands").to_numpy()
+        pix = batch.column("pixels")
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out = {
+            "image_id": ids,
+            "n_px": np.empty(n, np.int64),
+            "sum_v": np.empty(n, np.int64),
+            "min_v": np.empty(n, np.int64),
+            "max_v": np.empty(n, np.int64),
+        }
+        for i in range(n):
+            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            b0 = img if img.ndim == 2 else img[0]
+            out["n_px"][i] = b0.size
+            out["sum_v"][i] = int(b0.sum(dtype=np.int64))
+            out["min_v"][i] = int(b0.min())
+            out["max_v"][i] = int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "n_px": pa.array(out["n_px"]),
+                "sum_v": pa.array(out["sum_v"]),
+                "min_v": pa.array(out["min_v"]),
+                "max_v": pa.array(out["max_v"]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_mosaic_groups(sf_dir: str):
+    """Row-of-tiles mosaics: group by grid row, explicit seq order,
+    pixel mosaics distributed; SQL twin checks the output grid shape."""
+    from gdal_boots_ray.stages.mosaic import mosaic_dataset
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keys = np.array([int(i.split("-")[1]) for i in ids], dtype=np.int64)
+        batch = batch.append_column("mosaic_key", pa.array(keys // 40, pa.int64()))
+        return batch.append_column("seq", pa.array(keys, pa.int64()))
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+    out = mosaic_dataset(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mosaic_key": batch.column("mosaic_key").cast(pa.int64()),
+                "out_w": batch.column("w").cast(pa.int64()),
+                "out_h": batch.column("h").cast(pa.int64()),
+                "n_inputs": batch.column("n_inputs").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / documents / events queries
+# ---------------------------------------------------------------------------
+
+
+def q_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = qt.column("vec_id").to_numpy()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, qmat, k=k, query_ids=qids)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "q_id": batch.column("q_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "sim": pc.round(batch.column("sim").cast(pa.float64()), 4),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(docs)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": batch.column("h"),
+                "keep_id": batch.column("keep_id").cast(pa.int64()),
+                "n_dups": batch.column("n_dups").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_text_tokens(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens_ws": pa.array([len(t.split()) for t in texts], pa.int64()),
+                "n_chars_txt": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(toks, batch_format="pyarrow")
+
+
+_ALPHA_RE = re.compile(r"[^a-zA-Z]")
+_DIGIT_RE = re.compile(r"[^0-9]")
+
+
+def _round_half_away(x: float, d: int) -> float:
+    """DuckDB-compatible rounding (half away from zero) — Python's
+    round() is half-to-even and disagrees exactly at ties like
+    105/128 = 0.8203125."""
+    import math
+
+    scale = 10.0**d
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
+def q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ar, dr = [], []
+        for t in texts:
+            n = len(t)
+            ar.append(_round_half_away(len(_ALPHA_RE.sub("", t)) / n, 6) if n else 0.0)
+            dr.append(_round_half_away(len(_DIGIT_RE.sub("", t)) / n, 6) if n else 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "alpha_ratio": pa.array(ar, pa.float64()),
+                "digit_ratio": pa.array(dr, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Rows-only: heuristic language prediction per doc."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import TextFeatures
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = docs.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang", "lang_pred", "quality", "n_tokens_bpe"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    """Rows-only: near-dup candidate pairs via MinHash-LSH."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import minhash_candidate_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_candidate_pairs(docs)
+
+
+def q_simhash(sf_dir: str):
+    """Rows-only: 64-bit SimHash per document."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import SimHashStage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = docs.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_events_window(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "win": pa.array(us // 300_000_000, pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = ev.map_batches(win, batch_format="pyarrow").groupby(["event_type", "win"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "win": batch.column("win").cast(pa.int64()),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pc.round(batch.column("sum_value").cast(pa.float64()), 6),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_q1_pricing(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = np.datetime64("1998-09-02T00:00:00.000000")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        keep = ship <= cutoff
+        batch = batch.filter(pa.array(keep))
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "disc_price": pa.array(price * (1 - disc), pa.float64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.round(batch.column("sum_qty").cast(pa.float64()), 2),
+                "sum_base_price": pc.round(batch.column("sum_base_price").cast(pa.float64()), 2),
+                "sum_disc_price": pc.round(batch.column("sum_disc_price").cast(pa.float64()), 2),
+                "count_order": batch.column("count_order").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast dimension join: customer->nation lookup shipped once
+    via ray.put; orders stream through a stateless partial aggregate,
+    then a tiny groupby merges."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_of = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    lookup_ref = ray.put((nation_of, name_of))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    class AttachNation:
+        def __init__(self):
+            self.nation_of, self.name_of = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy()
+            names = [self.name_of[self.nation_of[int(c)]] for c in ck]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "o_totalprice": batch.column("o_totalprice")}
+            )
+
+    agg = (
+        orders.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue": pc.round(batch.column("revenue").cast(pa.float64()), 2),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = orders.sort("o_totalprice", descending=True).limit(10)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_totalprice": batch.column("o_totalprice").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.92):
+    """Rows-only: near-duplicate embedding pairs via random-hyperplane
+    LSH buckets + exact cosine verify inside buckets."""
+    import ray
+    import ray.data as rd
+
+    rng = np.random.default_rng(31415926)
+    planes = rng.normal(size=(8, 64))
+    planes_ref = ray.put(planes)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class Bucket:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = (
+                batch.column("embedding")
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(batch), -1)
+                .astype(np.float64)
+            )
+            bits = (mat @ self.planes.T) > 0
+            key = (bits.astype(np.int64) * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "bucket": pa.array(key, pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+
+    import pandas as pd
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        ids = g["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sims = (mat / norms) @ (mat / norms).T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[a][keep],
+                "vec_b": ids[b][keep],
+                "sim": np.round(sims[a, b][keep], 4),
+            }
+        )
+
+    return (
+        ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: Dict[str, str] = {
+    "tile_bounds": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id, x0 AS minx, y0 - h * 10.0 AS miny, x0 + w * 10.0 AS maxx, y0 AS maxy
+        FROM tiles
+    """,
+    "tile_bounds_4326": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id,
+            round(degrees(x0 / 6378137.0), 9) AS lon_min,
+            round(degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2), 9) AS lat_min,
+            round(degrees((x0 + w * 10.0) / 6378137.0), 9) AS lon_max,
+            round(degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2), 9) AS lat_max
+        FROM tiles
+    """,
+    "tile_grid_cells": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id,
+            (CAST(floor((x0 + w * 10.0 / 2) / 1000.0) AS BIGINT) + 524288) * 1048576
+            + (CAST(floor((y0 - h * 10.0 / 2) / 1000.0) AS BIGINT) + 524288) AS cell
+        FROM tiles
+    """,
+    "tile_pip_join": f"""
+        WITH {TILE_SQL_CTE}, {POLY_SQL_CTE}
+        SELECT poly_id, image_id
+        FROM tiles, polys
+        WHERE abs(x0 + w * 10.0 / 2 - pcx) / rx + abs(y0 - h * 10.0 / 2 - pcy) / ry < 1.0
+    """,
+    "points_pip_join": f"""
+        WITH {POINT_SQL_CTE}, {POLY_SQL_CTE}
+        SELECT pid, poly_id
+        FROM pt_coords, polys
+        WHERE abs(px - pcx) / rx + abs(py - pcy) / ry < 1.0
+    """,
+    "point_values": """
+        SELECT CAST(c_custkey AS BIGINT) AS pid,
+            CAST(((c_custkey % 23) * 31 + (c_custkey % 19) * 17
+                  + (c_custkey % (SELECT count(*) FROM part))) % 256 AS BIGINT) AS value
+        FROM customer
+    """,
+    "zonal_stats": f"""
+        WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
+        pairs AS (
+            SELECT t.*, p.poly_id, p.pcx, p.pcy, p.rx, p.ry
+            FROM tiles t, polys p
+            WHERE abs(t.x0 + t.w * 10.0 / 2 - p.pcx) / p.rx
+                + abs(t.y0 - t.h * 10.0 / 2 - p.pcy) / p.ry < 1.0
+        ),
+        px AS (
+            SELECT pairs.poly_id,
+                   (gx.x * 31 + gy.y * 17 + pairs.k) % 256 AS v
+            FROM pairs,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.h - 1 AS INT))) AS y) gy
+            WHERE abs(pairs.x0 + (gx.x + 0.5) * 10.0 - pairs.pcx) / pairs.rx
+                + abs(pairs.y0 - (gy.y + 0.5) * 10.0 - pairs.pcy) / pairs.ry < 1.0
+        )
+        SELECT poly_id, CAST(count(*) AS BIGINT) AS n_px, round(CAST(sum(v) AS DOUBLE), 0) AS sum_v
+        FROM px GROUP BY poly_id
+    """,
+    "image_stats": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "mosaic_groups": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT CAST(k // 40 AS BIGINT) AS mosaic_key,
+               CAST((max(x0 + w * 10.0) - min(x0)) / 10.0 AS BIGINT) AS out_w,
+               CAST((max(y0) - min(y0 - h * 10.0)) / 10.0 AS BIGINT) AS out_h,
+               CAST(count(*) AS BIGINT) AS n_inputs
+        FROM tiles GROUP BY 1
+    """,
+    "knn": """
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
+        SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
+               round(CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE), 4) AS sim
+        FROM embeddings e, q
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, vec_id
+        ) <= 5
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "text_tokens": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+            CAST(length(text) AS BIGINT) AS n_chars_txt
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / length(text), 6) END AS alpha_ratio,
+            CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                            / length(text), 6) END AS digit_ratio
+        FROM documents
+    """,
+    "events_window": """
+        SELECT event_type, CAST(epoch_us(ts) // 300000000 AS BIGINT) AS win,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    """,
+    "top_orders": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "tile_bounds": q_tile_bounds,
+    "tile_bounds_4326": q_tile_bounds_4326,
+    "tile_grid_cells": q_tile_grid_cells,
+    "tile_s2_cells": q_tile_s2_cells,
+    "tile_pip_join": q_tile_pip_join,
+    "points_pip_join": q_points_pip_join,
+    "point_values": q_point_values,
+    "zonal_stats": q_zonal_stats,
+    "image_stats": q_image_stats,
+    "mosaic_groups": q_mosaic_groups,
+    "knn": q_knn,
+    "dedup_exact": q_dedup_exact,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "events_window": q_events_window,
+    "q1_pricing": q_q1_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "embedding_neardup": q_embedding_neardup,
+}

@@ -1,0 +1,217 @@
+"""Spatial joins: point-in-polygon, point sampling, kNN.
+
+Join strategies (SURVEY §2.6):
+
+- **Broadcast PIP** (`BroadcastPIPJoin`): the polygon side is small
+  (country/AOI sets) — ``ray.put`` the parsed rings once; each actor
+  ``ray.get``s them in ``__init__`` and tests every batch of points /
+  tile centers vectorized (ray-casting, even-odd).  No shuffle.
+- **Shuffle PIP** (`cell_pip_join`): both sides large — explode each
+  side to covering grid cells, groupby(cell), per-group PIP, dedup on
+  (poly_id, row key).  The cell id is the single partitioning key
+  reused across stages; hot cells can be salted upstream.
+- **Point sampling join** (`SampleTilesAtPoints`): the distributed
+  ``values_by_points`` (reference gdal.py:897-931) — points carry the
+  target tile key; the stage decodes/views tile pixels and gathers
+  values with the inverse-affine kernel.
+- **kNN** (`knn_brute_force` + per-cell variant in similarity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from gdal_boots_ray.kernels.geometry import points_in_rings, polygon_rings
+from gdal_boots_ray.stages.decode import pixels_view
+
+
+def put_polygons(polygons: Sequence[dict]):
+    """Parse + pack polygon rings once on the driver; broadcast via
+    ray.put (read by every actor, shipped once per node — not per
+    batch)."""
+    packed = [(int(p["poly_id"]), polygon_rings(p["geometry"])) for p in polygons]
+    return ray.put(packed)
+
+
+class BroadcastPIPJoin:
+    """map_batches actor: emits one output row per (input row, matching
+    polygon).  Vectorized ray-casting per polygon over the batch's
+    points.  Inputs need x/y columns (tile centers or point coords)."""
+
+    def __init__(self, polygons_ref, x_col: str = "cx", y_col: str = "cy", keep_cols: Optional[List[str]] = None):
+        self.polygons = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
+        self.x_col = x_col
+        self.y_col = y_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy()
+        y = batch.column(self.y_col).to_numpy()
+        take_idx: List[int] = []
+        poly_ids: List[int] = []
+        for pid, rings in self.polygons:
+            inside = points_in_rings(x, y, rings)
+            hits = np.nonzero(inside)[0]
+            take_idx.extend(hits.tolist())
+            poly_ids.extend([pid] * len(hits))
+        if self.keep_cols:
+            batch = batch.select(self.keep_cols)
+        if not take_idx:
+            empty = batch.schema.empty_table()
+            return empty.append_column("poly_id", pa.array([], pa.int64()))
+        order = np.argsort(np.asarray(take_idx), kind="stable")
+        taken = batch.take(pa.array(np.asarray(take_idx)[order], pa.int64()))
+        return taken.append_column("poly_id", pa.array(np.asarray(poly_ids)[order], pa.int64()))
+
+
+class SampleTilesAtPoints:
+    """Distributed values_by_points: batches are (point ⨝ tile) rows
+    with point coords + tile pixels; gathers the pixel value under each
+    point with the inverse-affine kernel (half-open edges)."""
+
+    def __init__(self, x_col: str = "px", y_col: str = "py"):
+        self.x_col = x_col
+        self.y_col = y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.sampling import sample_points
+
+        n = batch.num_rows
+        xs = batch.column(self.x_col).to_numpy()
+        ys = batch.column(self.y_col).to_numpy()
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        bands = batch.column("bands").to_numpy()
+        pix = batch.column("pixels")
+        values = np.zeros(n, dtype=np.float64)
+        valid = np.zeros(n, dtype=bool)
+        for i in range(n):
+            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            v, ok = sample_points(img if img.ndim == 2 else img[0], gts[i], xs[i : i + 1], ys[i : i + 1])
+            valid[i] = ok[0]
+            values[i] = float(v[0]) if ok[0] else np.nan
+        batch = batch.append_column("value", pa.array(values, pa.float64()))
+        batch = batch.append_column("in_bounds", pa.array(valid, pa.bool_()))
+        return batch
+
+
+def cell_pip_join(
+    points_ds,
+    polygons: Sequence[dict],
+    cell_res: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    key_col: str = "pid",
+):
+    """Shuffle PIP join for a LARGE polygon side: polygons exploded to
+    covering cells on the driver (poly count >> cells per poly), points
+    get their containing cell, groupby(cell) runs per-cell PIP with
+    only that cell's polygons.  Returns a Dataset of
+    (key_col, poly_id) matches.
+
+    Partitioning assumption: a polygon spans few grid cells at the
+    chosen ``cell_res`` (document per use; envelope explosion is exact,
+    the PIP inside the group is exact, so res only affects fan-out)."""
+    import pandas as pd
+
+    from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cells_covering_bounds
+    from gdal_boots_ray.kernels.geometry import envelope
+
+    cell_to_polys: Dict[int, List] = {}
+    for p in polygons:
+        rings = polygon_rings(p["geometry"])
+        env = envelope(p["geometry"])
+        for c in grid_cells_covering_bounds(env, cell_res):
+            cell_to_polys.setdefault(int(c), []).append((int(p["poly_id"]), rings))
+    lookup_ref = ray.put(cell_to_polys)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy()
+        y = batch.column(y_col).to_numpy()
+        return batch.append_column("cell", pa.array(grid_cell_id(x, y, cell_res), pa.int64()))
+
+    class PerCellPIP:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = batch.column(x_col).to_numpy()
+            y = batch.column(y_col).to_numpy()
+            cells = batch.column("cell").to_numpy()
+            keys = batch.column(key_col).to_numpy()
+            out_keys: List[int] = []
+            out_polys: List[int] = []
+            for c in np.unique(cells):
+                polys = self.lookup.get(int(c))
+                if not polys:
+                    continue
+                m = cells == c
+                for pid, rings in polys:
+                    inside = points_in_rings(x[m], y[m], rings)
+                    out_keys.extend(keys[m][inside].tolist())
+                    out_polys.extend([pid] * int(inside.sum()))
+            return pa.table(
+                {key_col: pa.array(out_keys, pa.int64()), "poly_id": pa.array(out_polys, pa.int64())}
+            )
+
+    # the groupby(cell) shuffle co-locates each cell; PerCellPIP then
+    # probes only the local cell's polygons
+    matched = points_ds.map_batches(add_cell, batch_format="pyarrow").map_batches(
+        PerCellPIP, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return matched
+
+
+def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optional[np.ndarray] = None):
+    """Brute-force cosine top-k: the query matrix is broadcast once
+    (``ray.put``); each batch computes a (batch x queries) matmul and
+    emits its local top-k candidates; a final small groupby reduces to
+    the global top-k.  Returns Dataset (q_id, vec_id, sim) with
+    ``sim`` rounded to 6 decimals, ordered by (q_id, -sim, vec_id).
+    """
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qids = np.arange(q.shape[0], dtype=np.int64) if query_ids is None else np.asarray(query_ids, np.int64)
+    q_ref = ray.put((qn, qids))
+
+    class BatchTopK:
+        def __init__(self):
+            self.qn, self.qids = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = batch.column("embedding").combine_chunks()
+            mat = vecs.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1).astype(np.float64)
+            ids = batch.column("vec_id").to_numpy()
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ self.qn.T  # (rows, n_q)
+            kk = min(k, sims.shape[0])
+            out_q, out_v, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[j], np.int64))
+                out_v.append(ids[top].astype(np.int64))
+                out_s.append(col[top])
+            return pa.table(
+                {
+                    "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    cand = embeddings_ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8))
+    return cand.groupby("q_id").map_groups(final_topk, batch_format="pandas")

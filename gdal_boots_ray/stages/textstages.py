@@ -1,0 +1,130 @@
+"""Text / dedup / similarity Ray stages over the ``documents`` and
+``embeddings`` tables — the training-data-pipeline operator family
+(exact dedup, MinHash-LSH, SimHash, language-ID, quality, token
+counts, fingerprints).
+
+All stages are actor classes (regex/state compiled once per actor)
+returning Arrow tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_boots_ray.kernels.text import (
+    MinHasher,
+    lang_id,
+    quality_features,
+    quality_score,
+    rolling_fingerprints,
+    simhash64,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+class HashDocuments:
+    """Append md5 content hash (matches DuckDB md5(text))."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return batch.append_column("h", pa.array(hashes, pa.string()))
+
+
+class TextFeatures:
+    """Language id + quality + token counts per document."""
+
+    def __init__(self):
+        # state (regexes, stopword sets) is compiled at import inside
+        # kernels.text; instantiate per actor anyway for symmetry
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs, scores, qs, nws, nbpe = [], [], [], [], []
+        for t in texts:
+            lg, sc = lang_id(t)
+            langs.append(lg)
+            scores.append(sc)
+            qs.append(quality_score(t))
+            nws.append(token_count_ws(t))
+            nbpe.append(token_count_bpe(t))
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
+        batch = batch.append_column("quality", pa.array(qs, pa.float64()))
+        batch = batch.append_column("n_tokens_ws", pa.array(nws, pa.int64()))
+        batch = batch.append_column("n_tokens_bpe", pa.array(nbpe, pa.int64()))
+        return batch
+
+
+class MinHashStage:
+    """doc -> LSH band rows (doc_id, band_key).  Groupby(band_key)
+    downstream yields near-dup candidate buckets."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 5):
+        self.mh = MinHasher(num_perm=num_perm, ngram=ngram)
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        out_ids: List[int] = []
+        out_keys: List[int] = []
+        for i, t in enumerate(texts):
+            sig = self.mh.signature(t)
+            for key in self.mh.band_keys(sig, self.bands):
+                out_ids.append(int(ids[i]))
+                out_keys.append(key)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "band_key": pa.array(out_keys, pa.int64())})
+
+
+class SimHashStage:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return batch.append_column("simhash", pa.array([simhash64(t) for t in texts], pa.int64()))
+
+
+class FingerprintStage:
+    def __init__(self, window: int = 16, keep: int = 4):
+        self.window = window
+        self.keep = keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [rolling_fingerprints(t, self.window, self.keep) for t in texts]
+        return batch.append_column("fingerprints", pa.array(fps, pa.list_(pa.uint64())))
+
+
+def exact_dedup(docs_ds):
+    """Exact dedup: hash -> groupby(h) -> keep min doc_id.
+    Column names match the SQL oracle: h, keep_id, n_dups."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs_ds.map_batches(HashDocuments, batch_format="pyarrow", concurrency=(1, 4))
+    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+
+
+def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
+    """Near-dup candidate pairs via LSH buckets: rows (doc_a, doc_b)
+    with doc_a < doc_b appearing in >= 1 shared band bucket."""
+    import pandas as pd
+
+    band_rows = docs_ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    # dedup pairs that collide in multiple bands
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))

@@ -1,0 +1,166 @@
+"""Zonal / tile extraction stage — the flagship composed pipeline.
+
+The Ray shape of reference ``crop_by_geometry`` (gdal.py:819-888,
+SURVEY §3.2): after the PIP join has attached ``poly_id`` to tile
+rows, this actor crops each tile to the polygon (envelope warp +
+scanline mask) and emits per-(poly, tile) zonal statistics; a
+downstream ``groupby(poly_id)`` merges tile partials into polygon
+totals — a partial->final aggregate, so the shuffle moves one stats
+row per (poly, tile), never pixels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from gdal_boots_ray.kernels.rasterize import rasterize
+from gdal_boots_ray.kernels.warp import WarpSource, crop_by_geometry
+from gdal_boots_ray.stages.decode import pixels_view
+
+
+class ZonalStats:
+    """map_batches actor over (tile row + poly_id) batches.
+
+    For each row: rasterize the polygon onto the tile grid, mask, and
+    emit (poly_id, image_id, n_px, sum_v, min_v, max_v) partials of
+    band 0 (reference masks with nodata, gdal.py:882-887; here we
+    aggregate instead of materializing masked pixels)."""
+
+    def __init__(self, polygons_ref):
+        polys = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
+        self.polygons = {pid: rings for pid, rings in polys}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.geometry import points_in_rings
+
+        n = batch.num_rows
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        bands = batch.column("bands").to_numpy()
+        pix = batch.column("pixels")
+        pids = batch.column("poly_id").to_numpy()
+        out = {
+            "poly_id": np.asarray(pids, np.int64),
+            "image_id": batch.column("image_id").to_pylist(),
+            "n_px": np.zeros(n, np.int64),
+            "sum_v": np.zeros(n, np.float64),
+            "min_v": np.full(n, np.inf),
+            "max_v": np.full(n, -np.inf),
+        }
+        for i in range(n):
+            rings = self.polygons.get(int(pids[i]))
+            if rings is None:
+                continue
+            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            band0 = img if img.ndim == 2 else img[0]
+            mask = _rings_mask(rings, (int(hs[i]), int(ws[i])), gts[i])
+            sel = band0[mask]
+            out["n_px"][i] = sel.size
+            if sel.size:
+                out["sum_v"][i] = float(sel.sum(dtype=np.float64))
+                out["min_v"][i] = float(sel.min())
+                out["max_v"][i] = float(sel.max())
+        keep = out["n_px"] > 0
+        return pa.table(
+            {
+                "poly_id": pa.array(out["poly_id"][keep]),
+                "image_id": pa.array([v for v, k in zip(out["image_id"], keep) if k], pa.string()),
+                "n_px": pa.array(out["n_px"][keep]),
+                "sum_v": pa.array(out["sum_v"][keep]),
+                "min_v": pa.array(out["min_v"][keep]),
+                "max_v": pa.array(out["max_v"][keep]),
+            }
+        )
+
+
+def _rings_mask(rings, shape, gt) -> np.ndarray:
+    """Pixel-center mask of pre-parsed rings on a tile grid."""
+    from gdal_boots_ray.kernels.affine import invert_gt
+    from gdal_boots_ray.kernels.geometry import points_in_rings
+
+    h, w = shape
+    inv = invert_gt(np.asarray(gt))[0]
+    pix_rings = []
+    for ring in rings:
+        px = inv[0] * ring[:, 0] + inv[1] * ring[:, 1] + inv[2]
+        py = inv[3] * ring[:, 0] + inv[4] * ring[:, 1] + inv[5]
+        pix_rings.append(np.stack([px, py], axis=1))
+    allr = np.vstack(pix_rings)
+    col_lo = max(0, int(np.floor(allr[:, 0].min())))
+    col_hi = min(w, int(np.ceil(allr[:, 0].max())) + 1)
+    row_lo = max(0, int(np.floor(allr[:, 1].min())))
+    row_hi = min(h, int(np.ceil(allr[:, 1].max())) + 1)
+    mask = np.zeros((h, w), dtype=bool)
+    if col_lo >= col_hi or row_lo >= row_hi:
+        return mask
+    cols = np.arange(col_lo, col_hi, dtype=np.float64) + 0.5
+    rows = np.arange(row_lo, row_hi, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    inside = points_in_rings(cg.ravel(), rg.ravel(), pix_rings).reshape(rg.shape)
+    mask[row_lo:row_hi, col_lo:col_hi] = inside
+    return mask
+
+
+class CropTiles:
+    """Full crop_by_geometry per (tile, polygon) row: emits cropped
+    pixel rows (image_id, poly_id, pixels, w, h, bands, gt) — the
+    raster→vector tile-extraction output (kept for pipelines that
+    need pixels, e.g. re-encode sinks)."""
+
+    def __init__(self, polygons_ref, geometry_crs=None, apply_mask: bool = True):
+        polys = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
+        self.geoms = {int(p["poly_id"]): p["geometry"] for p in polys} if isinstance(polys[0], dict) else None
+        if self.geoms is None:
+            raise ValueError("CropTiles needs raw polygon dicts (poly_id + geometry)")
+        self.apply_mask = apply_mask
+        self.geometry_crs = geometry_crs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        bands = batch.column("bands").to_numpy()
+        epsg = batch.column("epsg").to_numpy()
+        pix = batch.column("pixels")
+        pids = batch.column("poly_id").to_numpy()
+        ids = batch.column("image_id").to_pylist()
+        rows = {k: [] for k in ("image_id", "poly_id", "pixels", "w", "h", "bands", "gt")}
+        for i in range(n):
+            geom = self.geoms.get(int(pids[i]))
+            if geom is None:
+                continue
+            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            src = WarpSource(img if img.ndim == 3 else img[None], gts[i], int(epsg[i]))
+            try:
+                out, gi, mask = crop_by_geometry(
+                    src,
+                    geom,
+                    geometry_crs=self.geometry_crs if self.geometry_crs is not None else int(epsg[i]),
+                    apply_mask=self.apply_mask,
+                )
+            except RuntimeError:
+                continue  # degenerate overlap
+            rows["image_id"].append(ids[i])
+            rows["poly_id"].append(int(pids[i]))
+            rows["pixels"].append(np.ascontiguousarray(out).tobytes())
+            rows["w"].append(out.shape[2])
+            rows["h"].append(out.shape[1])
+            rows["bands"].append(out.shape[0])
+            rows["gt"].append(list(gi.transform))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "poly_id": pa.array(rows["poly_id"], pa.int64()),
+                "pixels": pa.array(rows["pixels"], pa.large_binary()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "bands": pa.array(rows["bands"], pa.int32()),
+                "gt": pa.array(rows["gt"], pa.list_(pa.float64(), 6)),
+            }
+        )

@@ -1,0 +1,204 @@
+"""Ray Data stage tests: decode/encode round trip, bounds/cells,
+broadcast PIP join, zonal stats, mosaic, dedup, manifest resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_boots_ray.sources.fixtures import (
+    nation_polygons,
+    synth_images_batch,
+    tile_params,
+    tile_pixels,
+)
+
+
+@pytest.fixture(scope="module")
+def ray_mod(ray_session):
+    import ray
+
+    return ray
+
+
+def test_decode_encode_roundtrip(ray_mod):
+    """input_hint fidelity gate: decoded pixels allclose (lossless) +
+    caption equality per row (BASELINE.json input_hint)."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.decode import DecodeImages, EncodeImages, pixels_view
+
+    keys = np.arange(16)
+    table = synth_images_batch(keys, bands=1)
+    ds = rd.from_arrow(table)
+    decoded = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+    out = decoded.to_arrow_refs()
+    tbl = pa.concat_tables([pa.Table.from_batches(b.to_batches()) for b in __import__("ray").get(out)])
+    assert tbl.num_rows == 16
+    cap = dict(zip(tbl.column("image_id").to_pylist(), tbl.column("caption").to_pylist()))
+    for i, key in enumerate(sorted(keys)):
+        iid = f"img-{key:08d}"
+        assert cap[iid] == f"tile {iid}"
+    # pixel equality vs the deterministic field
+    idx = tbl.column("image_id").to_pylist().index("img-00000003")
+    img = pixels_view(
+        tbl.column("pixels")[idx].as_py(),
+        int(tbl.column("bands")[idx].as_py()),
+        int(tbl.column("h")[idx].as_py()),
+        int(tbl.column("w")[idx].as_py()),
+    )
+    expect = tile_pixels(3, int(tbl.column("w")[idx].as_py()), int(tbl.column("h")[idx].as_py()))
+    assert np.array_equal(img, expect)
+
+    # encode back to png and decode again: lossless round trip
+    encoded = decoded.map_batches(EncodeImages, batch_format="pyarrow", concurrency=1)
+    re_decoded = encoded.map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+    row = re_decoded.take(1)[0]
+    img2 = pixels_view(row["pixels"], int(row["bands"]), int(row["h"]), int(row["w"]))
+    k2 = int(row["image_id"].split("-")[1])
+    assert np.array_equal(img2, tile_pixels(k2, int(row["w"]), int(row["h"])))
+
+
+def test_broadcast_pip_and_zonal(ray_mod):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from gdal_boots_ray.stages.decode import DecodeImages
+    from gdal_boots_ray.stages.geo import add_bounds
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
+    from gdal_boots_ray.stages.zonal import ZonalStats
+
+    keys = np.arange(64)
+    ds = rd.from_arrow(synth_images_batch(keys))
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+    ds = ds.map_batches(add_bounds, batch_format="pyarrow")
+    polys = nation_polygons(np.arange(4))
+    ref = put_polygons(polys)
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": ref},
+        concurrency=1,
+    )
+    stats = joined.map_batches(
+        ZonalStats, batch_format="pyarrow", fn_constructor_kwargs={"polygons_ref": ref}, concurrency=1
+    )
+    agg = stats.groupby("poly_id").aggregate(Sum("n_px", alias_name="n_px")).to_pandas()
+    # oracle: direct numpy evaluation of the same join + mask
+    from gdal_boots_ray.kernels.geometry import points_in_rings, polygon_rings
+
+    p = tile_params(keys)
+    expect = {}
+    for poly in polys:
+        rings = polygon_rings(poly["geometry"])
+        inside = points_in_rings(p["cx"], p["cy"], rings)
+        n_px = 0
+        for k in keys[inside]:
+            t = tile_params(np.array([k]))
+            xs = t["x0"][0] + (np.arange(t["w"][0]) + 0.5) * 10.0
+            ys = t["y0"][0] - (np.arange(t["h"][0]) + 0.5) * 10.0
+            gx, gy = np.meshgrid(xs, ys)
+            m = points_in_rings(gx.ravel(), gy.ravel(), rings)
+            n_px += int(m.sum())
+        if n_px:
+            expect[poly["poly_id"]] = n_px
+    got = dict(zip(agg["poly_id"], agg["n_px"]))
+    assert got == expect
+
+
+def test_mosaic_stage(ray_mod):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.decode import DecodeImages, pixels_view
+    from gdal_boots_ray.stages.mosaic import mosaic_dataset
+
+    keys = np.arange(8)
+    tbl = synth_images_batch(keys)
+    ds = rd.from_arrow(tbl)
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = [int(i.split("-")[1]) for i in batch.column("image_id").to_pylist()]
+        batch = batch.append_column("mosaic_key", pa.array(np.zeros(len(ids), np.int64)))
+        return batch.append_column("seq", pa.array(ids, pa.int64()))
+
+    out = mosaic_dataset(ds.map_batches(add_key, batch_format="pyarrow")).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_inputs"] == 8
+    # tiles 0..7 sit in one grid row: width spans keys*1000 + max w
+    p = tile_params(keys)
+    exp_w = int((p["maxx"].max() - p["minx"].min()) / 10.0)
+    exp_h = int((p["maxy"].max() - p["miny"].min()) / 10.0)
+    assert (row["w"], row["h"]) == (exp_w, exp_h)
+    img = pixels_view(row["pixels"], int(row["bands"]), int(row["h"]), int(row["w"]))
+    assert img.max() == 255
+
+
+def test_exact_dedup_stage(ray_mod):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import exact_dedup
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 4, "text": "ccc"},
+            {"doc_id": 5, "text": "aaa"},
+        ]
+    )
+    out = exact_dedup(docs).to_pandas().sort_values("keep_id")
+    assert out["n_dups"].tolist() == [3, 1, 1]
+    assert out["keep_id"].tolist() == [1, 2, 4]
+
+
+def test_manifest_resume(ray_mod, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.state.manifest import (
+        completed_partitions,
+        finalize_run,
+        resume_plan,
+        write_partitioned,
+    )
+
+    out_dir = str(tmp_path / "out")
+    df = pd.DataFrame({"cell": np.repeat([1, 2, 3], 4), "v": np.arange(12)})
+    ds = rd.from_pandas(df)
+    res = write_partitioned(ds, out_dir, "cell").to_pandas()
+    assert len(res) == 3
+    done = completed_partitions(out_dir)
+    assert set(done) == {"1", "2", "3"}
+    assert all(m["rows"] == 4 for m in done.values())
+    # resume: nothing left
+    assert resume_plan(out_dir, [1, 2, 3, 4]) == [4]
+    # idempotent rewrite keeps digests
+    res2 = write_partitioned(ds, out_dir, "cell").to_pandas()
+    assert sorted(res2["digest"]) == sorted(res["digest"])
+    summary = finalize_run(out_dir)
+    assert summary["partitions"] == 3 and summary["rows"] == 12
+
+
+def test_knn_stage(ray_mod):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(200, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = knn_brute_force(ds, mat[:3], k=4, query_ids=np.arange(3)).to_pandas()
+    assert len(out) == 12
+    # self is always the top hit
+    top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1, 2]
