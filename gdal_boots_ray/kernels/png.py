@@ -73,9 +73,18 @@ def png_encode(img: np.ndarray, zlevel: int = 6, filter_type: str = "sub") -> by
 def _unfilter(filtered: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters. filtered: (h, 1+stride) uint8."""
     ftypes = filtered[:, 0]
+    # Fast path: only None/Sub filters (what our encoder emits) have no
+    # inter-row dependency -> fully vectorized across the whole image.
+    if ftypes.max(initial=0) <= 1:
+        data32 = filtered[:, 1:].astype(np.int32)
+        sub_rows = ftypes == 1
+        if np.any(sub_rows):
+            r = data32[sub_rows].reshape(int(sub_rows.sum()), -1, bpp)
+            np.cumsum(r, axis=1, out=r)
+            data32[sub_rows] = (r & 0xFF).reshape(int(sub_rows.sum()), -1)
+        return data32.astype(np.uint8)
     data = filtered[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
-    # Fast path: whole image filter 0 or all rows filter 0/1 (vectorizable per row)
     for y in range(h):
         ft = ftypes[y]
         row = data[y]

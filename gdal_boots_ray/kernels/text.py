@@ -85,13 +85,28 @@ class MinHasher:
         self.ngram = ngram
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        grams = char_ngrams(text, self.ngram)
-        if not grams:
-            return np.zeros(1, dtype=np.uint64)
-        return np.array(
-            [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little") for g in grams],
-            dtype=np.uint64,
-        )
+        """Vectorized shingle hashing: whitespace-normalize, then hash
+        every n-byte window with a polynomial rolling hash (sliding
+        window matmul — no per-gram Python loop)."""
+        t = " ".join(text.lower().split()).encode("utf-8", "ignore")
+        n = self.ngram
+        if len(t) < n:
+            if not t:
+                return np.zeros(1, dtype=np.uint64)
+            arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+            pw = np.uint64(1000003) ** np.arange(len(arr), dtype=np.uint64)[::-1]
+            with np.errstate(over="ignore"):
+                return np.array([np.dot(arr * pw, np.ones(1, np.uint64))], dtype=np.uint64)
+        arr = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, n)
+        pw = np.uint64(1000003) ** np.arange(n, dtype=np.uint64)[::-1]
+        with np.errstate(over="ignore"):
+            h = (windows * pw[None, :]).sum(axis=1)
+            # mix (splitmix64-style) so sequential windows decorrelate
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+        return np.unique(h)
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingle_hashes(text)

@@ -53,15 +53,22 @@ def run_flagship(
         concurrency=decode_concurrency,
         num_cpus=1,
     )
-    ds = ds.map_batches(add_bounds, batch_format="pyarrow")
-    ds = ds.map_batches(make_add_grid_cell(cell_res), batch_format="pyarrow")
+    # vectorized column stages amortize over bigger batches than decode
+    vec_batch = max(batch_size * 8, 512)
+    ds = ds.map_batches(add_bounds, batch_format="pyarrow", batch_size=vec_batch)
+    ds = ds.map_batches(make_add_grid_cell(cell_res), batch_format="pyarrow", batch_size=vec_batch)
     if with_s2:
-        ds = ds.map_batches(make_add_lonlat(), batch_format="pyarrow")
-        ds = ds.map_batches(make_add_s2_cell(s2_level), batch_format="pyarrow")
+        ds = ds.map_batches(make_add_lonlat(), batch_format="pyarrow", batch_size=vec_batch)
+        ds = ds.map_batches(make_add_s2_cell(s2_level), batch_format="pyarrow", batch_size=vec_batch)
     joined = ds.map_batches(
         BroadcastPIPJoin,
         batch_format="pyarrow",
-        fn_constructor_kwargs={"polygons_ref": poly_ref},
+        fn_constructor_kwargs={
+            "polygons_ref": poly_ref,
+            # shed caption/phash/cell columns before rows fan out per
+            # polygon — only what ZonalStats needs crosses this edge
+            "keep_cols": ["image_id", "pixels", "bands", "w", "h", "gt", "cx", "cy"],
+        },
         concurrency=(1, 4),
         num_cpus=1,
     )

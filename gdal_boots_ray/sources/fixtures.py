@@ -184,7 +184,7 @@ def generate_images_parquet(
     bands: int = 3,
     skew_frac: float = 0.1,
     seed: int = 31415926,
-    rows_per_file: int = 4096,
+    rows_per_file: int = 256,
 ) -> str:
     """Write the input_hint-schema images table to ``path`` (dir of
     parquet files).  Deterministic; returns path.  ``skew_frac`` of the

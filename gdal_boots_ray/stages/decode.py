@@ -29,6 +29,37 @@ def pixels_view(buf, bands: int, h: int, w: int, dtype=np.uint8) -> np.ndarray:
     return arr.reshape(bands, h, w)
 
 
+def binary_column_views(col) -> list:
+    """Zero-copy per-row memory views of a (large_)binary column —
+    avoids the bytes copy of ``.as_py()`` per row in hot stages."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    if pa.types.is_large_binary(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_binary(col.type):
+        off_dtype = np.int32
+    else:  # fall back to copies for anything exotic
+        return [col[i].as_py() for i in range(len(col))]
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(col) + 1 + col.offset)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    values = np.frombuffer(bufs[2], dtype=np.uint8)
+    return [values[offsets[i] : offsets[i + 1]] for i in range(len(col))]
+
+
+def batch_pixel_views(batch: pa.Table) -> list:
+    """Per-row (h,w)/(bands,h,w) zero-copy views of a decoded batch."""
+    ws = batch.column("w").to_numpy()
+    hs = batch.column("h").to_numpy()
+    bands = batch.column("bands").to_numpy()
+    raw = binary_column_views(batch.column("pixels"))
+    return [
+        pixels_view(raw[i], int(bands[i]), int(hs[i]), int(ws[i]))
+        for i in range(len(raw))
+    ]
+
+
 class DecodeImages:
     """bytes+fmt -> pixels(+bands) columns.  Use with
     ``ds.map_batches(DecodeImages, batch_format="pyarrow",
@@ -45,12 +76,12 @@ class DecodeImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes")
+        blobs = binary_column_views(batch.column("bytes"))
         pixels = []
         bands = np.empty(len(fmts), dtype=np.int32)
         ok = np.ones(len(fmts), dtype=bool)
         for i, fmt in enumerate(fmts):
-            data = blobs[i].as_py()
+            data = bytes(blobs[i])
             try:
                 img = decode_image(data, fmt)
             except Exception:

@@ -119,12 +119,17 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            )
         a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+        return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
 
     cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    # dedup pairs that collide in multiple bands
-    from ray.data.aggregate import Count
+    # dedup pairs colliding in multiple bands: partial->bucketed final
+    # count (a bare multi-key groupby.aggregate sort-reduces per tiny
+    # group and is ~10x slower here)
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    out = bucketed_aggregate(cand, ["doc_a", "doc_b"], {"n_bands": "count"})
+    return out.select_columns(["doc_a", "doc_b", "n_bands"])

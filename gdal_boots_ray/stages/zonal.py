@@ -37,12 +37,13 @@ class ZonalStats:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.geometry import points_in_rings
 
+        from gdal_boots_ray.stages.decode import batch_pixel_views
+
         n = batch.num_rows
         gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
-        ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
-        bands = batch.column("bands").to_numpy()
-        pix = batch.column("pixels")
+        ws = batch.column("w").to_numpy()
+        views = batch_pixel_views(batch)
         pids = batch.column("poly_id").to_numpy()
         out = {
             "poly_id": np.asarray(pids, np.int64),
@@ -56,7 +57,7 @@ class ZonalStats:
             rings = self.polygons.get(int(pids[i]))
             if rings is None:
                 continue
-            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            img = views[i]
             band0 = img if img.ndim == 2 else img[0]
             mask = _rings_mask(rings, (int(hs[i]), int(ws[i])), gts[i])
             sel = band0[mask]
