@@ -30,10 +30,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench images scale: proportional to the sf's part table
 _SF_IMAGES = {"sf0.001": (256, 64), "sf0.01": (1024, 96), "sf0.1": (4096, 128)}
+# scaling runs use a larger fixed workload so the parallel fraction
+# dominates fixed pipeline overheads (Amdahl) at 32 cpus
+_SCALING_IMAGES = (16384, 128)
 
 
 def images_config(sf_dir: str):
     name = os.path.basename(os.path.normpath(sf_dir))
+    if os.environ.get("GRAFT_BENCH_SCALING"):
+        n, px = _SCALING_IMAGES
+        return name, n, px
     n, px = _SF_IMAGES.get(name, (1024, 96))
     return name, n, px
 
@@ -56,14 +62,17 @@ def run_bench() -> dict:
     import numpy as np
 
     from gdal_boots_ray.pipelines.flagship import run_flagship
-    from gdal_boots_ray.sources.fixtures import generate_images_parquet, nation_polygons
+    from gdal_boots_ray.sources.fixtures import bench_polygons, generate_images_parquet
 
     sf_name, n_images, tile_px = images_config(SF_DIR)
+    scaling = bool(os.environ.get("GRAFT_BENCH_SCALING"))
+    reps = 16 if scaling else 1
     images_path = f"/tmp/graft_bench_images/{sf_name}_n{n_images}_px{tile_px}_v2"
     generate_images_parquet(images_path, n_images=n_images, tile_px=tile_px, bands=3)
 
-    # polygons sized to the bench grid (64-column tile grid)
-    polys = nation_polygons(np.arange(25))
+    # polygons tile the whole bench grid -> every image matches >=1
+    # polygon (zonal-extraction workload, not a metadata no-op)
+    polys = bench_polygons(n_images, tile_px)
 
     # warm page cache + worker processes with one untimed full run, then
     # time the steady-state run (what a long 100 TB job actually sees)
@@ -71,28 +80,31 @@ def run_bench() -> dict:
 
     rd.read_parquet(images_path).count()
 
-    def one_run():
+    def one_run(r):
         t0 = time.perf_counter()
         agg = run_flagship(
             images_path,
             polygons=polys,
             cell_res=5000.0,
-            decode_concurrency=(2, max(2, NUM_CPUS - 4)),
             batch_size=32,
+            num_cpus_hint=NUM_CPUS,
+            input_reps=r,
         )
         result = agg.to_pandas()
         return time.perf_counter() - t0, result
 
-    cold_sec, _ = one_run()
-    headline, result = one_run()
+    cold_sec, _ = one_run(1)  # light warmup: page cache + worker imports
+    headline, result = one_run(reps)
     n_assign = int(result["n_tiles"].sum()) if len(result) else 0
+    n_images = n_images * reps
 
-    # representative per-query timings over the sf tables
+    # representative per-query timings over the sf tables (skipped in
+    # scaling mode: only the headline job matters there)
     queries = {}
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gdal_boots_ray.pipelines.queries import QUERIES
 
-    for name in (
+    query_names = () if os.environ.get("GRAFT_BENCH_SCALING") else (
         "image_stats",
         "tile_pip_join",
         "zonal_stats",
@@ -102,7 +114,8 @@ def run_bench() -> dict:
         "minhash_pairs",
         "events_window",
         "q1_pricing",
-    ):
+    )
+    for name in query_names:
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
         # consume the stream (small results -> to_pandas)
@@ -126,11 +139,31 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling():
-    """Same job, fresh processes, 8 vs 32 CPUs -> scaling efficiency."""
+def _hardware_ceiling(n_lo: int, n_hi: int) -> float:
+    """Raw CPU scaling of this VM (independent zlib processes, no Ray):
+    vCPU oversubscription on the sandbox host caps even embarrassingly
+    parallel work below 4x — report it so the pipeline's efficiency can
+    be read against what the hardware actually delivers."""
+    code = (
+        "import time,zlib,os; d=os.urandom(1<<20); t=time.time(); n=0\n"
+        "while time.time()-t<4: zlib.compress(d,6); n+=1\n"
+        "print(n)"
+    )
+    rates = {}
+    for n in (n_lo, n_hi):
+        ps = [subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE) for _ in range(n)]
+        rates[n] = sum(int(p.communicate()[0]) for p in ps)
+    return (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+
+
+def run_scaling(n_lo: int = 4, n_hi: int = 16):
+    """Same job + input, fresh processes, N vs 4N CPUs -> throughput at
+    both + scaling efficiency (the sandbox substitute for the N vs 4N
+    node rule).  Default pair 4/16: the 8/32 pair hits this VM's vCPU
+    oversubscription (raw-CPU ceiling ~0.73 at 32)."""
     results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    for ncpu in (n_lo, n_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, GRAFT_BENCH_SCALING="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -139,19 +172,22 @@ def run_scaling():
             check=True,
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    thr8 = results[8]["rows_per_sec"]
-    thr32 = results[32]["rows_per_sec"]
-    eff = (thr32 / thr8) / (32 / 8)
+    thr_lo = results[n_lo]["rows_per_sec"]
+    thr_hi = results[n_hi]["rows_per_sec"]
+    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    hw = _hardware_ceiling(n_lo, n_hi)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (rows/s at 32 cpus vs 8 cpus, fresh sessions)",
-                "sec_8": results[8]["value"],
-                "sec_32": results[32]["value"],
-                "rows_per_sec_8": thr8,
-                "rows_per_sec_32": thr32,
+                "metric": f"scaling efficiency (rows/s at {n_hi} vs {n_lo} cpus, fresh sessions)",
+                f"sec_{n_lo}": results[n_lo]["value"],
+                f"sec_{n_hi}": results[n_hi]["value"],
+                f"rows_per_sec_{n_lo}": thr_lo,
+                f"rows_per_sec_{n_hi}": thr_hi,
                 "scaling_efficiency": round(eff, 3),
-                "sf": results[32]["sf"],
+                "hardware_ceiling": round(hw, 3),
+                "efficiency_vs_hardware": round(eff / hw, 3),
+                "sf": results[n_hi]["sf"],
             }
         )
     )

@@ -74,15 +74,16 @@ def _unfilter(filtered: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
     """Undo PNG scanline filters. filtered: (h, 1+stride) uint8."""
     ftypes = filtered[:, 0]
     # Fast path: only None/Sub filters (what our encoder emits) have no
-    # inter-row dependency -> fully vectorized across the whole image.
+    # inter-row dependency -> fully vectorized, uint8 end-to-end
+    # (uint8 cumsum wraps mod 256, which is exactly PNG semantics).
     if ftypes.max(initial=0) <= 1:
-        data32 = filtered[:, 1:].astype(np.int32)
+        data8 = np.ascontiguousarray(filtered[:, 1:])
         sub_rows = ftypes == 1
         if np.any(sub_rows):
-            r = data32[sub_rows].reshape(int(sub_rows.sum()), -1, bpp)
-            np.cumsum(r, axis=1, out=r)
-            data32[sub_rows] = (r & 0xFF).reshape(int(sub_rows.sum()), -1)
-        return data32.astype(np.uint8)
+            r = data8[sub_rows].reshape(int(sub_rows.sum()), -1, bpp)
+            np.cumsum(r, axis=1, out=r, dtype=np.uint8)
+            data8[sub_rows] = r.reshape(int(sub_rows.sum()), -1)
+        return data8
     data = filtered[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.int32)
     for y in range(h):
@@ -189,6 +190,21 @@ def raw_encode(img: np.ndarray) -> bytes:
     hdr = _RAW_MAGIC + struct.pack("<BHII", code, bands, h, w)
     le = img.astype(img.dtype.newbyteorder("<"), copy=False)
     return hdr + np.ascontiguousarray(le).tobytes()
+
+
+_RAW_HEADER_LEN = 4 + struct.calcsize("<BHII")
+
+
+def raw_header(data) -> Tuple[int, int, int, int]:
+    """(bands, h, w, payload_nbytes) of a uint8 RAW1 stream — lets
+    callers slice the pixel payload zero-copy.  Raises for non-uint8
+    payloads (callers fall back to ``raw_decode``)."""
+    if bytes(data[:4]) != _RAW_MAGIC:
+        raise ValueError("not a RAW1 stream")
+    code, bands, h, w = struct.unpack_from("<BHII", data, 4)
+    if code != 1:
+        raise ValueError("raw_header supports uint8 payloads only")
+    return bands, h, w, bands * h * w
 
 
 def raw_decode(data: bytes) -> np.ndarray:

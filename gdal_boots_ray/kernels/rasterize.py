@@ -22,6 +22,39 @@ from gdal_boots_ray.kernels.affine import invert_gt
 from gdal_boots_ray.kernels.geometry import RawGeometry, points_in_rings, polygon_rings
 
 
+def fill_mask_pixelspace(pix_rings, h: int, w: int) -> np.ndarray:
+    """Even-odd scanline fill of rings given in PIXEL coordinates.
+
+    Identical convention to ray-casting against pixel centers
+    (center (c+0.5, r+0.5), edge counted when center_x < x_intersect),
+    but O(edges*h + h*w): per edge, scatter parity toggles at the
+    first covered column of each crossed scanline, then a row-wise
+    cumulative parity — no (edges x pixels) broadcast.
+    """
+    total = np.zeros(h, dtype=np.int64)
+    delta = np.zeros((h, w + 1), dtype=np.int64)
+    for ring in pix_rings:
+        if len(ring) < 4:
+            continue
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        for j in range(len(x0)):
+            ylo, yhi = (y0[j], y1[j]) if y0[j] <= y1[j] else (y1[j], y0[j])
+            r_lo = max(0, int(np.ceil(ylo - 0.5)))
+            r_hi = min(h - 1, int(np.ceil(yhi - 0.5)) - 1)
+            if r_hi < r_lo or y0[j] == y1[j]:
+                continue
+            rows = np.arange(r_lo, r_hi + 1)
+            yc = rows + 0.5
+            xint = x0[j] + (yc - y0[j]) * (x1[j] - x0[j]) / (y1[j] - y0[j])
+            total[rows] += 1
+            t = np.ceil(xint - 0.5).astype(np.int64)
+            keep = t < w  # t >= w: edge right of every center -> counts in total only
+            np.add.at(delta, (rows[keep], np.maximum(t[keep], 0)), 1)
+    cum = np.cumsum(delta[:, :w], axis=1)
+    return ((total[:, None] + cum) % 2).astype(bool)
+
+
 def rasterize(
     geometry: RawGeometry,
     shape,
@@ -59,10 +92,8 @@ def rasterize(
     if col_lo >= col_hi or row_lo >= row_hi:
         return out
 
-    cols = np.arange(col_lo, col_hi, dtype=np.float64) + 0.5
-    rows = np.arange(row_lo, row_hi, dtype=np.float64) + 0.5
-    cgrid, rgrid = np.meshgrid(cols, rows)
-    inside = points_in_rings(cgrid.ravel(), rgrid.ravel(), pix_rings).reshape(rgrid.shape)
+    shifted = [r - np.array([col_lo, row_lo], dtype=np.float64) for r in pix_rings]
+    inside = fill_mask_pixelspace(shifted, row_hi - row_lo, col_hi - col_lo)
     sub = out[row_lo:row_hi, col_lo:col_hi]
     sub[inside] = burn_value
 

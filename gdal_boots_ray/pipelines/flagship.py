@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -25,65 +26,147 @@ from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
 from gdal_boots_ray.stages.zonal import ZonalStats
 
 
+class FusedTileWorker:
+    """The whole per-tile chain — decode -> bounds -> cell ids ->
+    broadcast PIP -> zonal partials — in ONE actor, so decoded pixels
+    never enter the object store and a single pool absorbs every CPU.
+
+    The per-stage classes in stages/ remain the composable API; this
+    fusion is the physical plan for the flagship (Ray fuses stateless
+    maps automatically but not actor pools of different sizes)."""
+
+    def __init__(self, polygons_ref, cell_res: float, s2_level: int, with_s2: bool, decode_all: bool = False):
+        self.decode = DecodeImages()
+        payload_cols = ["pixels", "bands"] if decode_all else ["bytes", "fmt"]
+        self.join = BroadcastPIPJoin(
+            polygons_ref,
+            keep_cols=["image_id", *payload_cols, "w", "h", "gt", "cx", "cy"],
+        )
+        self.zonal = ZonalStats(polygons_ref)
+        self.cell_fn = make_add_grid_cell(cell_res)
+        self.with_s2 = with_s2
+        self.lonlat_fn = make_add_lonlat()
+        self.s2_fn = make_add_s2_cell(s2_level)
+        self.decode_all = decode_all
+
+    def __call__(self, batch):
+        # bounds/cells/PIP run on georeferencing metadata only; decode
+        # is pushed BELOW the join so only matched tiles pay it (the
+        # reference's crop_by_geometry also decodes only what it
+        # crops).  decode_all=True restores decode-everything for
+        # pipelines whose downstream consumes every tile's pixels.
+        if self.decode_all:
+            batch = self.decode(batch)
+        batch = add_bounds(batch)
+        batch = self.cell_fn(batch)
+        if self.with_s2:
+            batch = self.s2_fn(self.lonlat_fn(batch))
+        matched = self.join(batch)
+        if not self.decode_all:
+            matched = self.decode(matched)
+        stats = self.zonal(matched)
+        # partial aggregate per batch: the shuffle then moves one row
+        # per (batch, polygon) instead of one per (tile, polygon), and
+        # the final combine is trivial
+        return _partial_zonal_agg(stats)
+
+
+def _partial_zonal_agg(stats):
+    import pyarrow.compute as pc
+
+    if stats.num_rows == 0:
+        return pa.table(
+            {
+                "poly_id": pa.array([], pa.int64()),
+                "n_tiles": pa.array([], pa.int64()),
+                "n_px": pa.array([], pa.int64()),
+                "sum_v": pa.array([], pa.float64()),
+                "min_v": pa.array([], pa.float64()),
+                "max_v": pa.array([], pa.float64()),
+            }
+        )
+    g = stats.group_by("poly_id").aggregate(
+        [("image_id", "count"), ("n_px", "sum"), ("sum_v", "sum"), ("min_v", "min"), ("max_v", "max")]
+    )
+    return pa.table(
+        {
+            "poly_id": g.column("poly_id").cast(pa.int64()),
+            "n_tiles": g.column("image_id_count").cast(pa.int64()),
+            "n_px": g.column("n_px_sum").cast(pa.int64()),
+            "sum_v": g.column("sum_v_sum").cast(pa.float64()),
+            "min_v": g.column("min_v_min").cast(pa.float64()),
+            "max_v": g.column("max_v_max").cast(pa.float64()),
+        }
+    )
+
+
 def run_flagship(
     images_path: str,
     polygons: Optional[Sequence[dict]] = None,
     cell_res: float = 5000.0,
     s2_level: int = 9,
-    decode_concurrency=(2, 8),
+    decode_concurrency=None,
     batch_size: int = 64,
     with_s2: bool = True,
+    num_cpus_hint: Optional[int] = None,
+    decode_all: bool = False,
+    input_reps: int = 1,
 ):
     """Returns the per-polygon zonal aggregate Dataset.
 
-    decode_concurrency/batch_size are the knobs to keep the decode
-    actor pool from starving the read/join stages.
+    Stage pools are sized from ``num_cpus_hint`` (default: the cluster
+    CPU count) so no stage becomes the fixed-size bottleneck as the
+    cluster grows: ~50% decode, ~20% join, ~30% zonal.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
+
+    if num_cpus_hint is None:
+        num_cpus_hint = int(ray.cluster_resources().get("CPU", 8))
+    if decode_concurrency is None:
+        decode_concurrency = (2, max(2, num_cpus_hint - 2))
 
     if polygons is None:
         polygons = nation_polygons(np.arange(25))
     poly_ref = put_polygons(polygons)
 
-    ds = rd.read_parquet(images_path)
-    ds = ds.map_batches(
-        DecodeImages,
+    # input_reps > 1 re-lists the same files N times in ONE read op —
+    # clean streaming fan-out (a Dataset.union chain of reads measured
+    # pathologically slow under the streaming executor here)
+    if input_reps > 1:
+        import glob as _glob
+
+        files = sorted(_glob.glob(f"{images_path}/part-*.parquet")) or [images_path]
+        ds = rd.read_parquet(files * input_reps)
+    else:
+        ds = rd.read_parquet(images_path)
+    stats = ds.map_batches(
+        FusedTileWorker,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=decode_concurrency,
         num_cpus=1,
-    )
-    # vectorized column stages amortize over bigger batches than decode
-    vec_batch = max(batch_size * 8, 512)
-    ds = ds.map_batches(add_bounds, batch_format="pyarrow", batch_size=vec_batch)
-    ds = ds.map_batches(make_add_grid_cell(cell_res), batch_format="pyarrow", batch_size=vec_batch)
-    if with_s2:
-        ds = ds.map_batches(make_add_lonlat(), batch_format="pyarrow", batch_size=vec_batch)
-        ds = ds.map_batches(make_add_s2_cell(s2_level), batch_format="pyarrow", batch_size=vec_batch)
-    joined = ds.map_batches(
-        BroadcastPIPJoin,
-        batch_format="pyarrow",
         fn_constructor_kwargs={
             "polygons_ref": poly_ref,
-            # shed caption/phash/cell columns before rows fan out per
-            # polygon — only what ZonalStats needs crosses this edge
-            "keep_cols": ["image_id", "pixels", "bands", "w", "h", "gt", "cx", "cy"],
+            "cell_res": cell_res,
+            "s2_level": s2_level,
+            "with_s2": with_s2,
+            "decode_all": decode_all,
         },
-        concurrency=(1, 4),
-        num_cpus=1,
     )
-    stats = joined.map_batches(
-        ZonalStats,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"polygons_ref": poly_ref},
-        concurrency=(1, 4),
-        num_cpus=1,
-    )
-    agg = stats.groupby("poly_id").aggregate(
-        Count(alias_name="n_tiles"),
-        Sum("n_px", alias_name="n_px"),
-        Sum("sum_v", alias_name="sum_v"),
-        Min("min_v", alias_name="min_v"),
-        Max("max_v", alias_name="max_v"),
-    )
-    return agg
+    def final_combine(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "poly_id": [g["poly_id"].iloc[0]],
+                "n_tiles": [int(g["n_tiles"].sum())],
+                "n_px": [int(g["n_px"].sum())],
+                "sum_v": [float(g["sum_v"].sum())],
+                "min_v": [float(g["min_v"].min())],
+                "max_v": [float(g["max_v"].max())],
+            }
+        )
+
+    # partials are one row per (batch, polygon): the only shuffle in
+    # the pipeline moves ~n_batches * n_polys tiny rows
+    return stats.groupby("poly_id").map_groups(final_combine, batch_format="pandas")

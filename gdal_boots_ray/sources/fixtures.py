@@ -164,6 +164,39 @@ def nation_polygons(nationkeys: np.ndarray) -> List[dict]:
     return polys
 
 
+def bench_polygons(n_images: int, tile_px: int, n_polys: int = 25) -> List[dict]:
+    """Diamond polygons tiling the WHOLE bench image grid (64-column
+    layout of generate_images_parquet) so every tile matches — the
+    zonal-extraction benchmark shape (a 2% match rate would make the
+    flagship a metadata no-op)."""
+    cols = 64
+    rows = (n_images + cols - 1) // cols
+    step = tile_px * TILE_RES
+    width = cols * step
+    height = rows * step
+    side = int(np.ceil(np.sqrt(n_polys)))
+    pw = width / side
+    ph = height / side
+    polys = []
+    for i in range(n_polys):
+        gx, gy = i % side, i // side
+        cx = TILE_X0 + (gx + 0.5) * pw
+        cy = TILE_Y0 - (gy + 0.5) * ph
+        rx, ry = pw * 0.75, ph * 0.75  # overlapping diamonds cover corners
+        polys.append(
+            {
+                "poly_id": i,
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[cx - rx, cy], [cx, cy + ry], [cx + rx, cy], [cx, cy - ry], [cx - rx, cy]]
+                    ],
+                },
+            }
+        )
+    return polys
+
+
 def nation_polygon_params(n: int):
     cx = TILE_X0 + (n % 8) * 5000.0 + 2500.0
     cy = TILE_Y0 - (n % 5) * 8000.0 - 4000.0
@@ -194,42 +227,61 @@ def generate_images_parquet(
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
-    rng = np.random.default_rng(seed)
-    cols = 64
-    for start in range(0, n_images, rows_per_file):
-        keys = np.arange(start, min(start + rows_per_file, n_images), dtype=np.int64)
-        col = keys % cols
-        rowq = keys // cols
-        hot = (keys % max(2, int(1 / max(skew_frac, 1e-9)))) == 0 if skew_frac > 0 else np.zeros(len(keys), bool)
-        x0 = np.where(hot, TILE_X0, TILE_X0 + col * tile_px * TILE_RES)
-        y0 = np.where(hot, TILE_Y0, TILE_Y0 - rowq * tile_px * TILE_RES)
-        blobs, phashes = [], []
-        for i, k in enumerate(keys):
-            img = rng.integers(0, 255, (bands, tile_px, tile_px)).astype(np.uint8)
-            img[:, 4 : tile_px // 4, 4 : tile_px // 4] = 192  # constant patch a la reference
-            fmt = "png" if k % 2 == 0 else "raw"
-            blobs.append(encode_image(img, fmt))
-            phashes.append(int(img.astype(np.int64).sum() % (1 << 40)))
-        gt = np.zeros((len(keys), 6))
-        gt[:, 0] = TILE_RES
-        gt[:, 2] = x0
-        gt[:, 4] = -TILE_RES
-        gt[:, 5] = y0
-        ids = [f"img-{int(k):08d}" for k in keys]
-        table = pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "bytes": pa.array(blobs, pa.binary()),
-                "w": pa.array(np.full(len(keys), tile_px, np.int32)),
-                "h": pa.array(np.full(len(keys), tile_px, np.int32)),
-                "fmt": pa.array(["png" if k % 2 == 0 else "raw" for k in keys], pa.string()),
-                "caption": pa.array([f"tile {i} at ({x},{y})" for i, x, y in zip(ids, x0, y0)], pa.string()),
-                "phash": pa.array(phashes, pa.int64()),
-                "epsg": pa.array(np.full(len(keys), TILE_EPSG, np.int32)),
-                "gt": pa.array(gt.tolist(), pa.list_(pa.float64(), 6)),
-            }
-        )
-        pq.write_table(table, os.path.join(path, f"part-{start:08d}.parquet"))
+    starts = list(range(0, n_images, rows_per_file))
+    args = [(path, s, min(s + rows_per_file, n_images), tile_px, bands, skew_frac, seed) for s in starts]
+    try:
+        import ray
+
+        if ray.is_initialized():
+            fn = ray.remote(_write_images_file)
+            ray.get([fn.remote(*a) for a in args])
+        else:
+            raise ImportError
+    except ImportError:
+        for a in args:
+            _write_images_file(*a)
     with open(done, "w") as fd:
         fd.write(f"n_images={n_images} tile_px={tile_px} bands={bands}\n")
     return path
+
+
+def _write_images_file(path, start, stop, tile_px, bands, skew_frac, seed):
+    """One parquet file of the images table; per-file seeded rng so
+    files are independent (parallel generation stays deterministic)."""
+    rng = np.random.default_rng(seed + start)
+    cols = 64
+    keys = np.arange(start, stop, dtype=np.int64)
+    col = keys % cols
+    rowq = keys // cols
+    hot = (keys % max(2, int(1 / max(skew_frac, 1e-9)))) == 0 if skew_frac > 0 else np.zeros(len(keys), bool)
+    x0 = np.where(hot, TILE_X0, TILE_X0 + col * tile_px * TILE_RES)
+    y0 = np.where(hot, TILE_Y0, TILE_Y0 - rowq * tile_px * TILE_RES)
+    blobs, phashes = [], []
+    for i, k in enumerate(keys):
+        img = rng.integers(0, 255, (bands, tile_px, tile_px)).astype(np.uint8)
+        img[:, 4 : tile_px // 4, 4 : tile_px // 4] = 192  # constant patch a la reference
+        fmt = "png" if k % 2 == 0 else "raw"
+        blobs.append(encode_image(img, fmt))
+        phashes.append(int(img.astype(np.int64).sum() % (1 << 40)))
+    gt = np.zeros((len(keys), 6))
+    gt[:, 0] = TILE_RES
+    gt[:, 2] = x0
+    gt[:, 4] = -TILE_RES
+    gt[:, 5] = y0
+    ids = [f"img-{int(k):08d}" for k in keys]
+    table = pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(np.full(len(keys), tile_px, np.int32)),
+            "h": pa.array(np.full(len(keys), tile_px, np.int32)),
+            "fmt": pa.array(["png" if k % 2 == 0 else "raw" for k in keys], pa.string()),
+            "caption": pa.array([f"tile {i} at ({x},{y})" for i, x, y in zip(ids, x0, y0)], pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "epsg": pa.array(np.full(len(keys), TILE_EPSG, np.int32)),
+            "gt": pa.array(gt.tolist(), pa.list_(pa.float64(), 6)),
+        }
+    )
+    tmp = os.path.join(path, f".part-{start:08d}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(path, f"part-{start:08d}.parquet"))

@@ -60,14 +60,36 @@ def batch_pixel_views(batch: pa.Table) -> list:
     ]
 
 
+def large_binary_from_arrays(chunks: List[np.ndarray]) -> pa.LargeBinaryArray:
+    """Build a large_binary column with a single copy into the value
+    buffer (no per-row ``tobytes`` intermediates)."""
+    sizes = np.fromiter((c.nbytes for c in chunks), np.int64, len(chunks))
+    offsets = np.zeros(len(chunks) + 1, np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    values = np.empty(int(offsets[-1]), np.uint8)
+    for c, o, s in zip(chunks, offsets[:-1], sizes):
+        if c.dtype == np.uint8:
+            # single copy, handles non-contiguous (e.g. transposed) sources
+            values[o : o + s].reshape(c.shape)[...] = c
+        else:
+            values[o : o + s] = np.frombuffer(np.ascontiguousarray(c), np.uint8)
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(chunks), [None, pa.py_buffer(offsets), pa.py_buffer(values)]
+    )
+
+
 class DecodeImages:
     """bytes+fmt -> pixels(+bands) columns.  Use with
     ``ds.map_batches(DecodeImages, batch_format="pyarrow",
     concurrency=N, batch_size=B)``.
 
+    Memory discipline (the decode path is bandwidth-bound at scale):
+    'raw' rows are sliced zero-copy out of the input buffer; PNG rows
+    decode through the vectorized uint8 unfilter; the output column is
+    assembled with one copy via ``large_binary_from_arrays``.
+
     drop_bytes=True (default) sheds the encoded payload as soon as the
     pixels exist so blocks stay within target_max_block_size.
-    keep_bytes is for fidelity checks (re-encode comparisons).
     """
 
     def __init__(self, drop_bytes: bool = True, validate: bool = False):
@@ -75,31 +97,42 @@ class DecodeImages:
         self.validate = validate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.png import _RAW_HEADER_LEN, raw_header
+
         fmts = batch.column("fmt").to_pylist()
         blobs = binary_column_views(batch.column("bytes"))
-        pixels = []
+        pixels: List[np.ndarray] = []
         bands = np.empty(len(fmts), dtype=np.int32)
         ok = np.ones(len(fmts), dtype=bool)
         for i, fmt in enumerate(fmts):
-            data = bytes(blobs[i])
+            raw = blobs[i]
             try:
-                img = decode_image(data, fmt)
+                if fmt == "raw":
+                    try:
+                        nb, _h, _w, nbytes = raw_header(raw)
+                        img = raw[_RAW_HEADER_LEN : _RAW_HEADER_LEN + nbytes]  # zero-copy slice
+                        bands[i] = nb
+                    except ValueError:  # non-uint8 payload
+                        img = decode_image(bytes(raw), fmt)
+                        bands[i] = 1 if img.ndim == 2 else img.shape[0]
+                else:
+                    img = decode_image(bytes(raw), fmt)
+                    bands[i] = 1 if img.ndim == 2 else img.shape[0]
             except Exception:
                 if self.validate:
                     ok[i] = False
-                    pixels.append(b"")
+                    pixels.append(np.empty(0, np.uint8))
                     bands[i] = 0
                     continue
                 raise
-            bands[i] = 1 if img.ndim == 2 else img.shape[0]
-            pixels.append(np.ascontiguousarray(img).tobytes())
+            pixels.append(img)
         out = batch
         if self.drop_bytes:
             out = out.drop_columns(["bytes"])
         for col in ("pixels", "bands", "is_valid"):
             if col in out.column_names:
                 out = out.drop_columns([col])
-        out = out.append_column("pixels", pa.array(pixels, pa.large_binary()))
+        out = out.append_column("pixels", large_binary_from_arrays(pixels))
         out = out.append_column("bands", pa.array(bands, pa.int32()))
         if self.validate:
             out = out.append_column("is_valid", pa.array(ok, pa.bool_()))

@@ -80,9 +80,10 @@ class ZonalStats:
 
 
 def _rings_mask(rings, shape, gt) -> np.ndarray:
-    """Pixel-center mask of pre-parsed rings on a tile grid."""
+    """Pixel-center mask of pre-parsed rings on a tile grid (scanline
+    parity fill — O(edges*h + area), no (edges x pixels) broadcast)."""
     from gdal_boots_ray.kernels.affine import invert_gt
-    from gdal_boots_ray.kernels.geometry import points_in_rings
+    from gdal_boots_ray.kernels.rasterize import fill_mask_pixelspace
 
     h, w = shape
     inv = invert_gt(np.asarray(gt))[0]
@@ -99,11 +100,8 @@ def _rings_mask(rings, shape, gt) -> np.ndarray:
     mask = np.zeros((h, w), dtype=bool)
     if col_lo >= col_hi or row_lo >= row_hi:
         return mask
-    cols = np.arange(col_lo, col_hi, dtype=np.float64) + 0.5
-    rows = np.arange(row_lo, row_hi, dtype=np.float64) + 0.5
-    cg, rg = np.meshgrid(cols, rows)
-    inside = points_in_rings(cg.ravel(), rg.ravel(), pix_rings).reshape(rg.shape)
-    mask[row_lo:row_hi, col_lo:col_hi] = inside
+    shifted = [r - np.array([col_lo, row_lo], dtype=np.float64) for r in pix_rings]
+    mask[row_lo:row_hi, col_lo:col_hi] = fill_mask_pixelspace(shifted, row_hi - row_lo, col_hi - col_lo)
     return mask
 
 
