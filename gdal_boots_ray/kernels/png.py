@@ -224,6 +224,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return png_decode(data)
     if fmt == "raw":
         return raw_decode(data)
+    if fmt in ("tif", "tiff", "gtiff"):
+        from gdal_boots_ray.kernels.gtiff import gtiff_decode
+
+        return gtiff_decode(data)[0]
     raise ValueError(f"unsupported image format {fmt!r}")
 
 
@@ -232,6 +236,10 @@ def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
         return png_encode(img, **kw)
     if fmt == "raw":
         return raw_encode(img)
+    if fmt in ("tif", "tiff", "gtiff"):
+        from gdal_boots_ray.kernels.gtiff import gtiff_encode
+
+        return gtiff_encode(img, **kw)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

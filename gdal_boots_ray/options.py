@@ -1,0 +1,109 @@
+"""Writer/codec configuration dataclasses.
+
+Mirrors the reference's GDAL driver-options system
+(reference options.py:17-146): dataclasses named after the format,
+``encode()`` rendering upper-cased ``KEY=VALUE`` pairs (Enum values
+unwrapped, None skipped), plus the GTiff rule of dropping ``zlevel``
+unless compression is deflate (options.py:88-92).  The engine consumes
+them through ``codec_args()`` which maps a dataclass to our pure-NumPy
+codec kwargs; new formats register by subclassing ``DriverOptions``
+(same user-extension surface as the reference, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Optional
+
+__all__ = ("DriverOptions", "PNG", "GTiff", "RAW", "GeoJSON", "Parquet", "codec_args")
+
+
+def _encode(values) -> List[str]:
+    return [
+        ("=".join([name, str(value.value if isinstance(value, Enum) else value)])).upper()
+        for name, value in values.items()
+        if value is not None
+    ]
+
+
+class DriverOptions:
+    def encode(self) -> List[str]:
+        return _encode(vars(self))
+
+    @property
+    def driver_name(self) -> str:
+        return type(self).__name__
+
+    @property
+    def fmt(self) -> str:
+        return self.driver_name.lower()
+
+
+@dataclass
+class PNG(DriverOptions):
+    """reference options.py:43-56."""
+
+    zlevel: int = 6
+    nbits: Optional[int] = None
+    title: Optional[str] = None
+    description: Optional[str] = None
+    comment: Optional[str] = None
+    write_metadata_as_text: Optional[str] = None
+
+
+@dataclass
+class GTiff(DriverOptions):
+    """reference options.py:58-92 (subset our codec honors: deflate
+    compression + zlevel; block/tile options accepted but single-strip
+    output)."""
+
+    class Compress(Enum):
+        deflate = "DEFLATE"
+
+    blockxsize: int = 256
+    blockysize: int = 256
+    tiled: bool = False
+    compress: Optional["GTiff.Compress"] = None
+    nbits: Optional[int] = None
+    zlevel: int = 6
+
+    def encode(self) -> List[str]:
+        values = dict(vars(self))
+        if self.compress != self.Compress.deflate:
+            values.pop("zlevel", None)
+        return _encode(values)
+
+
+@dataclass
+class RAW(DriverOptions):
+    """engine-native C-order dump (kernels/png.py raw codec)."""
+
+
+@dataclass
+class GeoJSON(DriverOptions):
+    """reference options.py:132-138."""
+
+    write_bbox: str = "NO"
+
+
+@dataclass
+class Parquet(DriverOptions):
+    """sink options for ``write_parquet`` outputs."""
+
+    compression: str = "snappy"
+    row_group_size: Optional[int] = None
+
+
+def codec_args(options: DriverOptions) -> dict:
+    """DriverOptions -> encode_image kwargs for our codecs."""
+    if isinstance(options, PNG):
+        return {"fmt": "png", "zlevel": options.zlevel}
+    if isinstance(options, GTiff):
+        kw = {"fmt": "tiff"}
+        if options.compress == GTiff.Compress.deflate:
+            kw.update(compress="deflate", zlevel=options.zlevel)
+        return kw
+    if isinstance(options, RAW):
+        return {"fmt": "raw"}
+    raise ValueError(f"no codec for driver {options.driver_name}")

@@ -705,6 +705,178 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.92):
     )
 
 
+def q_recode_stats(sf_dir: str):
+    """Fidelity gate as a query: decode -> re-encode (png) -> decode
+    again -> per-image stats; must equal the direct image_stats oracle
+    (lossless round trip, BASELINE.json input_hint)."""
+    from gdal_boots_ray.stages.decode import DecodeImages, EncodeImages
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    ds = ds.map_batches(EncodeImages, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    def stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            b0 = views[i] if views[i].ndim == 2 else views[i][0]
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_vector_reproject(sf_dir: str):
+    """to_epsg over the nation polygons: 3857 diamonds -> 4326; the
+    oracle applies the closed-form inverse web-mercator to the diamond
+    parameters (vertex order preserved; first vertex = west corner)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+    from gdal_boots_ray.sources.vectors import features_table, make_to_epsg
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    polys = nation_polygons(nk)
+    coll = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": int(p["poly_id"]), "geometry": p["geometry"], "properties": {}}
+            for p in polys
+        ],
+    }
+    ds = rd.from_arrow(features_table(coll, epsg=3857))
+    out = ds.map_batches(make_to_epsg(4326), batch_format="pyarrow")
+
+    import json as _json
+
+    def project(batch: pa.Table) -> pa.Table:
+        geoms = [_json.loads(g) for g in batch.column("geom").to_pylist()]
+        west = np.array([g["coordinates"][0][0] for g in geoms])
+        north = np.array([g["coordinates"][0][1] for g in geoms])
+        return pa.table(
+            {
+                "poly_id": batch.column("fid").cast(pa.int64()),
+                "west_lon": pa.array(np.round(west[:, 0], 9)),
+                "west_lat": pa.array(np.round(west[:, 1], 9)),
+                "north_lon": pa.array(np.round(north[:, 0], 9)),
+                "north_lat": pa.array(np.round(north[:, 1], 9)),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > 30 min starts a new session) —
+    the streaming-shaped operator; ordering within a group is explicit
+    (sort by ts inside map_groups, never block order)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(us), dtype=np.int64)
+        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        d = pd.DataFrame({"sid": sid, "value": g["value"].to_numpy()})
+        agg = d.groupby("sid").agg(n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        agg["user_id"] = g["user_id"].iloc[0]
+        agg["sum_value"] = agg["sum_value"].round(6)
+        return agg[["user_id", "sid", "n_events", "sum_value"]].astype(
+            {"user_id": "int64", "sid": "int64", "n_events": "int64"}
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_tile_resize(sf_dir: str):
+    """Area-average 2x downscale of every tile (the reference's
+    Resampling.average path, gdal.py:187); oracle: block means of the
+    closed-form field sum to sum_v/4 for even tile sizes."""
+    from gdal_boots_ray.kernels.warp import WarpSource, warp
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def resize(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        mean_sum = np.empty(n, np.float64)
+        for i in range(n):
+            img = views[i]
+            src = WarpSource(img if img.ndim == 3 else img[None], gts[i], 3857)
+            out, gi = warp([src], resolution=(20.0, 20.0), resampling="average", dtype=np.float64)
+            out_h[i], out_w[i] = out.shape[1], out.shape[2]
+            mean_sum[i] = round(float(out[0].sum()), 6)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "mean_sum": pa.array(mean_sum),
+            }
+        )
+
+    return ds.map_batches(resize, batch_format="pyarrow")
+
+
+def q_polygonize(sf_dir: str, n_tiles: int = 24):
+    """Rows-only: vectorize the >=128 threshold mask of the first
+    ``n_tiles`` tiles (connected components + ring tracing,
+    reference to_vector/gdal.Polygonize)."""
+    from gdal_boots_ray.kernels.polygonize import polygonize
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True).limit(n_tiles)
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        out_id, out_n, out_pts = [], [], []
+        for i, iid in enumerate(ids):
+            b0 = views[i] if views[i].ndim == 2 else views[i][0]
+            feats = polygonize((b0 >= 128).astype(np.uint8), gt=gts[i])
+            pos = [f for f in feats if f["value"] == 1]
+            out_id.append(iid)
+            out_n.append(len(pos))
+            out_pts.append(sum(len(r) for f in pos for r in f["geometry"]["coordinates"]))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "n_regions": pa.array(out_n, pa.int64()),
+                "n_ring_points": pa.array(out_pts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vectorize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -789,6 +961,59 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_inputs
         FROM tiles GROUP BY 1
     """,
+    "recode_stats": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "vector_reproject": f"""
+        WITH {POLY_SQL_CTE}
+        SELECT poly_id,
+            round(degrees((pcx - rx) / 6378137.0), 9) AS west_lon,
+            round(degrees(2 * atan(exp(pcy / 6378137.0)) - pi() / 2), 9) AS west_lat,
+            round(degrees(pcx / 6378137.0), 9) AS north_lon,
+            round(degrees(2 * atan(exp((pcy + ry) / 6378137.0)) - pi() / 2), 9) AS north_lat
+        FROM polys
+    """,
+    "sessionize": """
+        WITH ev AS (
+            SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ev
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS sid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+        FROM s GROUP BY 1, 2
+    """,
+    "tile_resize": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.w, tiles.h,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(w / 2 AS BIGINT) AS out_w, CAST(h / 2 AS BIGINT) AS out_h,
+               round(CAST(sum(v) AS DOUBLE) / 4.0, 6) AS mean_sum
+        FROM px GROUP BY image_id, w, h
+    """,
     "knn": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
         SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
@@ -861,6 +1086,11 @@ QUERIES = {
     "point_values": q_point_values,
     "zonal_stats": q_zonal_stats,
     "image_stats": q_image_stats,
+    "recode_stats": q_recode_stats,
+    "vector_reproject": q_vector_reproject,
+    "sessionize": q_sessionize,
+    "tile_resize": q_tile_resize,
+    "polygonize": q_polygonize,
     "mosaic_groups": q_mosaic_groups,
     "knn": q_knn,
     "dedup_exact": q_dedup_exact,

@@ -1,0 +1,139 @@
+"""write_window selector matrix (reference tests/test_raster.py:503-520),
+add_band/as_type, meta codec, GeoTIFF codec, polygonize, options."""
+
+import json
+
+import numpy as np
+import pytest
+
+from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
+from gdal_boots_ray.kernels.polygonize import label_components, polygonize
+from gdal_boots_ray.kernels.raster_ops import add_band, as_type, imdict, meta_decode, meta_encode, write_window
+from gdal_boots_ray.options import GTiff, PNG, RAW, codec_args
+
+
+class TestWriteWindow:
+    """reference test_write (tests/test_raster.py:503-520)."""
+
+    def test_selector_matrix(self):
+        img3 = np.ones((3, 5, 5))
+        img3[0], img3[1], img3[2] = 1, 2, 3
+
+        ds = np.zeros((3, 5, 5))
+        write_window(ds, slice(None), 1)
+        assert (ds == 1).all()
+        write_window(ds, slice(None), img3)
+        assert np.array_equal(ds, img3)
+        write_window(ds, 0, img3[0])
+        write_window(ds, (slice(None), 0), 1)
+        assert (ds[:, 0] == 1).all()
+        write_window(ds, (slice(1, 3), slice(1, 3), slice(None)), 1)
+        assert (ds[1:3, 1:3, :] == 1).all()
+        write_window(ds, ((0, 2), slice(2, 5), slice(2, 5)), img3[(0, 2), :3, :3])
+        assert (ds[0, 2:5, 2:5] == 1).all() and (ds[2, 2:5, 2:5] == 3).all()
+
+        ds2 = np.zeros((10, 10))
+        write_window(ds2, (slice(2, 5), slice(2, 5)), 1)
+        assert ds2[2:5, 2:5].all() and ds2.sum() == 9
+
+    def test_broadcast_error(self):
+        ds = np.zeros((3, 5, 5))
+        with pytest.raises(ValueError, match="could not broadcast"):
+            write_window(ds, (0, slice(None), slice(None)), np.ones((2, 5, 5)))
+
+    def test_too_many_indices(self):
+        ds = np.zeros((5, 5))
+        with pytest.raises(IndexError):
+            write_window(ds, (0, slice(None), slice(None)), 1)
+
+
+def test_add_band_as_type():
+    img = np.ones((2, 4, 4), np.uint8)
+    out = add_band(img, np.full((4, 4), 7, np.uint8))
+    assert out.shape == (3, 4, 4) and (out[2] == 7).all()
+    f = as_type(out, np.float32)
+    assert f.dtype == np.float32 and (f[2] == 7).all()
+
+
+def test_meta_codec_roundtrip():
+    # reference meta semantics (gdal.py:230-239, tests/test_raster.py:563-625)
+    meta = {"one": 1, "test1": "string", "test2": 1.4, "nested": {"a": [1, 2]}}
+    s = meta_encode(meta)
+    assert all(json.loads(s)[k].startswith("json:") for k in meta)
+    out = meta_decode(s)
+    assert dict(out) == meta
+    with pytest.raises(TypeError):
+        out["nope"] = 1  # imdict immutability (gdal.py:91-109)
+    assert meta_decode(None) == {}
+
+
+class TestGTiff:
+    def test_roundtrip_dtypes(self):
+        rng = np.random.default_rng(31415926)
+        for shape, dt in [((16, 12), np.uint8), ((3, 8, 9), np.uint8), ((2, 6, 5), np.uint16), ((4, 4), np.float32)]:
+            img = (rng.random(shape) * 100).astype(dt)
+            for compress in (None, "deflate"):
+                data = gtiff_encode(img, compress=compress)
+                out, gt, epsg = gtiff_decode(data)
+                assert out.shape == img.shape and out.dtype == dt
+                assert np.array_equal(out, img), (shape, dt, compress)
+
+    def test_magic_and_geo(self):
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        gt = [10.0, 0, 600000.0, 0, -10.0, 5700000.0]
+        data = gtiff_encode(img, gt=gt, epsg=32631, compress="deflate", zlevel=9)
+        assert data[:3] == b"II*"  # reference asserts the magic (test_raster.py:100)
+        out, gt2, epsg = gtiff_decode(data)
+        assert np.array_equal(out, img)
+        assert np.allclose(gt2, gt) and epsg == 32631
+
+    def test_geographic_key(self):
+        img = np.zeros((2, 2), np.uint8)
+        _, _, epsg = gtiff_decode(gtiff_encode(img, gt=[1, 0, 0, 0, -1, 1], epsg=4326))
+        assert epsg == 4326
+
+
+class TestPolygonize:
+    def test_label_components(self):
+        band = np.array([[1, 1, 2], [1, 2, 2], [3, 3, 2]])
+        labels, n = label_components(band)
+        assert n == 3
+        assert labels[0, 0] == labels[1, 0] != labels[0, 2]
+        assert labels[0, 2] == labels[1, 1] == labels[2, 2]
+
+    def test_polygonize_patches(self):
+        # the reference vectorize fixture shape (test_raster.py:116-134):
+        # constant background + two square patches -> 3 components
+        band = np.full((20, 20), 64, np.uint8)
+        band[2:6, 2:6] = 192
+        band[10:14, 10:14] = 250
+        feats = polygonize(band, gt=[10.0, 0, 0.0, 0, -10.0, 200.0])
+        assert len(feats) == 3
+        by_val = {f["value"]: f for f in feats}
+        assert set(by_val) == {64, 192, 250}
+        # the 192 patch is a 4x4 pixel square -> 40x40 world units
+        ring = np.array(by_val[192]["geometry"]["coordinates"][0])
+        assert ring[:, 0].max() - ring[:, 0].min() == 40
+        assert ring[:, 1].max() - ring[:, 1].min() == 40
+        # background polygon has holes (2 interior rings)
+        assert len(by_val[64]["geometry"]["coordinates"]) == 3
+
+    def test_diagonal_not_connected(self):
+        band = np.array([[1, 0], [0, 1]])
+        _, n = label_components(band)
+        assert n == 4  # 4-connectivity: diagonals are separate
+
+
+class TestOptions:
+    def test_encode_key_value(self):
+        # reference options semantics (options.py:17-27)
+        assert PNG(zlevel=9).encode() == ["ZLEVEL=9"]
+        enc = GTiff(compress=GTiff.Compress.deflate, zlevel=9).encode()
+        assert "COMPRESS=DEFLATE" in enc and "ZLEVEL=9" in enc
+        # zlevel dropped unless deflate (options.py:88-92)
+        assert not any(e.startswith("ZLEVEL") for e in GTiff().encode())
+
+    def test_codec_args(self):
+        assert codec_args(PNG(zlevel=3)) == {"fmt": "png", "zlevel": 3}
+        assert codec_args(GTiff(compress=GTiff.Compress.deflate))["compress"] == "deflate"
+        assert codec_args(RAW()) == {"fmt": "raw"}
