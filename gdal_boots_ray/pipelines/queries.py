@@ -358,6 +358,148 @@ def q_mosaic_groups(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_image_features(sf_dir: str):
+    """ImageFeatures stage over decoded tiles; the oracle checks the
+    per-image mean brightness (dhash/std are engine-side extras)."""
+    from gdal_boots_ray.stages.multimodal import ImageFeatures
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        means = batch.column("mean_v").to_numpy()
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                # half-away rounding to match DuckDB on integer-ratio ties
+                "mean_v": pa.array([_round_half_away(float(v), 6) for v in means], pa.float64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_spatial_knn(sf_dir: str, k: int = 5):
+    """Spatial kNN: for the first 32 customer points, the k nearest
+    OTHER customer points via grid-cell + neighbor-ring expansion; the
+    oracle is a quadratic distance join with row_number."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import point_params
+    from gdal_boots_ray.stages.knn import spatial_knn
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(0).to_numpy()
+    p = point_params(ck, n_part)
+    data_ids = p["custkey"]
+    data_xy = np.stack([p["x"], p["y"]], axis=1)
+
+    qmask = p["custkey"] < 32
+    qt = pa.table(
+        {
+            "qid": pa.array(p["custkey"][qmask], pa.int64()),
+            "x": pa.array(p["x"][qmask]),
+            "y": pa.array(p["y"][qmask]),
+        }
+    )
+    queries_ds = rd.from_arrow(qt)
+    out = spatial_knn(queries_ds, data_ids, data_xy, k=k + 1, cell_res=2000.0)
+
+    # drop self-matches (dist 0 to the same id), keep k, re-rank
+    import pandas as pd
+
+    def drop_self(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["nid"] != g["qid"].iloc[0]].sort_values(["dist", "nid"]).head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return out.groupby("qid").map_groups(drop_self, batch_format="pandas")
+
+
+def q_knn_ivf(sf_dir: str):
+    """Rows-only: IVF approximate embedding search (recall depends on
+    nprobe; judged against knn brute force manually, not the oracle)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.knn import knn_ivf
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, qmat, k=5, query_ids=qt.column("vec_id").to_numpy())
+
+
+def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate images by phash hamming distance <= 3 over the
+    20-bit phash: LSH banding (4 bands x 5 bits — pigeonhole-exact for
+    hamming<=3: 3 errors cannot dirty all 4 bands) + verify.  The oracle is the quadratic
+    bit_count(xor()) join, so this checks EXACTNESS of the banding."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def phash_rows(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.sources.fixtures import tile_phash
+
+        k = batch.column("p_partkey").to_numpy()
+        ph = tile_phash(k)
+        return pa.table({"key": pa.array(k, pa.int64()), "phash": pa.array(ph, pa.int64())})
+
+    rows = ds.map_batches(phash_rows, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy()
+        ph = batch.column("phash").to_numpy()
+        out_k, out_b = [], []
+        for b in range(4):
+            band_val = (ph >> (b * 5)) & 0x1F
+            out_k.extend(keys.tolist())
+            out_b.extend((band_val + (b << 40)).tolist())
+        return pa.table({"key": pa.array(out_k, pa.int64()), "bucket": pa.array(out_b, pa.int64())})
+
+    import pandas as pd
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["key"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"key_a": pd.Series([], dtype=np.int64), "key_b": pd.Series([], dtype=np.int64)})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"key_a": ids[a].astype(np.int64), "key_b": ids[b].astype(np.int64)})
+
+    cand = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
+        pairs, batch_format="pandas"
+    )
+    dedup = bucketed_aggregate(cand, ["key_a", "key_b"], {"n": "count"})
+
+    from gdal_boots_ray.sources.fixtures import tile_phash as _ph
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("key_a").to_numpy()
+        b = batch.column("key_b").to_numpy()
+        ha = _ph(a)
+        hb = _ph(b)
+        x = np.bitwise_xor(ha, hb).astype(np.uint64)
+        cnt = np.zeros(len(x), np.int64)
+        while np.any(x):
+            cnt += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = cnt <= max_hamming
+        return pa.table(
+            {
+                "key_a": pa.array(a[keep], pa.int64()),
+                "key_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    return dedup.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Embeddings / documents / events queries
 # ---------------------------------------------------------------------------
@@ -1014,6 +1156,42 @@ ORACLE_SQL: Dict[str, str] = {
                round(CAST(sum(v) AS DOUBLE) / 4.0, 6) AS mean_sum
         FROM px GROUP BY image_id, w, h
     """,
+    "image_features": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
+        FROM px GROUP BY image_id
+    """,
+    "spatial_knn": f"""
+        WITH {POINT_SQL_CTE}
+        SELECT q.pid AS qid,
+               CAST(row_number() OVER w AS BIGINT) AS rank,
+               d.pid AS nid,
+               round(sqrt((q.px - d.px) * (q.px - d.px) + (q.py - d.py) * (q.py - d.py)), 6) AS dist
+        FROM pt_coords q, pt_coords d
+        WHERE q.pid < 32 AND d.pid != q.pid
+        WINDOW w AS (
+            PARTITION BY q.pid
+            ORDER BY (q.px - d.px) * (q.px - d.px) + (q.py - d.py) * (q.py - d.py), d.pid
+        )
+        QUALIFY row_number() OVER w <= 5
+    """,
+    "phash_neardup": """
+        WITH t AS (
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   CAST((p_partkey * 1000003 + 12345) % 1048576 AS BIGINT) AS ph
+            FROM part
+        )
+        SELECT a.k AS key_a, b.k AS key_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        FROM t a, t b
+        WHERE a.k < b.k AND bit_count(xor(a.ph, b.ph)) <= 3
+    """,
     "knn": """
         WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
         SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id,
@@ -1092,6 +1270,10 @@ QUERIES = {
     "tile_resize": q_tile_resize,
     "polygonize": q_polygonize,
     "mosaic_groups": q_mosaic_groups,
+    "image_features": q_image_features,
+    "spatial_knn": q_spatial_knn,
+    "knn_ivf": q_knn_ivf,
+    "phash_neardup": q_phash_neardup,
     "knn": q_knn,
     "dedup_exact": q_dedup_exact,
     "text_tokens": q_text_tokens,

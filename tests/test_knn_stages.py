@@ -1,0 +1,75 @@
+"""Spatial kNN (ring expansion) + IVF embedding search."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_cell_index_ring_expansion():
+    from gdal_boots_ray.stages.knn import _CellIndex
+
+    rng = np.random.default_rng(11)
+    xy = rng.uniform(0, 1000, size=(500, 2))
+    ids = np.arange(500, dtype=np.int64)
+    idx = _CellIndex(ids, xy, res=50.0)
+    # brute force oracle
+    for qi in (0, 17, 300):
+        qx, qy = xy[qi]
+        nid, dist = idx.query(qx, qy, k=6)
+        d2 = ((xy - [qx, qy]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))[:6]
+        assert nid.tolist() == ids[order].tolist()
+        assert np.allclose(dist, np.sqrt(d2[order]), atol=1e-9)
+
+
+def test_cell_index_sparse_far_points():
+    from gdal_boots_ray.stages.knn import _CellIndex
+
+    xy = np.array([[0.0, 0.0], [1000.0, 0.0], [0.0, 2000.0]])
+    idx = _CellIndex(np.array([1, 2, 3]), xy, res=10.0)
+    nid, dist = idx.query(500.0, 0.0, k=2, max_ring=300)
+    assert set(nid.tolist()) == {1, 2}
+
+
+def test_spatial_knn_stage(ray_session):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.knn import spatial_knn
+
+    rng = np.random.default_rng(4)
+    xy = rng.uniform(0, 500, size=(200, 2))
+    ids = np.arange(200, dtype=np.int64)
+    q = pa.table(
+        {
+            "qid": pa.array([0, 1, 2], pa.int64()),
+            "x": pa.array(xy[:3, 0]),
+            "y": pa.array(xy[:3, 1]),
+        }
+    )
+    out = spatial_knn(rd.from_arrow(q), ids, xy, k=3, cell_res=50.0).to_pandas()
+    assert len(out) == 9
+    top = out[out["rank"] == 1]
+    assert top.sort_values("qid")["nid"].tolist() == [0, 1, 2]  # self at dist 0
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.knn import knn_ivf
+
+    rng = np.random.default_rng(9)
+    # clustered embeddings -> IVF probes recover exact neighbors
+    centers = rng.normal(size=(4, 16)) * 5
+    mat = np.vstack([c + rng.normal(size=(50, 16)) * 0.2 for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = knn_ivf(ds, mat[:2], k=5, n_centroids=4, nprobe=2, query_ids=np.arange(2)).to_pandas()
+    # self is the top hit for each query
+    top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1]
+    assert (out.groupby("q_id").size() == 5).all()
