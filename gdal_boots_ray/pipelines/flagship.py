@@ -62,13 +62,77 @@ class FusedTileWorker:
         if self.with_s2:
             batch = self.s2_fn(self.lonlat_fn(batch))
         matched = self.join(batch)
-        if not self.decode_all:
-            matched = self.decode(matched)
-        stats = self.zonal(matched)
+        if self.decode_all:
+            stats = self.zonal(matched)
+        else:
+            stats = self._decode_zonal_rowwise(matched)
         # partial aggregate per batch: the shuffle then moves one row
         # per (batch, polygon) instead of one per (tile, polygon), and
         # the final combine is trivial
         return _partial_zonal_agg(stats)
+
+    def _decode_zonal_rowwise(self, matched):
+        """Decode + zonal per matched row without materializing an
+        intermediate Arrow pixels column (saves one full pixel copy
+        per row — the decode path is memory-bandwidth bound)."""
+        from gdal_boots_ray.kernels.png import _RAW_HEADER_LEN, decode_image, raw_header
+        from gdal_boots_ray.stages.decode import binary_column_views
+        from gdal_boots_ray.stages.zonal import _rings_mask
+
+        n = matched.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    "image_id": pa.array([], pa.string()),
+                    "n_px": pa.array([], pa.int64()),
+                    "sum_v": pa.array([], pa.float64()),
+                    "min_v": pa.array([], pa.float64()),
+                    "max_v": pa.array([], pa.float64()),
+                }
+            )
+        gts = matched.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        hs = matched.column("h").to_numpy()
+        ws = matched.column("w").to_numpy()
+        fmts = matched.column("fmt").to_pylist()
+        blobs = binary_column_views(matched.column("bytes"))
+        pids = matched.column("poly_id").to_numpy()
+        ids = matched.column("image_id").to_pylist()
+        n_px = np.zeros(n, np.int64)
+        sum_v = np.zeros(n, np.float64)
+        min_v = np.full(n, np.inf)
+        max_v = np.full(n, -np.inf)
+        for i in range(n):
+            rings = self.zonal.polygons.get(int(pids[i]))
+            if rings is None:
+                continue
+            if fmts[i] == "raw":
+                try:
+                    nb, _h, _w, nbytes = raw_header(blobs[i])
+                    img = blobs[i][_RAW_HEADER_LEN : _RAW_HEADER_LEN + nbytes].reshape(nb, int(hs[i]), int(ws[i]))
+                except ValueError:
+                    img = decode_image(bytes(blobs[i]), "raw")
+            else:
+                img = decode_image(bytes(blobs[i]), fmts[i])
+            band0 = img if img.ndim == 2 else img[0]
+            mask = _rings_mask(rings, (int(hs[i]), int(ws[i])), gts[i])
+            sel = band0[mask]
+            n_px[i] = sel.size
+            if sel.size:
+                sum_v[i] = float(sel.sum(dtype=np.float64))
+                min_v[i] = float(sel.min())
+                max_v[i] = float(sel.max())
+        keep = n_px > 0
+        return pa.table(
+            {
+                "poly_id": pa.array(pids[keep].astype(np.int64)),
+                "image_id": pa.array([v for v, k in zip(ids, keep) if k], pa.string()),
+                "n_px": pa.array(n_px[keep]),
+                "sum_v": pa.array(sum_v[keep]),
+                "min_v": pa.array(min_v[keep]),
+                "max_v": pa.array(max_v[keep]),
+            }
+        )
 
 
 def _partial_zonal_agg(stats):
@@ -111,6 +175,7 @@ def run_flagship(
     num_cpus_hint: Optional[int] = None,
     decode_all: bool = False,
     input_reps: int = 1,
+    use_actors: bool = False,
 ):
     """Returns the per-polygon zonal aggregate Dataset.
 
@@ -139,20 +204,37 @@ def run_flagship(
         ds = rd.read_parquet(files * input_reps)
     else:
         ds = rd.read_parquet(images_path)
-    stats = ds.map_batches(
-        FusedTileWorker,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=decode_concurrency,
-        num_cpus=1,
-        fn_constructor_kwargs={
-            "polygons_ref": poly_ref,
-            "cell_res": cell_res,
-            "s2_level": s2_level,
-            "with_s2": with_s2,
-            "decode_all": decode_all,
-        },
-    )
+    if use_actors:
+        stats = ds.map_batches(
+            FusedTileWorker,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=decode_concurrency,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "polygons_ref": poly_ref,
+                "cell_res": cell_res,
+                "s2_level": s2_level,
+                "with_s2": with_s2,
+                "decode_all": decode_all,
+            },
+        )
+    else:
+        # stateless tasks fuse with the parquet read (one task reads a
+        # file AND runs the whole tile chain -> raw bytes never cross
+        # the object store, which halves memory traffic and removes an
+        # exchange).  Worker state still amortizes: Ray reuses worker
+        # processes across tasks and the closure cache keeps one
+        # FusedTileWorker per process.
+        def fused(batch, _cache={}):
+            worker = _cache.get("w")
+            if worker is None:
+                worker = _cache["w"] = FusedTileWorker(
+                    poly_ref, cell_res, s2_level, with_s2, decode_all=decode_all
+                )
+            return worker(batch)
+
+        stats = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
     return stats
 
 
