@@ -139,14 +139,28 @@ class DecodeImages:
         return out
 
 
+def lossy_quantize(img: np.ndarray, bits: int) -> np.ndarray:
+    """Uniform mid-rise quantization to ``bits`` bits (kept in uint8) —
+    the engine's lossy mode; 5 bits keeps PSNR >= 40 dB (the
+    BASELINE.json input_hint lossy fidelity gate)."""
+    if bits >= 8:
+        return img
+    step = 1 << (8 - bits)
+    q = (img.astype(np.int32) // step) * step + step // 2
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
 class EncodeImages:
     """pixels -> bytes column (png or raw), the encode/sink stage
-    (reference ``to_bytes`` + driver options, options.py:43-56)."""
+    (reference ``to_bytes`` + driver options, options.py:43-56).
+    ``quantize_bits`` < 8 enables the lossy mode (PSNR-gated)."""
 
-    def __init__(self, fmt: str = "png", zlevel: int = 6, drop_pixels: bool = True):
+    def __init__(self, fmt: str = "png", zlevel: int = 6, drop_pixels: bool = True,
+                 quantize_bits: int = 8):
         self.fmt = fmt
         self.zlevel = zlevel
         self.drop_pixels = drop_pixels
+        self.quantize_bits = quantize_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws = batch.column("w").to_numpy()
@@ -156,6 +170,8 @@ class EncodeImages:
         blobs = []
         for i in range(len(ws)):
             img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            if self.quantize_bits < 8:
+                img = lossy_quantize(img, self.quantize_bits)
             kw = {"zlevel": self.zlevel} if self.fmt == "png" else {}
             blobs.append(encode_image(img, self.fmt, **kw))
         out = batch
