@@ -292,7 +292,7 @@ def make_valid(geometry: RawGeometry) -> dict:
         return geom
     polys = [geom["coordinates"]] if gtype == "Polygon" else geom["coordinates"]
 
-    out_polys: List[list] = []
+    loops: List[np.ndarray] = []
     for poly in polys:
         new_rings: List[np.ndarray] = []
         for ring in poly:
@@ -338,14 +338,149 @@ def make_valid(geometry: RawGeometry) -> dict:
                 la = np.asarray(loop, dtype=np.float64)
                 if abs(ring_area(la)) > 1e-12:
                     new_rings.append(la)
-        for r in new_rings:
-            out_polys.append([[list(map(float, p)) for p in r]])
+        loops.extend(new_rings)
+
+    if not loops:
+        return {"type": gtype, "coordinates": []}
+
+    # even-odd nesting: a loop whose interior lies inside an odd number
+    # of OTHER loops is a hole of its innermost containing shell (GEOS
+    # MakeValid emits exactly this for the reference's
+    # self-intersection-with-hole golden, tests/test_geometry.py:211-247)
+    # containment probe: the midpoint of each loop's longest edge.
+    # Noded loops never cross and never share edges, so an edge
+    # midpoint of A is strictly inside/outside any other loop B — an
+    # arbitrary interior point of A could fall inside a nested hole.
+    def edge_mid(r: np.ndarray):
+        seg = r[1:] - r[:-1]
+        k = int(np.argmax(np.hypot(seg[:, 0], seg[:, 1])))
+        return ((r[k, 0] + r[k + 1, 0]) / 2.0, (r[k, 1] + r[k + 1, 1]) / 2.0)
+
+    pts = [edge_mid(r) for r in loops]
+    n = len(loops)
+    contains = np.zeros((n, n), dtype=bool)
+    for j, ring in enumerate(loops):
+        for i in range(n):
+            if i != j:
+                contains[j, i] = bool(points_in_rings(np.array([pts[i][0]]), np.array([pts[i][1]]), [ring])[0])
+    depth = contains.sum(axis=0)
+    shells = [i for i in range(n) if depth[i] % 2 == 0]
+    out_polys: List[list] = []
+    shell_of = {}
+    for i in shells:
+        shell_of[i] = len(out_polys)
+        out_polys.append([[list(map(float, p)) for p in loops[i]]])
+    holes_by_shell: Dict[int, List[np.ndarray]] = {}
+    for i in range(n):
+        if depth[i] % 2 == 1:
+            # innermost containing shell = containing shell of max depth
+            parents = [j for j in shells if contains[j, i]]
+            if parents:
+                parent = max(parents, key=lambda j: depth[j])
+                holes_by_shell.setdefault(shell_of[parent], []).append(loops[i])
+    for sidx, holes in holes_by_shell.items():
+        # GEOS dissolves holes touching at a pinch vertex into one ring
+        holes = _merge_touching_rings(holes)
+        for hring in holes:
+            out_polys[sidx].append([list(map(float, p)) for p in hring])
 
     if not out_polys:
         return {"type": gtype, "coordinates": []}
     if len(out_polys) == 1 and gtype == "Polygon":
         return {"type": "Polygon", "coordinates": out_polys[0]}
     return {"type": "MultiPolygon", "coordinates": out_polys}
+
+
+def _merge_touching_rings(rings: List[np.ndarray]) -> List[np.ndarray]:
+    """Dissolve a set of closed rings into boundary rings: opposite
+    directed edges shared by two rings cancel (zero-width corridors
+    disappear), remaining edges re-trace into cycles, rings that then
+    share a vertex splice into one ring through the pinch."""
+    if len(rings) < 2:
+        return [np.asarray(r, dtype=np.float64) for r in rings]
+    edges: List[Tuple[Tuple[float, float], Tuple[float, float]]] = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        for k in range(len(r) - 1):
+            edges.append((tuple(r[k]), tuple(r[k + 1])))
+    # cancel opposite pairs
+    from collections import Counter, defaultdict
+
+    counts = Counter(edges)
+    out_edges: List[Tuple[Tuple[float, float], Tuple[float, float]]] = []
+    for e, c in counts.items():
+        rev = (e[1], e[0])
+        cancel = min(c, counts.get(rev, 0))
+        keep = c - cancel if e <= rev else c - cancel  # symmetric cancel
+        out_edges.extend([e] * keep)
+    # successor map + cycle tracing (arbitrary successor at pinches,
+    # then vertex-splice cycles that still share a vertex)
+    succ = defaultdict(list)
+    for a, b in out_edges:
+        succ[a].append(b)
+    cycles: List[List[Tuple[float, float]]] = []
+    while any(succ.values()):
+        start = next(v for v, lst in succ.items() if lst)
+        path = [start]
+        cur = start
+        while True:
+            nxts = succ[cur]
+            if not nxts:
+                break
+            cur = nxts.pop()
+            path.append(cur)
+            if cur == start:
+                break
+        if len(path) >= 4 and path[0] == path[-1]:
+            cycles.append(path)
+    rings_out = [np.asarray(c, dtype=np.float64) for c in cycles]
+    # splice remaining vertex-touching cycles
+    changed = True
+    while changed and len(rings_out) > 1:
+        changed = False
+        for a_i in range(len(rings_out)):
+            for b_i in range(a_i + 1, len(rings_out)):
+                a, b = rings_out[a_i], rings_out[b_i]
+                a_keys = {tuple(p): k for k, p in enumerate(a[:-1])}
+                pin = None
+                for k, p in enumerate(b[:-1]):
+                    if tuple(p) in a_keys:
+                        pin = (a_keys[tuple(p)], k)
+                        break
+                if pin is None:
+                    continue
+                ai, bi = pin
+                b_rot = np.vstack([b[bi:-1], b[:bi]])
+                merged = np.vstack([a[: ai + 1], b_rot[1:], a[ai:]])
+                rings_out = [r for idx, r in enumerate(rings_out) if idx not in (a_i, b_i)] + [merged]
+                changed = True
+                break
+            if changed:
+                break
+    return rings_out
+
+
+def interior_point(ring: np.ndarray):
+    """A point strictly inside a simple closed ring: intersect a
+    horizontal scanline through the bbox middle (nudged off vertices)
+    with the ring and take the midpoint of the first inside interval."""
+    ys = ring[:, 1]
+    span = (ys.max() - ys.min()) or 1.0
+    y0 = (ys.min() + ys.max()) / 2.0
+    for attempt in range(20):
+        yc = y0 + span * 1e-6 * (attempt + 1) * (1 if attempt % 2 == 0 else -1)
+        if np.any(np.abs(ys - yc) < span * 1e-12):
+            continue
+        a, b = ring[:-1], ring[1:]
+        cond = (a[:, 1] > yc) != (b[:, 1] > yc)
+        if cond.sum() < 2:
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = a[:, 0] + (yc - a[:, 1]) / (b[:, 1] - a[:, 1]) * (b[:, 0] - a[:, 0])
+        xs = np.sort(xint[cond])
+        return (float(xs[0] + xs[1]) / 2.0, float(yc))
+    # degenerate fallback
+    return (float(ring[:, 0].mean()), float(y0))
 
 
 def ring_area(ring: np.ndarray) -> float:

@@ -358,6 +358,80 @@ def q_mosaic_groups(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_union_bounds(sf_dir: str):
+    """Union-of-bounds per mosaic row group (reference union_mosaic's
+    bbox union, gdal.py:891-894 — associative min/max aggregate with
+    per-batch partials)."""
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keys = np.array([int(i.split("-")[1]) for i in ids], dtype=np.int64)
+        return batch.append_column("mosaic_key", pa.array(keys // 40, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = bucketed_aggregate(
+        keyed, ["mosaic_key"], {"minx": "min", "miny": "min", "maxx": "max", "maxy": "max"}
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mosaic_key": batch.column("mosaic_key").cast(pa.int64()),
+                "minx": batch.column("minx").cast(pa.float64()),
+                "miny": batch.column("miny").cast(pa.float64()),
+                "maxx": batch.column("maxx").cast(pa.float64()),
+                "maxy": batch.column("maxy").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_pixel_histogram(sf_dir: str, n_tiles: int = 64):
+    """Pixel-value histogram over the first ``n_tiles`` tiles
+    (reference's np.unique(return_counts) assertions,
+    tests/test_raster.py:267-281): per-batch partial counts ->
+    small final combine."""
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    ds = ds.map_batches(first_keys, batch_format="pyarrow")
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        counts = np.zeros(256, dtype=np.int64)
+        for img in views:
+            b0 = img if img.ndim == 2 else img[0]
+            counts += np.bincount(b0.ravel(), minlength=256)
+        vals = np.nonzero(counts)[0]
+        return pa.table(
+            {"value": pa.array(vals.astype(np.int64)), "n_px": pa.array(counts[vals])}
+        )
+
+    part = ds.map_batches(partial_hist, batch_format="pyarrow")
+    out = bucketed_aggregate(part, ["value"], {"n_px": "sum"}, n_buckets=8)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value": batch.column("value").cast(pa.int64()),
+                "n_px": batch.column("n_px").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_image_features(sf_dir: str):
     """ImageFeatures stage over decoded tiles; the oracle checks the
     per-image mean brightness (dhash/std are engine-side extras)."""
@@ -1156,6 +1230,25 @@ ORACLE_SQL: Dict[str, str] = {
                round(CAST(sum(v) AS DOUBLE) / 4.0, 6) AS mean_sum
         FROM px GROUP BY image_id, w, h
     """,
+    "union_bounds": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT CAST(k // 40 AS BIGINT) AS mosaic_key,
+               min(x0) AS minx, min(y0 - h * 10.0) AS miny,
+               max(x0 + w * 10.0) AS maxx, max(y0) AS maxy
+        FROM tiles GROUP BY 1
+    """,
+    "pixel_histogram": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+            WHERE tiles.k < 64
+        )
+        SELECT CAST(v AS BIGINT) AS value, CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY 1
+    """,
     "image_features": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -1270,6 +1363,8 @@ QUERIES = {
     "tile_resize": q_tile_resize,
     "polygonize": q_polygonize,
     "mosaic_groups": q_mosaic_groups,
+    "union_bounds": q_union_bounds,
+    "pixel_histogram": q_pixel_histogram,
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
