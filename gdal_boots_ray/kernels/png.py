@@ -78,6 +78,8 @@ def _unfilter(filtered: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
     # (uint8 cumsum wraps mod 256, which is exactly PNG semantics).
     if ftypes.max(initial=0) <= 1:
         data8 = np.ascontiguousarray(filtered[:, 1:])
+        if not data8.flags.writeable:  # h==1: the slice aliases the read-only zlib buffer
+            data8 = data8.copy()
         sub_rows = ftypes == 1
         if np.any(sub_rows):
             r = data8[sub_rows].reshape(int(sub_rows.sum()), -1, bpp)

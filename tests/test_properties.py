@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+golden-only strategy (SURVEY §5: the reference has no property tests).
+
+Invariants: codec round-trips, CRS inverse consistency, rasterize ==
+pixel-center PIP, S2 hierarchy/determinism, fast-warp snap
+containment, write_window == numpy on plain selectors.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from gdal_boots_ray.kernels.affine import bounds as bounds_fn
+from gdal_boots_ray.kernels.cells import s2_cell_id, s2_parent
+from gdal_boots_ray.kernels.crs import transform_points
+from gdal_boots_ray.kernels.geometry import points_in_rings
+from gdal_boots_ray.kernels.png import decode_image, encode_image
+from gdal_boots_ray.kernels.rasterize import rasterize
+from gdal_boots_ray.kernels.window import fast_warp_window
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 4),
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from(["png", "raw", "tiff"]),
+    st.integers(0, 2**32 - 1),
+)
+def test_codec_roundtrip(bands, h, w, fmt, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (bands, h, w)).astype(np.uint8)
+    if bands == 1:
+        img = img[0]
+    out = decode_image(encode_image(img, fmt), fmt)
+    assert out.shape == img.shape and np.array_equal(out, img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sampled_from([3857, 32610, 32635, 32720]),
+    st.floats(-75, 75),
+    st.floats(-20, 20),
+)
+def test_crs_roundtrip(epsg, lat, dlon):
+    # lon near the CRS's natural meridian (UTM series domain)
+    cm = {3857: 0.0, 32610: -123.0, 32635: 27.0, 32720: -63.0}[epsg]
+    lon = cm + dlon
+    x, y = transform_points(4326, epsg, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform_points(epsg, 4326, x, y)
+    assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(3, 8))
+def test_rasterize_equals_center_pip(seed, nvert):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(1, 19, size=(nvert, 2))
+    c = pts.mean(axis=0)
+    order = np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))
+    ring = pts[order]
+    ring = np.vstack([ring, ring[:1]])
+    geom = {"type": "Polygon", "coordinates": [ring.tolist()]}
+    gt = [1.0, 0, 0, 0, -1.0, 20.0]
+    mask = rasterize(geom, (20, 20), gt)
+    # oracle: pixel centers in world coords through ray-casting
+    cols, rows = np.meshgrid(np.arange(20) + 0.5, np.arange(20) + 0.5)
+    wx = cols
+    wy = 20.0 - rows
+    inside = points_in_rings(wx.ravel(), wy.ravel(), [ring]).reshape(20, 20)
+    assert np.array_equal(mask.astype(bool), inside)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(-179, 179), st.floats(-85, 85), st.integers(1, 12))
+def test_s2_hierarchy(lon, lat, level):
+    c = s2_cell_id(np.array([lon]), np.array([lat]), level + 2)
+    p = s2_cell_id(np.array([lon]), np.array([lat]), level)
+    assert s2_parent(c, level)[0] == p[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_fast_warp_snap_contains_bbox(seed):
+    rng = np.random.default_rng(seed)
+    res = float(rng.choice([10.0, 20.0, 60.0]))
+    w, h = 100, 80
+    gt = [res, 0, 1000.0, 0, -res, 5000.0]
+    b = bounds_fn(np.asarray(gt), w, h)[0]
+    x0 = rng.uniform(b[0] + res, b[2] - 3 * res)
+    y0 = rng.uniform(b[1] + res, b[3] - 3 * res)
+    bbox = [x0, y0, x0 + rng.uniform(res / 2, 2 * res), y0 + rng.uniform(res / 2, 2 * res)]
+    (r0, r1, c0, c1), sb = fast_warp_window(gt, w, h, bbox)
+    # snapped box contains the request and is grid-aligned
+    assert sb[0] <= bbox[0] and sb[1] <= bbox[1] and sb[2] >= bbox[2] and sb[3] >= bbox[3]
+    assert r1 > r0 and c1 > c0
+    assert abs((sb[2] - sb[0]) / res - (c1 - c0)) < 1e-9
+    assert abs((sb[3] - sb[1]) / res - (r1 - r0)) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_write_window_matches_numpy(seed):
+    from gdal_boots_ray.kernels.raster_ops import write_window
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((3, 8, 8))
+    ref = np.zeros((3, 8, 8))
+    b = int(rng.integers(0, 3))
+    y0, y1 = sorted(rng.integers(0, 8, 2).tolist())
+    x0, x1 = sorted(rng.integers(0, 8, 2).tolist())
+    y1, x1 = y1 + 1, x1 + 1
+    val = float(rng.uniform(1, 9))
+    write_window(img, (b, slice(y0, y1), slice(x0, x1)), val)
+    ref[b, y0:y1, x0:x1] = val
+    assert np.array_equal(img, ref)
