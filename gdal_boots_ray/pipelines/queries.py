@@ -591,18 +591,10 @@ def q_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     qids = qt.column("vec_id").to_numpy()
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = knn_brute_force(ds, qmat, k=k, query_ids=qids)
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "q_id": batch.column("q_id").cast(pa.int64()),
-                "vec_id": batch.column("vec_id").cast(pa.int64()),
-                "sim": pc.round(batch.column("sim").cast(pa.float64()), 4),
-            }
-        )
-
-    return out.map_batches(project, batch_format="pyarrow")
+    out = knn_brute_force(ds, qmat, k=k, query_ids=qids)  # pandas (driver-side final top-k)
+    out = out.astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
+    out["sim"] = out["sim"].round(4)
+    return out
 
 
 def q_dedup_exact(sf_dir: str):

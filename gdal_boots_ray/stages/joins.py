@@ -208,10 +208,16 @@ def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optio
                 }
             )
 
-    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g["sim"] = g["sim"].round(6)
-        return g
-
     cand = embeddings_ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8))
-    return cand.groupby("q_id").map_groups(final_topk, batch_format="pandas")
+    # candidates are tiny by construction (k per query per block): the
+    # global top-k reduces on the driver, like ds.sum() would — a
+    # Dataset groupby here costs seconds of fixed sort overhead
+    allc = cand.to_pandas()
+    out = (
+        allc.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("q_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out

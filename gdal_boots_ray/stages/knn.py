@@ -191,10 +191,13 @@ def knn_ivf(embeddings_ds, queries: np.ndarray, k: int, n_centroids: int = 16, n
                 }
             )
 
-    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g["sim"] = g["sim"].round(6)
-        return g
-
     cand = embeddings_ds.map_batches(IvfSearch, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    return cand.groupby("q_id").map_groups(final_topk, batch_format="pandas")
+    allc = cand.to_pandas()  # tiny by construction: k per query per block
+    out = (
+        allc.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("q_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out

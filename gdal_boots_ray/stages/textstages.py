@@ -116,16 +116,40 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
 
     band_rows = docs_ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
 
+    # bucket band keys (32 coarse groups) so the shuffle runs over a
+    # bounded group count; pair generation inside each bucket iterates
+    # its actual band buckets vectorized (a per-band-key map_groups
+    # pays Ray's per-group overhead thousands of times)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bk = batch.column("band_key").to_numpy()
+        return batch.append_column("bucket", pa.array(bk % 32, pa.int64()))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby("band_key", sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
             )
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a).astype(np.int64),
+                "doc_b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
 
-    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
     # dedup pairs colliding in multiple bands: partial->bucketed final
     # count (a bare multi-key groupby.aggregate sort-reduces per tiny
     # group and is ~10x slower here)

@@ -68,7 +68,7 @@ def test_knn_ivf_recall(ray_session):
         }
     )
     ds = rd.from_arrow(tbl)
-    out = knn_ivf(ds, mat[:2], k=5, n_centroids=4, nprobe=2, query_ids=np.arange(2)).to_pandas()
+    out = knn_ivf(ds, mat[:2], k=5, n_centroids=4, nprobe=2, query_ids=np.arange(2))
     # self is the top hit for each query
     top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
     assert top["vec_id"].tolist() == [0, 1]

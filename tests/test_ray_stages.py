@@ -197,7 +197,7 @@ def test_knn_stage(ray_mod):
         }
     )
     ds = rd.from_arrow(tbl)
-    out = knn_brute_force(ds, mat[:3], k=4, query_ids=np.arange(3)).to_pandas()
+    out = knn_brute_force(ds, mat[:3], k=4, query_ids=np.arange(3))
     assert len(out) == 12
     # self is always the top hit
     top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
