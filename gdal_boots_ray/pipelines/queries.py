@@ -906,11 +906,21 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.92):
             }
         )
 
-    return (
+    out = (
         ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
+        .to_pandas()
     )
+    if out.empty:  # schema-stable empty result for the driver
+        out = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "sim": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out
 
 
 def q_recode_stats(sf_dir: str):
