@@ -103,15 +103,19 @@ def finalize_run(out_dir: str, metrics: Optional[dict] = None) -> dict:
     return summary
 
 
-def write_partitioned(ds, out_dir: str, key_col: str):
+def write_partitioned(ds, out_dir: str, key_col: str, cell_col: Optional[str] = None):
     """Write a Dataset partitioned by ``key_col`` with manifests, via
     map_groups so each partition is written by the worker holding it
-    (no driver materialization)."""
+    (no driver materialization).  ``cell_col`` records the partition's
+    cell-id range in its manifest (per-partition lineage)."""
     import pandas as pd
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         key = g[key_col].iloc[0]
-        m = write_partition(out_dir, key, pa.Table.from_pandas(g, preserve_index=False))
+        rng = None
+        if cell_col is not None and cell_col in g.columns:
+            rng = (int(g[cell_col].min()), int(g[cell_col].max()))
+        m = write_partition(out_dir, key, pa.Table.from_pandas(g, preserve_index=False), cell_range=rng)
         return pd.DataFrame({"key": [str(key)], "rows": [m["rows"]], "digest": [m["digest"]]})
 
     return ds.groupby(key_col).map_groups(write_group, batch_format="pandas")
