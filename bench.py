@@ -118,8 +118,9 @@ def run_bench() -> dict:
     for name in query_names:
         t = time.perf_counter()
         out = QUERIES[name](SF_DIR)
-        # consume the stream (small results -> to_pandas)
-        out.to_pandas()
+        # consume the stream (some queries already return pandas)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
         queries[name] = round(time.perf_counter() - t, 3)
 
     ray.shutdown()
