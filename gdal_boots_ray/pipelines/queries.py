@@ -737,6 +737,66 @@ def q_events_window(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (size 10 min, hop 5 min): each event lands in
+    exactly two windows; per-batch fan-out + bucketed final combine.
+    Completes the window family (tumbling / sliding / session)."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        w0 = (us // 300_000_000) * 300  # seconds, hop-aligned
+        vals = batch.column("value").to_numpy()
+        win = np.concatenate([w0, w0 - 300])
+        return pa.table(
+            {
+                "win": pa.array(win, pa.int64()),
+                # named for the aggregate output (bucketed_aggregate
+                # aggregates a column into itself)
+                "sum_value": pa.array(np.concatenate([vals, vals]), pa.float64()),
+            }
+        )
+
+    agg = bucketed_aggregate(ev.map_batches(fanout, batch_format="pyarrow"), ["win"], {"n_events": "count", "sum_value": "sum"})
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "win": batch.column("win").cast(pa.int64()),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pc.round(batch.column("sum_value").cast(pa.float64()), 6),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_salted_cell_counts(sf_dir: str):
+    """Skew machinery in the correctness gate: two-phase salted
+    aggregation keyed on grid cell must produce exactly the plain
+    GROUP BY result (salting is a physical plan detail)."""
+    from gdal_boots_ray.stages.geo import make_add_grid_cell
+    from gdal_boots_ray.stages.skew import salted_cell_aggregate
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    ds = ds.map_batches(make_add_grid_cell(5000.0), batch_format="pyarrow")
+    out = salted_cell_aggregate(ds, {"n_tiles": "count"}, cell_col="cell", hot_threshold=8)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch.column("cell").cast(pa.int64()),
+                "n_tiles": batch.column("n_tiles").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_q1_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
@@ -1324,6 +1384,22 @@ ORACLE_SQL: Dict[str, str] = {
                round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "events_sliding": """
+        WITH fan AS (
+            SELECT (epoch_us(ts) // 300000000) * 300 - 300 * off.k AS win, value
+            FROM events, (SELECT unnest(generate_series(0, 1)) AS k) off
+        )
+        SELECT CAST(win AS BIGINT) AS win, CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+        FROM fan GROUP BY 1
+    """,
+    "salted_cell_counts": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT (CAST(floor((x0 + w * 10.0 / 2) / 5000.0) AS BIGINT) + 524288) * 1048576
+               + (CAST(floor((y0 - h * 10.0 / 2) / 5000.0) AS BIGINT) + 524288) AS cell,
+               CAST(count(*) AS BIGINT) AS n_tiles
+        FROM tiles GROUP BY 1
+    """,
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -1379,6 +1455,8 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
+    "salted_cell_counts": q_salted_cell_counts,
     "q1_pricing": q_q1_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
