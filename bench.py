@@ -94,7 +94,19 @@ def run_bench() -> dict:
         return time.perf_counter() - t0, result
 
     cold_sec, _ = one_run(1)  # light warmup: page cache + worker imports
-    headline, result = one_run(reps)
+    t0 = time.perf_counter()
+    stats_ds = run_flagship(
+        images_path, polygons=polys, cell_res=5000.0, batch_size=32, num_cpus_hint=NUM_CPUS, input_reps=reps
+    )
+    from gdal_boots_ray.state.metrics import run_with_report
+
+    result = run_with_report(
+        stats_ds,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPORT.json"),
+        consume=combine_zonal_partials,
+        extra={"sf": sf_name, "num_cpus": NUM_CPUS, "images": n_images * reps},
+    )
+    headline = time.perf_counter() - t0
     n_assign = int(result["n_tiles"].sum()) if len(result) else 0
     n_images = n_images * reps
 
