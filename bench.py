@@ -152,21 +152,33 @@ def run_bench() -> dict:
     }
 
 
-def _hardware_ceiling(n_lo: int, n_hi: int) -> float:
-    """Raw CPU scaling of this VM (independent zlib processes, no Ray):
-    vCPU oversubscription on the sandbox host caps even embarrassingly
-    parallel work below 4x — report it so the pipeline's efficiency can
-    be read against what the hardware actually delivers."""
-    code = (
-        "import time,zlib,os; d=os.urandom(1<<20); t=time.time(); n=0\n"
-        "while time.time()-t<4: zlib.compress(d,6); n+=1\n"
-        "print(n)"
-    )
-    rates = {}
-    for n in (n_lo, n_hi):
-        ps = [subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE) for _ in range(n)]
-        rates[n] = sum(int(p.communicate()[0]) for p in ps)
-    return (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+def _hardware_ceiling(n_lo: int, n_hi: int) -> dict:
+    """Raw CPU scaling of this VM (independent zlib processes, no
+    Ray).  Two probes: compress (ALU-bound) and decompress
+    (memory-bandwidth-bound, the shape of image decode) — vCPU
+    oversubscription and memory bandwidth cap even embarrassingly
+    parallel work below 4x, so the pipeline's efficiency is reported
+    against what the hardware itself delivers for decode-like work."""
+    probes = {
+        "compress": (
+            "import time,zlib,os; d=os.urandom(1<<20); t=time.time(); n=0\n"
+            "while time.time()-t<4: zlib.compress(d,6); n+=1\n"
+            "print(n)"
+        ),
+        "inflate": (
+            "import time,zlib,os; d=zlib.compress(os.urandom(1<<20),6); t=time.time(); n=0\n"
+            "while time.time()-t<4: zlib.decompress(d); n+=1\n"
+            "print(n)"
+        ),
+    }
+    out = {}
+    for name, code in probes.items():
+        rates = {}
+        for n in (n_lo, n_hi):
+            ps = [subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE) for _ in range(n)]
+            rates[n] = sum(int(p.communicate()[0]) for p in ps)
+        out[name] = (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+    return out
 
 
 def run_scaling(n_lo: int = 4, n_hi: int = 16):
@@ -201,8 +213,9 @@ def run_scaling(n_lo: int = 4, n_hi: int = 16):
                 f"rows_per_sec_{n_lo}": thr_lo,
                 f"rows_per_sec_{n_hi}": thr_hi,
                 "scaling_efficiency": round(eff, 3),
-                "hardware_ceiling": round(hw, 3),
-                "efficiency_vs_hardware": round(eff / hw, 3),
+                "hw_ceiling_alu": round(hw["compress"], 3),
+                "hw_ceiling_inflate": round(hw["inflate"], 3),
+                "efficiency_vs_inflate_ceiling": round(eff / hw["inflate"], 3),
                 "sf": results[n_hi]["sf"],
             }
         )
