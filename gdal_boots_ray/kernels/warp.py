@@ -226,7 +226,52 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
         PX = (inv[0] * sx + inv[1] * sy + inv[2]).reshape(h_out, w_out)
         PY = (inv[3] * sx + inv[4] * sy + inv[5]).reshape(h_out, w_out)
 
-    if resampling == "bilinear":
+    if resampling == "cubic":
+        # GDAL's cubic convolution (Keys kernel, a=-0.5): 4x4 weighted
+        # gather around the continuous source coordinate
+        fx = PX - 0.5
+        fy = PY - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        valid = (PX >= 0) & (PX < sw) & (PY >= 0) & (PY < sh)
+
+        def kweights(t):
+            # Keys cubic, a = -0.5: weights for offsets -1, 0, 1, 2
+            a = -0.5
+            w = np.empty((4,) + t.shape)
+            t1 = 1 + t
+            w[0] = a * t1**3 - 5 * a * t1**2 + 8 * a * t1 - 4 * a
+            w[1] = (a + 2) * t**3 - (a + 3) * t**2 + 1
+            t2 = 1 - t
+            w[2] = (a + 2) * t2**3 - (a + 3) * t2**2 + 1
+            t3 = 2 - t
+            w[3] = a * t3**3 - 5 * a * t3**2 + 8 * a * t3 - 4 * a
+            return w
+
+        wx = kweights(tx)
+        wy = kweights(ty)
+        for b in range(out.shape[0]):
+            sb = s.img[min(b, s.img.shape[0] - 1)].astype(np.float64)
+            acc = np.zeros(PX.shape)
+            for j in range(4):
+                yj = np.clip(y0 + j - 1, 0, sh - 1)
+                rowacc = np.zeros(PX.shape)
+                for i in range(4):
+                    xi = np.clip(x0 + i - 1, 0, sw - 1)
+                    rowacc += wx[i] * sb[yj, xi]
+                acc += wy[j] * rowacc
+            if np.issubdtype(out.dtype, np.integer):
+                info = np.iinfo(out.dtype)
+                acc = np.clip(np.rint(acc), info.min, info.max)
+            out[b][valid] = acc[valid].astype(out.dtype)
+        painted |= valid
+        return
+
+    if resampling in ("bilinear", "cubicspline", "lanczos"):
+        if resampling != "bilinear":
+            resampling = "bilinear"  # documented approximation: spline/lanczos -> bilinear
         fx = PX - 0.5
         fy = PY - 0.5
         x0 = np.floor(fx).astype(np.int64)

@@ -310,3 +310,29 @@ def test_png_roundtrip_and_psnr():
     assert psnr(out, img) == float("inf")
     raw = raw_encode(img)
     assert np.array_equal(raw_decode(raw), img)
+
+
+class TestCubicResampling:
+    def test_cubic_beats_bilinear_on_smooth_fields(self):
+        h, w = 32, 32
+        y, x = np.mgrid[0:h, 0:w]
+        img = (0.05 * (x - 16.0) ** 2 + 0.08 * (y - 12.0) ** 2).astype(np.float64)
+        src = WarpSource(img, np.array([4.0, 0, 0, 0, -4.0, h * 4.0]), 3857)
+
+        def err(alg):
+            out, _ = warp([src], resolution=(1.0, 1.0), resampling=alg, dtype=np.float64)
+            fy, fx = np.mgrid[0 : h * 4, 0 : w * 4]
+            tx = (fx + 0.5) / 4 - 0.5
+            ty = (fy + 0.5) / 4 - 0.5
+            truth = 0.05 * (tx - 16.0) ** 2 + 0.08 * (ty - 12.0) ** 2
+            inner = (slice(8, -8), slice(8, -8))
+            return np.abs(out[0][inner] - truth[inner]).mean()
+
+        e_n, e_b, e_c = err("near"), err("bilinear"), err("cubic")
+        assert e_c < e_b < e_n
+        assert e_c < 1e-9  # cubic convolution is exact for quadratics
+
+    def test_cubic_constant_exact_uint8(self):
+        const = WarpSource(np.full((8, 8), 7, np.uint8), np.array([1.0, 0, 0, 0, -1.0, 8.0]), 3857)
+        out, _ = warp([const], resolution=(0.5, 0.5), resampling="cubic")
+        assert np.all(out == 7)
