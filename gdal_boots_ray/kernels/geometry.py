@@ -501,6 +501,35 @@ def interior_point(ring: np.ndarray):
     return (float(ring[:, 0].mean()), float(y0))
 
 
+def make_valid_geojson(geometry: RawGeometry, precision: Optional[int] = None) -> dict:
+    """Reference ``make_valid_geojson`` (geometry.py:160-163):
+    repair + GeoJSON render at the given coordinate precision."""
+    return to_geojson(make_valid(geometry), flatten=True, precision=precision if precision is not None else 15)
+
+
+def simplify_geometry(geometry: RawGeometry, tolerance: float) -> dict:
+    """Douglas-Peucker simplify applied to every ring/line of a
+    geometry (working semantics for the reference's no-op
+    VectorDataset.simplify, gdal.py:1290-1293)."""
+    geom = parse_geometry(geometry)
+    gtype = geom["type"]
+    if gtype == "GeometryCollection":
+        return {"type": gtype, "geometries": [simplify_geometry(g, tolerance) for g in geom["geometries"]]}
+
+    def walk(coords, depth_is_line):
+        if not coords:
+            return coords
+        if isinstance(coords[0], (list, tuple)) and coords and isinstance(coords[0][0], (int, float)):
+            arr = np.asarray([p[:2] for p in coords], dtype=np.float64)
+            out = douglas_peucker(arr, tolerance)
+            return [[float(p[0]), float(p[1])] for p in out]
+        return [walk(c, depth_is_line) for c in coords]
+
+    if gtype == "Point":
+        return geom
+    return {"type": gtype, "coordinates": walk(geom.get("coordinates", []), True)}
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area of a closed ring."""
     x, y = ring[:, 0], ring[:, 1]
