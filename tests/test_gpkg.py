@@ -1,0 +1,69 @@
+"""GPKG reader against the reference's OWN fixture
+(tests/fixtures/minsk-boundary.gpkg — read-only; reference
+tests/test_vector.py:35-60 asserts 5 layers, 7 point features, exact
+field names) and the GeoJSON fixture (38 features, name:en Minsk,
+tests/test_vector.py:13-18)."""
+
+import json
+import os
+
+import pytest
+
+GPKG = "/root/reference/tests/fixtures/minsk-boundary.gpkg"
+GEOJSON = "/root/reference/tests/fixtures/minsk-boundary.geojson"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(GPKG), reason="reference fixtures not present")
+
+
+def test_gpkg_layers():
+    from gdal_boots_ray.sources.gpkg import gpkg_layers
+
+    assert len(gpkg_layers(GPKG)) == 5  # reference tests/test_vector.py:40
+
+
+def test_gpkg_first_layer_features():
+    from gdal_boots_ray.sources.gpkg import read_gpkg_table
+
+    t = read_gpkg_table(GPKG, "points")
+    assert t.num_rows == 7  # reference tests/test_vector.py:60
+    props = json.loads(t.column("props")[0].as_py())
+    assert list(props.keys()) == [
+        "osm_id",
+        "name",
+        "barrier",
+        "highway",
+        "ref",
+        "address",
+        "is_in",
+        "place",
+        "man_made",
+        "other_tags",
+    ]  # reference tests/test_vector.py:46-57
+    g = json.loads(t.column("geom")[0].as_py())
+    assert g["type"] == "Point" and len(g["coordinates"]) == 2
+    assert 27 < g["coordinates"][0] < 28  # Minsk longitude
+
+
+def test_gpkg_from_bytes(ray_session):
+    from gdal_boots_ray.sources.gpkg import read_gpkg
+
+    with open(GPKG, "rb") as fd:
+        data = fd.read()
+    ds = read_gpkg(data)
+    df = ds.to_pandas()
+    # layers with features: points 7, lines 25, multipolygons 5 (the
+    # other two layers in the fixture are empty)
+    assert df.groupby("layer").size().to_dict() == {"points": 7, "lines": 25, "multipolygons": 5}
+    # multipolygons layer parses MULTIPOLYGON WKB
+    mp = df[df["layer"] == "multipolygons"]
+    assert (mp["geom_type"] == "MultiPolygon").all()
+
+
+def test_geojson_fixture_minsk(ray_session):
+    from gdal_boots_ray.sources.vectors import read_geojson
+
+    ds = read_geojson(GEOJSON)
+    df = ds.to_pandas()
+    assert len(df) == 38  # reference tests/test_vector.py:17
+    props0 = json.loads(df.iloc[0]["props"])
+    assert props0.get("name:en") == "Minsk"  # reference tests/test_vector.py:18
