@@ -55,6 +55,33 @@ def fill_mask_pixelspace(pix_rings, h: int, w: int) -> np.ndarray:
     return ((total[:, None] + cum) % 2).astype(bool)
 
 
+def supercover_burn(pix_rings, out: np.ndarray, burn_value) -> None:
+    """Burn every cell each ring edge passes through (exact grid-
+    crossing walk, not sampled DDA) — GDAL's outline/ALL_TOUCHED line
+    semantics."""
+    h, w = out.shape
+    for ring in pix_rings:
+        for k in range(len(ring) - 1):
+            x0, y0 = ring[k]
+            x1, y1 = ring[k + 1]
+            dx, dy = x1 - x0, y1 - y0
+            ts = [0.0, 1.0]
+            if dx != 0:
+                lo, hi = sorted((x0, x1))
+                for gx in range(int(np.floor(lo)) + 1, int(np.ceil(hi))):
+                    ts.append((gx - x0) / dx)
+            if dy != 0:
+                lo, hi = sorted((y0, y1))
+                for gy in range(int(np.floor(lo)) + 1, int(np.ceil(hi))):
+                    ts.append((gy - y0) / dy)
+            ts = sorted(t for t in ts if 0.0 <= t <= 1.0)
+            for a, b in zip(ts[:-1], ts[1:]):
+                tm = (a + b) / 2.0
+                cx, cy = int(x0 + dx * tm), int(y0 + dy * tm)
+                if 0 <= cx < w and 0 <= cy < h:
+                    out[cy, cx] = burn_value
+
+
 def rasterize(
     geometry: RawGeometry,
     shape,
@@ -63,6 +90,7 @@ def rasterize(
     all_touched: bool = False,
     out: Optional[np.ndarray] = None,
     dtype=np.uint8,
+    outline: bool = False,
 ) -> np.ndarray:
     """Burn a Polygon/MultiPolygon into a (h, w) array.
 
@@ -97,15 +125,11 @@ def rasterize(
     sub = out[row_lo:row_hi, col_lo:col_hi]
     sub[inside] = burn_value
 
-    if all_touched:
-        # conservative: mark every cell a ring edge passes through (DDA walk)
-        for ring in pix_rings:
-            for k in range(len(ring) - 1):
-                x0, y0 = ring[k]
-                x1, y1 = ring[k + 1]
-                n = int(max(abs(x1 - x0), abs(y1 - y0)) * 2) + 1
-                t = np.linspace(0.0, 1.0, n)
-                xs = np.clip((x0 + (x1 - x0) * t).astype(np.int64), 0, w - 1)
-                ys = np.clip((y0 + (y1 - y0) * t).astype(np.int64), 0, h - 1)
-                out[ys, xs] = burn_value
+    if all_touched or outline:
+        # GDAL burns the exact supercover of ring edges: with
+        # all_touched this is the documented behavior; WITHOUT it GDAL
+        # RasterizeLayer still draws polygon outlines — reproducing the
+        # reference's exact 628591-pixel histogram
+        # (tests/test_vector.py:67-78) requires fill + outline.
+        supercover_burn(pix_rings, out, burn_value)
     return out

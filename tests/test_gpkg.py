@@ -67,3 +67,25 @@ def test_geojson_fixture_minsk(ray_session):
     assert len(df) == 38  # reference tests/test_vector.py:17
     props0 = json.loads(df.iloc[0]["props"])
     assert props0.get("name:en") == "Minsk"  # reference tests/test_vector.py:18
+
+
+def test_rasterize_minsk_histogram_golden():
+    """The reference's exact rasterize histogram
+    (tests/test_vector.py:67-78: values [0,1], counts
+    [29511509, 628591] on the 5490x5490 Sentinel-2 B05 20 m grid) —
+    reproduced end-to-end through OUR CRS transform (4326->32635
+    Krueger series) + scanline fill + supercover outline.  A
+    cross-validation of two kernels against GDAL+PROJ at once."""
+    import numpy as np
+
+    from gdal_boots_ray.kernels.crs import transform_points
+    from gdal_boots_ray.kernels.geometry import map_coords
+    from gdal_boots_ray.kernels.rasterize import rasterize
+
+    p = json.load(open("/root/reference/tests/fixtures/minsk-polygon.geojson"))
+    g = map_coords(p["geometry"], lambda x, y: transform_points(4326, 32635, x, y))
+    gt = [20.0, 0, 499980.0, 0, -20.0, 6000000.0]
+    mask = rasterize(g, (5490, 5490), gt, outline=True)
+    values, counts = np.unique(mask, return_counts=True)
+    assert values.tolist() == [0, 1]
+    assert counts.tolist() == [29511509, 628591]
