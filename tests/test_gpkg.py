@@ -89,3 +89,20 @@ def test_rasterize_minsk_histogram_golden():
     values, counts = np.unique(mask, return_counts=True)
     assert values.tolist() == [0, 1]
     assert counts.tolist() == [29511509, 628591]
+
+
+def test_osm_reader():
+    """OSM XML reader on the reference's minsk-boundary.osm fixture:
+    the 7 tagged nodes match the OGR-converted GPKG points layer; the
+    boundary relation and named features are present.  (Way merging /
+    relation assembly is a documented subset vs OGR's OSM driver.)"""
+    import collections
+
+    from gdal_boots_ray.sources.osm import read_osm_table
+
+    t = read_osm_table("/root/reference/tests/fixtures/minsk-boundary.osm")
+    layers = collections.Counter(t.column("layer").to_pylist())
+    assert layers["points"] == 7  # == the GPKG points layer
+    assert layers["multipolygons"] >= 1 and layers["other_relations"] >= 1
+    names = [json.loads(p).get("name:en") for p in t.column("props").to_pylist()]
+    assert "Minsk" in names
