@@ -82,9 +82,17 @@ def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4)):
 
     ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
     if decode:
-        ds = ds.map_batches(
-            DecodeImages, batch_format="pyarrow", batch_size=128, concurrency=concurrency, num_cpus=1
-        )
+        # stateless tasks fuse with the synth stage (DecodeImages init
+        # is trivial; the closure cache keeps one instance per worker
+        # process) — avoids spinning a fresh actor pool per query in
+        # the driver's long correctness session
+        def _decode(batch, _cache={}):
+            d = _cache.get("d")
+            if d is None:
+                d = _cache["d"] = DecodeImages()
+            return d(batch)
+
+        ds = ds.map_batches(_decode, batch_format="pyarrow", batch_size=128)
     return ds
 
 
