@@ -16,7 +16,17 @@ from dataclasses import dataclass
 from enum import Enum
 from typing import List, Optional
 
-__all__ = ("DriverOptions", "PNG", "GTiff", "RAW", "GeoJSON", "Parquet", "codec_args")
+__all__ = (
+    "DriverOptions",
+    "PNG",
+    "GTiff",
+    "RAW",
+    "JP2OpenJPEG",
+    "ECW",
+    "GeoJSON",
+    "Parquet",
+    "codec_args",
+)
 
 
 def _encode(values) -> List[str]:
@@ -81,6 +91,29 @@ class RAW(DriverOptions):
 
 
 @dataclass
+class JP2OpenJPEG(DriverOptions):
+    """reference options.py:95-109 — accepted for option-encoding
+    parity; the wavelet codec itself is a documented seam (no OpenJPEG
+    in this environment): codec_args raises NotImplementedError."""
+
+    quality: float = 25
+    resolutions: Optional[int] = None
+    blockxsize: int = 1024
+    blockysize: int = 1024
+    nbits: Optional[int] = None
+    tileparts: str = "disabled"
+    write_metadata: bool = True
+
+
+@dataclass
+class ECW(DriverOptions):
+    """reference options.py:111-122 — option parity only (codec seam)."""
+
+    target: Optional[int] = None
+    ecw_format_version: Optional[int] = None
+
+
+@dataclass
 class GeoJSON(DriverOptions):
     """reference options.py:132-138."""
 
@@ -106,4 +139,9 @@ def codec_args(options: DriverOptions) -> dict:
         return kw
     if isinstance(options, RAW):
         return {"fmt": "raw"}
+    if isinstance(options, (JP2OpenJPEG, ECW)):
+        raise NotImplementedError(
+            f"{options.driver_name} needs an external wavelet codec (none in this "
+            "environment); options encode for parity, the codec is a seam"
+        )
     raise ValueError(f"no codec for driver {options.driver_name}")

@@ -113,3 +113,57 @@ def make_to_epsg(to_epsg: int):
         return reproject_features(batch, to_epsg)
 
     return fn
+
+
+def write_geojson(ds, path: str, precision: Optional[int] = None) -> int:
+    """Feature Dataset -> one GeoJSON FeatureCollection file (reference
+    VectorDataset.to_file via the GeoJSON driver, gdal.py:1225-1263).
+    Streams batches; suitable for per-layer outputs (large multi-shard
+    outputs should use write_partitioned parquet instead)."""
+    import pyarrow as _pa
+
+    feats: List[dict] = []
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        coll = to_feature_collection(batch if isinstance(batch, pa.Table) else _pa.Table.from_batches([batch]), precision)
+        feats.extend(coll["features"])
+    with open(path, "w") as fd:
+        json.dump({"type": "FeatureCollection", "features": feats}, fd)
+    return len(feats)
+
+
+def add_field(table: pa.Table, name: str, py_type, default=None) -> pa.Table:
+    """Typed field addition on a feature table (reference
+    Layer.add_field, gdal.py:1081-1090: bool/int/float/str/dict, dict
+    stored as JSON) — fields live inside the props JSON column."""
+    import json as _json
+
+    if py_type not in (bool, int, float, str, dict):
+        raise ValueError(f"unsupported field type {py_type}")
+    props = []
+    for p in table.column("props").to_pylist():
+        d = _json.loads(p)
+        d[name] = default if py_type is not dict else (default or {})
+        props.append(_json.dumps(d))
+    return table.set_column(table.column_names.index("props"), "props", pa.array(props, pa.string()))
+
+
+def field_names(table: pa.Table) -> List[str]:
+    """Schema introspection (reference Layer.field_names,
+    gdal.py:1061-1070) from the first feature's props."""
+    import json as _json
+
+    if table.num_rows == 0:
+        return []
+    return list(_json.loads(table.column("props")[0].as_py()).keys())
+
+
+def field_types(table: pa.Table) -> List[type]:
+    """reference Layer.field_types (gdal.py:1072-1079)."""
+    import json as _json
+
+    if table.num_rows == 0:
+        return []
+    out = []
+    for v in _json.loads(table.column("props")[0].as_py()).values():
+        out.append(dict if isinstance(v, dict) else type(v) if v is not None else str)
+    return out

@@ -336,3 +336,21 @@ class TestCubicResampling:
         const = WarpSource(np.full((8, 8), 7, np.uint8), np.array([1.0, 0, 0, 0, -1.0, 8.0]), 3857)
         out, _ = warp([const], resolution=(0.5, 0.5), resampling="cubic")
         assert np.all(out == 7)
+
+
+class TestWarpResolutionRatio:
+    def test_resolution_and_width_height(self):
+        # reference tests/test_raster.py:288-303: warp at (10,10) vs
+        # (100,100) -> shapes differ by exactly 10x (rounded)
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (1098, 1098)).astype(np.uint8)
+        src = WarpSource(img, np.array([10.0, 0, 600000.0, 0, -10.0, 5700000.0]), 32631)
+        bbox = (601000.0, 5690000.0 + 1000.0, 606000.0, 5697000.0)
+        w10, gi10 = warp([src], bbox=bbox, bbox_crs=32631, resolution=(10, 10))
+        assert (gi10.transform.a, -gi10.transform.e) == (10, 10)
+        w100, gi100 = warp([src], bbox=bbox, bbox_crs=32631, resolution=(100, 100))
+        assert (gi100.transform.a, -gi100.transform.e) == (100, 100)
+        assert all(np.round(np.array(w10.shape[1:]) / 10) == np.array(w100.shape[1:]))
+        # explicit width/height derive the resolution
+        wh, gih = warp([src], bbox=bbox, bbox_crs=32631, width=50, height=70)
+        assert wh.shape[1:] == (70, 50)

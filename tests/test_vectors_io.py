@@ -81,3 +81,44 @@ def test_geojson_dataset_roundtrip(ray_session, minsk_polygon):
     ds = read_geojson(json.dumps(_minsk_collection(minsk_polygon)))
     out = ds.map_batches(make_to_epsg(3857), batch_format="pyarrow").to_pandas()
     assert len(out) == 1 and out["epsg"].iloc[0] == 3857
+
+
+def test_add_field_and_types(minsk_polygon):
+    # reference tests/test_vector.py:101-110 semantics
+    from gdal_boots_ray.sources.vectors import add_field, field_names, field_types
+
+    t = features_table(_minsk_collection(minsk_polygon))
+    t = add_field(t, "string_property", str, "x")
+    t = add_field(t, "int_property", int, 0)
+    assert field_names(t)[-2:] == ["string_property", "int_property"]
+    assert field_types(t)[-2:] == [str, int]
+    with pytest.raises(ValueError):
+        add_field(t, "bad", bytes)
+
+
+def test_write_geojson_sink(ray_session, minsk_polygon, tmp_path):
+    import json as _json
+
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.vectors import read_geojson, write_geojson
+
+    ds = read_geojson(_json.dumps(_minsk_collection(minsk_polygon)))
+    path = str(tmp_path / "out.geojson")
+    n = write_geojson(ds, path, precision=9)
+    assert n == 1
+    coll = _json.load(open(path))
+    assert coll["type"] == "FeatureCollection"
+    # round-trip back through the reader
+    assert read_geojson(path).to_pandas().shape[0] == 1
+
+
+def test_jp2_ecw_option_seams():
+    from gdal_boots_ray.options import ECW, JP2OpenJPEG, codec_args
+
+    enc = JP2OpenJPEG(quality=50).encode()
+    assert "QUALITY=50" in enc  # reference options encode parity
+    with pytest.raises(NotImplementedError, match="wavelet"):
+        codec_args(JP2OpenJPEG())
+    with pytest.raises(NotImplementedError):
+        codec_args(ECW())
