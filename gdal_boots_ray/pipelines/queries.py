@@ -146,7 +146,9 @@ def q_tile_grid_cells(sf_dir: str):
 
 
 def q_tile_s2_cells(sf_dir: str):
-    """No SQL oracle (S2 Hilbert ids are not SQL-expressible)."""
+    """S2 cell ids of tile centers — oracle-checked: the DuckDB twin
+    reimplements the full S2 pipeline (sphere -> cube face -> quadratic
+    st -> leaf ij -> recursive-CTE Hilbert walk) independently."""
     from gdal_boots_ray.stages.geo import make_add_lonlat, make_add_s2_cell
 
     ds = _with_bounds(_tiles_dataset(sf_dir))
@@ -1188,6 +1190,57 @@ ORACLE_SQL: Dict[str, str] = {
             (CAST(floor((x0 + w * 10.0 / 2) / 1000.0) AS BIGINT) + 524288) * 1048576
             + (CAST(floor((y0 - h * 10.0 / 2) / 1000.0) AS BIGINT) + 524288) AS cell
         FROM tiles
+    """,
+    "tile_s2_cells": f"""
+        WITH RECURSIVE {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                degrees((x0 + w * 10.0 / 2) / 6378137.0) AS lon,
+                degrees(2 * atan(exp((y0 - h * 10.0 / 2) / 6378137.0)) - pi() / 2) AS lat
+            FROM tiles
+        ),
+        xyz AS (SELECT image_id, cos(radians(lat))*cos(radians(lon)) AS x,
+                       cos(radians(lat))*sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM ll),
+        fuv AS (
+            SELECT image_id,
+                CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+                     WHEN abs(y) >= abs(z) THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+                     ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END AS face, x, y, z
+            FROM xyz),
+        uv AS (
+            SELECT image_id, face,
+                CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                          WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                          WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+            FROM fuv),
+        ij AS (
+            SELECT image_id, face,
+                CAST(least(greatest(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+                     ELSE 1-0.5*sqrt(1-3*u) END) * 1073741824.0), 0), 1073741823) AS BIGINT) AS i,
+                CAST(least(greatest(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+                     ELSE 1-0.5*sqrt(1-3*v) END) * 1073741824.0), 0), 1073741823) AS BIGINT) AS j
+            FROM uv),
+        walk AS (
+            SELECT image_id, face, i, j, 29 AS k, face % 2 AS orient, CAST(0 AS BIGINT) AS pos FROM ij
+            UNION ALL
+            SELECT image_id, face, i, j, k - 1,
+                xor(orient, CASE p WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 3 END) AS orient,
+                pos * 4 + p AS pos
+            FROM (
+                SELECT *,
+                    CASE orient
+                      WHEN 0 THEN (CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)
+                      WHEN 1 THEN (CASE ij2 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 2 END)
+                      WHEN 2 THEN (CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END)
+                      ELSE        (CASE ij2 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 0 END)
+                    END AS p
+                FROM (SELECT *, ((i >> k) & 1) * 2 + ((j >> k) & 1) AS ij2 FROM walk WHERE k >= 21)
+            ))
+        SELECT image_id,
+            ((CASE WHEN face >= 4 THEN CAST(face - 8 AS BIGINT) ELSE CAST(face AS BIGINT) END)
+             * 2305843009213693952) + (pos * 8796093022208) + 4398046511104 AS s2_cell
+        FROM walk WHERE k = 20
     """,
     "tile_pip_join": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE}
