@@ -463,6 +463,37 @@ def q_image_features(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_polygonize_regions(sf_dir: str, n_tiles: int = 24):
+    """Connected-component counts of the >=128 threshold masks — the
+    oracle reimplements 4-connected labeling as a recursive-CTE
+    min-label propagation in SQL (an independent algorithm entirely)."""
+    from gdal_boots_ray.kernels.polygonize import label_components
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    def regions(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        out_n = []
+        for i in range(len(ids)):
+            b0 = views[i] if views[i].ndim == 2 else views[i][0]
+            mask = (b0 >= 128).astype(np.uint8)
+            labels, _ = label_components(mask)
+            pos = np.unique(labels[mask == 1])
+            out_n.append(len(pos))
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()), "n_regions": pa.array(out_n, pa.int64())}
+        )
+
+    return ds.map_batches(first_keys, batch_format="pyarrow").map_batches(regions, batch_format="pyarrow")
+
+
 def q_spatial_knn(sf_dir: str, k: int = 5):
     """Spatial kNN: for the first 32 customer points, the k nearest
     OTHER customer points via grid-cell + neighbor-ring expansion; the
@@ -1383,6 +1414,32 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
         FROM px GROUP BY image_id
     """,
+    "polygonize_regions": """
+        WITH RECURSIVE px AS (
+            SELECT p_partkey AS k, gx.x AS x, gy.y AS y,
+                   CASE WHEN (gx.x * 31 + gy.y * 17 + p_partkey) % 256 >= 128 THEN 1 ELSE 0 END AS cls
+            FROM part,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 3) * 16 - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 5) * 8 - 1 AS INT))) AS y) gy
+            WHERE p_partkey < 24
+        ),
+        pos AS (SELECT k, x, y, (y * 100 + x) AS node FROM px WHERE cls = 1),
+        edges AS (
+            SELECT a.k, a.node AS na, b.node AS nb
+            FROM pos a JOIN pos b
+              ON a.k = b.k AND ((abs(a.x - b.x) = 1 AND a.y = b.y) OR (abs(a.y - b.y) = 1 AND a.x = b.x))
+        ),
+        lab AS (
+            SELECT k, node, node AS label FROM pos
+            UNION
+            SELECT e.k, e.na AS node, l.label
+            FROM edges e JOIN lab l ON e.k = l.k AND e.nb = l.node
+            WHERE l.label < e.na
+        )
+        SELECT printf('img-%08d', k) AS image_id, CAST(count(DISTINCT minlab) AS BIGINT) AS n_regions
+        FROM (SELECT k, node, min(label) AS minlab FROM lab GROUP BY k, node)
+        GROUP BY k
+    """,
     "spatial_knn": f"""
         WITH {POINT_SQL_CTE}
         SELECT q.pid AS qid,
@@ -1501,6 +1558,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "tile_resize": q_tile_resize,
     "polygonize": q_polygonize,
+    "polygonize_regions": q_polygonize_regions,
     "mosaic_groups": q_mosaic_groups,
     "union_bounds": q_union_bounds,
     "pixel_histogram": q_pixel_histogram,
