@@ -724,6 +724,28 @@ def q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred", "quality", "n_tokens_bpe"])
 
 
+def q_lang_id_pred(sf_dir: str):
+    """Language-ID predictions only — oracle-checked (the stopword
+    hit-rate argmax is SQL-expressible; first-lang-wins tie rule
+    emulated with the ordered CASE chain)."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang_pred": pa.array([lang_id(t)[0] for t in texts], pa.string()),
+            }
+        )
+
+    return docs.map_batches(pred, batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str):
     """Rows-only: near-dup candidate pairs via MinHash-LSH."""
     import ray.data as rd
@@ -1440,6 +1462,34 @@ ORACLE_SQL: Dict[str, str] = {
         FROM (SELECT k, node, min(label) AS minlab FROM lab GROUP BY k, node)
         GROUP BY k
     """,
+
+    "lang_id_pred": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents
+            )
+        ),
+        hits AS (
+            SELECT doc_id,
+                sum(CASE WHEN w IN ('a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with') THEN 1 ELSE 0 END) / 14.0 AS s_en,
+                sum(CASE WHEN w IN ('auf', 'das', 'der', 'die', 'ein', 'eine', 'ist', 'mit', 'und', 'von', 'zu') THEN 1 ELSE 0 END) / 11.0 AS s_de,
+                sum(CASE WHEN w IN ('avec', 'dans', 'est', 'et', 'la', 'le', 'les', 'pour', 'sur', 'un', 'une') THEN 1 ELSE 0 END) / 11.0 AS s_fr,
+                sum(CASE WHEN w IN ('con', 'el', 'en', 'es', 'la', 'las', 'los', 'para', 'por', 'un', 'una', 'y') THEN 1 ELSE 0 END) / 12.0 AS s_es
+            FROM words GROUP BY doc_id
+        ),
+        scores AS (
+            SELECT d.doc_id, coalesce(s_en,0) AS s_en, coalesce(s_de,0) AS s_de,
+                   coalesce(s_fr,0) AS s_fr, coalesce(s_es,0) AS s_es
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+        FROM scores
+    """,
     "spatial_knn": f"""
         WITH {POINT_SQL_CTE}
         SELECT q.pid AS qid,
@@ -1571,6 +1621,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "lang_id_pred": q_lang_id_pred,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "events_window": q_events_window,
