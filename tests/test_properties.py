@@ -114,3 +114,42 @@ def test_write_window_matches_numpy(seed):
     write_window(img, (b, slice(y0, y1), slice(x0, x1)), val)
     ref[b, y0:y1, x0:x1] = val
     assert np.array_equal(img, ref)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(-1e5, 1e5), st.floats(-1e5, 1e5), st.floats(1, 5000), st.floats(1, 5000), st.sampled_from([100.0, 1000.0, 5000.0]))
+def test_covering_cells_contain_centers(x0, y0, wext, hext, res):
+    from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cells_covering_bounds
+
+    b = (x0, y0, x0 + wext, y0 + hext)
+    cells = set(grid_cells_covering_bounds(b, res).tolist())
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    assert int(grid_cell_id(np.array([cx]), np.array([cy]), res)[0]) in cells
+    # corners (nudged inward) are covered too
+    eps = min(wext, hext) * 1e-6
+    for px, py in [(b[0] + eps, b[1] + eps), (b[2] - eps, b[3] - eps)]:
+        assert int(grid_cell_id(np.array([px]), np.array([py]), res)[0]) in cells
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_sample_points_matches_nearest_warp(seed):
+    """values_by_points == a 1-px nearest warp at the same location
+    (two independent code paths through the inverse affine)."""
+    from gdal_boots_ray.kernels.sampling import sample_points
+    from gdal_boots_ray.kernels.warp import WarpSource, warp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (20, 20)).astype(np.uint8)
+    gt = [10.0, 0, 0.0, 0, -10.0, 200.0]
+    src = WarpSource(img, np.asarray(gt), 3857)
+    xs = rng.uniform(5, 195, 5)
+    ys = rng.uniform(5, 195, 5)
+    vals, ok = sample_points(img, gt, xs, ys)
+    assert ok.all()
+    for x, y, v in zip(xs, ys, vals):
+        out, _ = warp([src], bbox=(x - 5, y - 5, x + 5, y + 5), bbox_crs=3857, resolution=(10, 10))
+        # the warp output cell containing (x, y) holds the same value
+        gi_inv_col = int((x - (x - 5)) // 10)
+        gi_inv_row = int(((y + 5) - y) // 10)
+        assert out[0, gi_inv_row, gi_inv_col] == v
