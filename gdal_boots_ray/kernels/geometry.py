@@ -16,7 +16,7 @@ MakeValid (reference geometry.py:160-193).
 from __future__ import annotations
 
 import json
-from typing import Callable, Dict, Iterable, List, Sequence, Tuple, Union
+from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -278,11 +278,12 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
         y0 = np.floor(fy).astype(np.int64)
         wx = fx - x0
         wy = fy - y0
-        valid = (PX >= 0) & (PX < sw) & (PY >= 0) & (PY < sh)
+        geo_valid = (PX >= 0) & (PX < sw) & (PY >= 0) & (PY < sh)
         x0c = np.clip(x0, 0, sw - 1)
         x1c = np.clip(x0 + 1, 0, sw - 1)
         y0c = np.clip(y0, 0, sh - 1)
         y1c = np.clip(y0 + 1, 0, sh - 1)
+        any_valid = np.zeros_like(geo_valid)
         for b in range(out.shape[0]):
             sb = s.img[min(b, s.img.shape[0] - 1)].astype(np.float64)
             v = (
@@ -291,10 +292,20 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
                 + sb[y1c, x0c] * (1 - wx) * wy
                 + sb[y1c, x1c] * wx * wy
             )
+            # per-band nodata mask over all four gather corners; kept
+            # separate from the geometric mask so bands don't leak
+            # each other's nodata
+            bvalid = geo_valid
             if s.nodata is not None:
-                valid = valid & (sb[y0c, x0c] != s.nodata)
-            out[b][valid] = v[valid].astype(out.dtype)
-        painted |= valid
+                bvalid = geo_valid & (
+                    (sb[y0c, x0c] != s.nodata)
+                    & (sb[y0c, x1c] != s.nodata)
+                    & (sb[y1c, x0c] != s.nodata)
+                    & (sb[y1c, x1c] != s.nodata)
+                )
+            out[b][bvalid] = v[bvalid].astype(out.dtype)
+            any_valid |= bvalid
+        painted |= any_valid
         return
 
     # nearest

@@ -104,8 +104,10 @@ def parse_gpkg_blob(blob: bytes) -> Optional[dict]:
     envelope_code = (flags >> 1) & 0x7
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}.get(envelope_code, 0)
     header = 8 + env_len
-    if flags & 0x20:  # empty geometry flag
+    if flags & 0x10:  # empty geometry flag (OGC 12-128 bit 4)
         return None
+    if flags & 0x20:  # extended (non-standard) geometry type — unsupported
+        raise ValueError("GPKG extended-type geometry blobs are not supported")
     geom, _ = parse_wkb(blob, header)
     return geom
 

@@ -13,7 +13,7 @@ runs once per actor, per the actor-pool pattern.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa

@@ -28,7 +28,9 @@ def to_pandas(obj) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
-    rows = set()
+    # a list, not a set: duplicate rows must contribute their
+    # multiplicity so fan-out bugs in joins can't hash equal
+    rows = []
     for tup in df.itertuples(index=False, name=None):
         canon = []
         for v in tup:
@@ -40,7 +42,7 @@ def value_hash(df: pd.DataFrame) -> str:
                 canon.append(str(int(v)))
             else:
                 canon.append(str(v))
-        rows.add("\x1f".join(canon))
+        rows.append("\x1f".join(canon))
     h = hashlib.blake2b(digest_size=12)
     for r in sorted(rows):
         h.update(r.encode())
