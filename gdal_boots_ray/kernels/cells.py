@@ -141,6 +141,19 @@ def grid_cell_neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
     return ((cx + gx.ravel()) * _GRID_WIDTH + (cy + gy.ravel())).astype(np.int64)
 
 
+def grid_cell_disc(x, y, res: float, ring: int) -> np.ndarray:
+    """Vectorized Chebyshev disc: for point arrays, the (n, (2r+1)^2)
+    matrix of all cell ids within ``ring`` of each point's home cell —
+    the query-side explode of the partitioned kNN shuffle."""
+    cx = np.floor(np.asarray(x, dtype=np.float64) / res).astype(np.int64) + (1 << 19)
+    cy = np.floor(np.asarray(y, dtype=np.float64) / res).astype(np.int64) + (1 << 19)
+    offs = np.arange(-ring, ring + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(offs, offs)
+    dx = gx.ravel()[None, :]
+    dy = gy.ravel()[None, :]
+    return (cx[:, None] + dx) * _GRID_WIDTH + (cy[:, None] + dy)
+
+
 def grid_cells_covering_bounds(b, res: float) -> np.ndarray:
     """All grid cells intersecting a (minx, miny, maxx, maxy) box —
     footprint-to-cells assignment for the PIP join (polygons are

@@ -494,40 +494,60 @@ def q_polygonize_regions(sf_dir: str, n_tiles: int = 24):
     return ds.map_batches(first_keys, batch_format="pyarrow").map_batches(regions, batch_format="pyarrow")
 
 
-def q_spatial_knn(sf_dir: str, k: int = 5):
-    """Spatial kNN: for the first 32 customer points, the k nearest
-    OTHER customer points via grid-cell + neighbor-ring expansion; the
-    oracle is a quadratic distance join with row_number."""
+def _points_dataset(sf_dir: str, id_col: str = "pid"):
+    """customer keys -> (id, x, y) sample points, synthesized
+    distributed (no driver-side read of the customer table)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from gdal_boots_ray.sources.fixtures import point_params
-    from gdal_boots_ray.stages.knn import spatial_knn
 
     n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(0).to_numpy()
-    p = point_params(ck, n_part)
-    data_ids = p["custkey"]
-    data_xy = np.stack([p["x"], p["y"]], axis=1)
+    pts_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
-    qmask = p["custkey"] < 32
-    qt = pa.table(
-        {
-            "qid": pa.array(p["custkey"][qmask], pa.int64()),
-            "x": pa.array(p["x"][qmask]),
-            "y": pa.array(p["y"][qmask]),
-        }
-    )
-    queries_ds = rd.from_arrow(qt)
-    out = spatial_knn(queries_ds, data_ids, data_xy, k=k + 1, cell_res=2000.0)
+    def to_points(batch: pa.Table) -> pa.Table:
+        p = point_params(batch.column("c_custkey").to_numpy(), n_part)
+        return pa.table(
+            {
+                id_col: pa.array(p["custkey"], pa.int64()),
+                "x": pa.array(p["x"], pa.float64()),
+                "y": pa.array(p["y"], pa.float64()),
+            }
+        )
+
+    return pts_ds.map_batches(to_points, batch_format="pyarrow")
+
+
+def q_spatial_knn(sf_dir: str, k: int = 5):
+    """Spatial kNN over the cell-partitioned SHUFFLE path
+    (broadcast_threshold=0 disables the broadcast plan): for the first
+    32 customer points, the k nearest OTHER customer points; the
+    oracle is a quadratic distance join with row_number."""
+    from gdal_boots_ray.stages.knn import spatial_knn_dataset
+
+    data_ds = _points_dataset(sf_dir, id_col="nid")
+
+    def to_queries(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("nid"), 32)
+        batch = batch.filter(m)
+        return pa.table(
+            {
+                "qid": batch.column("nid"),
+                "x": batch.column("x"),
+                "y": batch.column("y"),
+            }
+        )
+
+    queries_ds = _points_dataset(sf_dir, id_col="nid").map_batches(to_queries, batch_format="pyarrow")
+    out = spatial_knn_dataset(queries_ds, data_ds, k=k + 1, cell_res=2000.0, broadcast_threshold=0)
 
     # drop self-matches (dist 0 to the same id), keep k, re-rank
     import pandas as pd
 
     def drop_self(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["nid"] != g["qid"].iloc[0]].sort_values(["dist", "nid"]).head(k).copy()
-        g["rank"] = range(1, len(g) + 1)
-        return g
+        g = g[g["nid"] != g["qid"].iloc[0]].sort_values(["d2", "nid"]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "rank", "nid", "dist"]]
 
     return out.groupby("qid").map_groups(drop_self, batch_format="pandas")
 

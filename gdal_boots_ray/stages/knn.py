@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cell_neighbors
+from gdal_boots_ray.kernels.cells import grid_cell_disc, grid_cell_id, grid_cell_neighbors
 
 
 class _CellIndex:
@@ -72,6 +72,12 @@ class _CellIndex:
                         break
         all_ids = np.concatenate(cand_ids) if cand_ids else np.empty(0, np.int64)
         all_d2 = np.concatenate(cand_d2) if cand_d2 else np.empty(0)
+        if len(all_d2) < k or np.sqrt(np.partition(all_d2, k - 1)[k - 1]) > seen_rings * self.res:
+            # ring budget exhausted without the guarantee (isolated
+            # query far from all data): the local index holds every
+            # point, so finish with an exact full scan
+            all_ids = self.ids
+            all_d2 = (self.xy[:, 0] - qx) ** 2 + (self.xy[:, 1] - qy) ** 2
         if len(all_ids) == 0:
             return all_ids, all_d2
         order = np.lexsort((all_ids, all_d2))[:k]
@@ -113,6 +119,266 @@ def spatial_knn(queries_ds, data_ids: np.ndarray, data_xy: np.ndarray, k: int, c
             )
 
     return queries_ds.map_batches(KnnActor, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned spatial kNN (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+
+def spatial_knn_dataset(
+    queries_ds,
+    data_ds,
+    k: int,
+    cell_res: float,
+    broadcast_threshold: int = 500_000,
+    init_ring: int = 2,
+    max_ring: int = 64,
+):
+    """k nearest data rows for every query row — both sides Datasets.
+
+    Schemas: queries (qid, x, y); data (nid, x, y).  Returns a Dataset
+    (qid, rank, nid, dist, d2) ordered within each qid.
+
+    Two physical plans behind one API:
+
+    - **data side small** (<= ``broadcast_threshold`` rows): materialize
+      + ``ray.put`` once, per-actor ``_CellIndex`` (the round-1 plan) —
+      right when the index fits one worker heap, wrong beyond it.
+    - **data side large**: cell-partitioned shuffle join.  Each query
+      explodes to every grid cell within ``ring`` Chebyshev rings of
+      its home cell; both sides co-shuffle on ``cell``
+      (``groupby(cell)``); each cell group computes its exact local
+      top-k per query; a per-qid merge keeps the global k and checks
+      the ring-termination bound — kth distance <= ring*cell_res
+      guarantees no unprobed point can beat it, because every unprobed
+      cell is > ring cells from the home cell.  Unresolved queries
+      (the sparse-region tail) retry with a doubled ring; only they
+      re-shuffle.
+
+    Scale notes: grid cells PARTITION the data side, so per-cell
+    candidates are globally unique (no dedup shuffle).  Each iteration
+    materializes only the per-query top-k (output-sized, k rows per
+    query) — never the data side.  Hot cells fan into the per-cell
+    group like any other key and can be salted upstream with
+    stages.skew if one cell dominates.
+    """
+    import pandas as pd
+
+    n_data = data_ds.count()
+    if n_data <= broadcast_threshold:
+        rows = data_ds.select_columns(["nid", "x", "y"]).take_all()
+        ids = np.array([r["nid"] for r in rows], np.int64)
+        xy = np.array([[r["x"], r["y"]] for r in rows], np.float64)
+        return spatial_knn(queries_ds, ids, xy, k, cell_res)
+
+    def tag_data(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        return pa.table(
+            {
+                "cell": pa.array(grid_cell_id(x, y, cell_res), pa.int64()),
+                "is_q": pa.array(np.zeros(len(x), np.int8)),
+                "home": pa.array(np.zeros(len(x), np.int8)),
+                "id": batch.column("nid").cast(pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    tagged_data = data_ds.map_batches(tag_data, batch_format="pyarrow")
+
+    def make_explode(ring: int):
+        offs = np.arange(-ring, ring + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(offs, offs)
+        home_row = ((gx.ravel() == 0) & (gy.ravel() == 0)).astype(np.int8)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            x = batch.column("x").to_numpy()
+            y = batch.column("y").to_numpy()
+            qids = batch.column("qid").to_numpy()
+            cells = grid_cell_disc(x, y, cell_res, ring)
+            m = cells.shape[1]
+            return pa.table(
+                {
+                    "cell": pa.array(cells.ravel(), pa.int64()),
+                    "is_q": pa.array(np.ones(len(x) * m, np.int8)),
+                    # the home-cell copy carries a marker so a query in
+                    # an all-empty neighborhood still reaches the merge
+                    # (and retries) instead of silently vanishing
+                    "home": pa.array(np.tile(home_row, len(x))),
+                    "id": pa.array(np.repeat(qids, m), pa.int64()),
+                    "x": pa.array(np.repeat(x, m), pa.float64()),
+                    "y": pa.array(np.repeat(y, m), pa.float64()),
+                }
+            )
+
+        return fn
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qm = g["is_q"].to_numpy() == 1
+        dm = ~qm
+        nd = int(dm.sum())
+        # sentinel rows (nid=-1, d2=inf) for home-cell query copies:
+        # guarantee every query appears in the per-qid merge
+        hids = g["id"].to_numpy()[qm & (g["home"].to_numpy() == 1)]
+        parts = [
+            pd.DataFrame(
+                {
+                    "qid": hids.astype(np.int64),
+                    "nid": np.full(len(hids), -1, np.int64),
+                    "d2": np.full(len(hids), np.inf),
+                }
+            )
+        ]
+        if nd and qm.any():
+            dx = g["x"].to_numpy()[dm]
+            dy = g["y"].to_numpy()[dm]
+            dids = g["id"].to_numpy()[dm]
+            qx = g["x"].to_numpy()[qm]
+            qy = g["y"].to_numpy()[qm]
+            qids = g["id"].to_numpy()[qm]
+            kk = min(k, nd)
+            # chunk queries so the pairwise matrix stays ~2M doubles
+            step = max(1, 2_000_000 // nd)
+            for s in range(0, len(qx), step):
+                d2 = (qx[s : s + step, None] - dx[None, :]) ** 2 + (qy[s : s + step, None] - dy[None, :]) ** 2
+                if nd > kk:
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.broadcast_to(np.arange(nd), (d2.shape[0], nd))
+                rows = np.repeat(np.arange(d2.shape[0]), part.shape[1])
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.repeat(qids[s : s + step], part.shape[1]).astype(np.int64),
+                            "nid": dids[part.ravel()].astype(np.int64),
+                            "d2": d2[rows, part.ravel()],
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True)
+
+    def make_merge(ring: int, accept_all: bool):
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g_qid = int(g["qid"].iloc[0])
+            g = g[np.isfinite(g["d2"].to_numpy())]
+            n_cand = len(g)
+            g = g.sort_values(["d2", "nid"], kind="mergesort").head(k).copy()
+            kth = float(np.sqrt(g["d2"].iloc[-1])) if len(g) else np.inf
+            done = accept_all or n_cand >= n_data or (n_cand >= k and kth <= ring * cell_res)
+            if not done and not n_cand:
+                # keep one sentinel row so the unresolved qid survives
+                # the filter/split into the retry set
+                return pd.DataFrame(
+                    {
+                        "qid": [np.int64(g_qid)],
+                        "rank": [np.int64(0)],
+                        "nid": [np.int64(-1)],
+                        "dist": [np.nan],
+                        "d2": [np.nan],
+                        "resolved": [False],
+                    }
+                )
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            g["dist"] = np.round(np.sqrt(g["d2"].to_numpy()), 6)
+            g["resolved"] = done
+            return g[["qid", "rank", "nid", "dist", "d2", "resolved"]]
+
+        return merge
+
+    def probe(remaining_ds, ring: int):
+        exploded = remaining_ds.map_batches(make_explode(ring), batch_format="pyarrow")
+        both = tagged_data.union(exploded)
+        cand = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
+        return cand.groupby("qid").map_groups(make_merge(ring, False), batch_format="pandas")
+
+    def fallback(remaining_ds):
+        """Full-scan tail: queries still unresolved at the ring cap
+        (isolated points far from all data) are, by construction, a
+        tiny set — broadcast them and stream ONE more pass over the
+        data side with per-block local top-k, then a per-qid merge.
+        Data is never materialized; the query set is."""
+        rows = remaining_ds.take_all()
+        qids = np.array([r["qid"] for r in rows], np.int64)
+        qx = np.array([r["x"] for r in rows], np.float64)
+        qy = np.array([r["y"] for r in rows], np.float64)
+        ref = ray.put((qids, qx, qy))
+
+        class BlockTopK:
+            def __init__(self):
+                self.qids, self.qx, self.qy = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                x = batch.column("x").to_numpy()
+                y = batch.column("y").to_numpy()
+                nid = batch.column("nid").to_numpy()
+                out_q, out_n, out_d = [], [], []
+                for j in range(len(self.qids)):
+                    d2 = (x - self.qx[j]) ** 2 + (y - self.qy[j]) ** 2
+                    kk = min(k, len(d2))
+                    if not kk:
+                        continue
+                    top = np.argpartition(d2, kk - 1)[:kk] if len(d2) > kk else np.arange(len(d2))
+                    out_q.append(np.full(len(top), self.qids[j], np.int64))
+                    out_n.append(nid[top].astype(np.int64))
+                    out_d.append(d2[top])
+                if not out_q:
+                    return pa.table(
+                        {
+                            "qid": pa.array([], pa.int64()),
+                            "nid": pa.array([], pa.int64()),
+                            "d2": pa.array([], pa.float64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "qid": pa.array(np.concatenate(out_q)),
+                        "nid": pa.array(np.concatenate(out_n)),
+                        "d2": pa.array(np.concatenate(out_d)),
+                    }
+                )
+
+        cand = data_ds.map_batches(BlockTopK, batch_format="pyarrow", concurrency=(1, 8))
+        return cand.groupby("qid").map_groups(make_merge(0, True), batch_format="pandas")
+
+    def split_resolved(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("resolved")).select(["qid", "rank", "nid", "dist", "d2"])
+
+    def split_bad_qids(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.invert(batch.column("resolved"))).select(["qid"])
+
+    out_parts = []
+    remaining = queries_ds
+    ring = init_ring
+    while True:
+        # output-sized materialization (k rows/query) so the
+        # resolved/unresolved split doesn't recompute the shuffle
+        merged = probe(remaining, ring).materialize()
+        out_parts.append(merged.map_batches(split_resolved, batch_format="pyarrow"))
+        bad = merged.map_batches(split_bad_qids, batch_format="pyarrow").take_all()
+        bad_qids = {r["qid"] for r in bad}
+        if not bad_qids:
+            break
+
+        def keep_bad(batch: pa.Table, bq=frozenset(bad_qids)) -> pa.Table:
+            qids = batch.column("qid").to_numpy()
+            return batch.filter(pa.array([int(q) in bq for q in qids]))
+
+        remaining = remaining.map_batches(keep_bad, batch_format="pyarrow")
+        if ring >= max_ring:
+            out_parts.append(
+                fallback(remaining).map_batches(split_resolved, batch_format="pyarrow")
+            )
+            break
+        ring = min(ring * 2, max_ring)
+
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.union(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
