@@ -177,82 +177,135 @@ def q_tile_pip_join(sf_dir: str):
 
 
 def q_points_pip_join(sf_dir: str):
-    """Shuffle-path PIP join (cell explode + per-cell probe)."""
+    """Shuffle-path PIP join (polygon Dataset exploded to covering
+    cells, co-shuffled with the points on cell)."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from gdal_boots_ray.sources.fixtures import nation_polygons, point_params
+    from gdal_boots_ray.sources.fixtures import nation_polygons
     from gdal_boots_ray.stages.joins import cell_pip_join
 
-    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
     nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    out = cell_pip_join(_points_dataset(sf_dir), nation_polygons(nk), cell_res=4000.0)
 
-    pts_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-
-    def to_points(batch: pa.Table) -> pa.Table:
-        p = point_params(batch.column("c_custkey").to_numpy(), n_part)
+    def cast(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "pid": pa.array(p["custkey"], pa.int64()),
-                "x": pa.array(p["x"], pa.float64()),
-                "y": pa.array(p["y"], pa.float64()),
+                "pid": batch.column("pid").cast(pa.int64()),
+                "poly_id": batch.column("poly_id").cast(pa.int64()),
             }
         )
 
-    pts_ds = pts_ds.map_batches(to_points, batch_format="pyarrow")
-    return cell_pip_join(pts_ds, nation_polygons(nk), cell_res=4000.0)
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_parts_pip_join(sf_dir: str):
+    """TWO-LARGE-SIDES shuffle PIP join: one diamond polygon per part
+    key (thousands of polygons — a side the broadcast plan cannot
+    take) joined against every customer point.  Both sides stream as
+    Datasets; the polygon side explodes to covering grid cells inside
+    map_batches and co-shuffles with the points on `cell`."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import part_polygons_batch
+    from gdal_boots_ray.stages.joins import cell_pip_join
+
+    polys_ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        lambda b: part_polygons_batch(b.column("p_partkey").to_numpy()), batch_format="pyarrow"
+    )
+    out = cell_pip_join(_points_dataset(sf_dir), polys_ds, cell_res=1000.0)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pid": batch.column("pid").cast(pa.int64()),
+                "poly_id": batch.column("poly_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 def q_point_values(sf_dir: str):
-    """Distributed values_by_points: tiles decoded, point side broadcast
-    (small), gather via inverse affine — SQL twin is the closed-form
-    pixel field."""
+    """Distributed values_by_points via a tile-key SHUFFLE join: the
+    point side streams from the customer table (NO driver-side read —
+    points are the unbounded side at scale), tiles stream decoded;
+    both co-shuffle once on the tile key and every group gathers its
+    points' pixel values with the inverse-affine kernel.  SQL twin is
+    the closed-form pixel field."""
+    import pandas as pd
     import pyarrow.parquet as pq
-    import ray
+    import ray.data as rd
 
+    from gdal_boots_ray.kernels.sampling import sample_points
     from gdal_boots_ray.sources.fixtures import point_params
     from gdal_boots_ray.stages.decode import pixels_view
 
     n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(0).to_numpy()
-    p = point_params(ck, n_part)
-    by_tile: Dict[int, list] = {}
-    for pid, tk, x, y in zip(p["custkey"], p["tile_key"], p["x"], p["y"]):
-        by_tile.setdefault(int(tk), []).append((int(pid), float(x), float(y)))
-    pts_ref = ray.put(by_tile)
 
-    ds = _tiles_dataset(sf_dir, decode=True)
+    def tag_points(batch: pa.Table) -> pa.Table:
+        p = point_params(batch.column("c_custkey").to_numpy(), n_part)
+        n = len(p["custkey"])
+        return pa.table(
+            {
+                "k": pa.array(p["tile_key"], pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "pid": pa.array(p["custkey"], pa.int64()),
+                "x": pa.array(p["x"], pa.float64()),
+                "y": pa.array(p["y"], pa.float64()),
+                "pixels": pa.array([None] * n, pa.large_binary()),
+                "gt": pa.array([None] * n, pa.list_(pa.float64(), 6)),
+                "w": pa.array(np.zeros(n, np.int64)),
+                "h": pa.array(np.zeros(n, np.int64)),
+                "bands": pa.array(np.zeros(n, np.int64)),
+            }
+        )
 
-    class Sample:
-        def __init__(self):
-            self.by_tile = ray.get(pts_ref)
+    def tag_tiles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        keys = np.array([int(i.split("-")[1]) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "pid": pa.array(np.zeros(n, np.int64)),
+                "x": pa.array(np.full(n, np.nan), pa.float64()),
+                "y": pa.array(np.full(n, np.nan), pa.float64()),
+                "pixels": batch.column("pixels").cast(pa.large_binary()),
+                "gt": batch.column("gt"),
+                "w": batch.column("w").cast(pa.int64()),
+                "h": batch.column("h").cast(pa.int64()),
+                "bands": batch.column("bands").cast(pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from gdal_boots_ray.kernels.sampling import sample_points
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+        tag_points, batch_format="pyarrow"
+    )
+    tiles = _tiles_dataset(sf_dir, decode=True).map_batches(tag_tiles, batch_format="pyarrow")
 
-            gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
-            ws = batch.column("w").to_numpy()
-            hs = batch.column("h").to_numpy()
-            bands = batch.column("bands").to_numpy()
-            pix = batch.column("pixels")
-            ids = batch.column("image_id").to_pylist()
-            out_pid, out_val = [], []
-            for i, iid in enumerate(ids):
-                key = int(iid.split("-")[1])
-                pts = self.by_tile.get(key)
-                if not pts:
-                    continue
-                img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
-                xs = np.array([t[1] for t in pts])
-                ys = np.array([t[2] for t in pts])
-                vals, ok = sample_points(img if img.ndim == 2 else img[0], gts[i], xs, ys)
-                for j, t in enumerate(pts):
-                    if ok[j]:
-                        out_pid.append(t[0])
-                        out_val.append(int(vals[j]))
-            return pa.table({"pid": pa.array(out_pid, pa.int64()), "value": pa.array(out_val, pa.int64())})
+    def sample_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pid": pd.Series([], dtype=np.int64), "value": pd.Series([], dtype=np.int64)}
+        )
+        tm = g["kind"].to_numpy() == 1
+        pts_g = g[~tm]
+        if not tm.any() or not len(pts_g):
+            return empty
+        trow = g[tm].iloc[0]
+        img = pixels_view(trow["pixels"], int(trow["bands"]), int(trow["h"]), int(trow["w"]))
+        gt = np.asarray(trow["gt"], np.float64)
+        vals, ok = sample_points(
+            img if img.ndim == 2 else img[0], gt, pts_g["x"].to_numpy(), pts_g["y"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "pid": pts_g["pid"].to_numpy()[ok].astype(np.int64),
+                "value": vals[ok].astype(np.int64),
+            }
+        )
 
-    return ds.map_batches(Sample, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return pts.union(tiles).groupby("k").map_groups(sample_group, batch_format="pandas")
 
 
 def q_zonal_stats(sf_dir: str):
@@ -1332,6 +1385,20 @@ ORACLE_SQL: Dict[str, str] = {
         FROM pt_coords, polys
         WHERE abs(px - pcx) / rx + abs(py - pcy) / ry < 1.0
     """,
+    "parts_pip_join": f"""
+        WITH {POINT_SQL_CTE},
+        ppolys AS (
+            SELECT CAST(p_partkey AS BIGINT) AS poly_id,
+                600000.0 + (p_partkey % 40) * 1000.0 + 500.0 AS pcx,
+                5700000.0 - (p_partkey // 40) * 1000.0 - 500.0 AS pcy,
+                417.0 + (p_partkey % 5) * 211.0 AS rx,
+                389.0 + (p_partkey % 7) * 157.0 AS ry
+            FROM part
+        )
+        SELECT pid, poly_id
+        FROM pt_coords, ppolys
+        WHERE abs(px - pcx) / rx + abs(py - pcy) / ry < 1.0
+    """,
     "point_values": """
         SELECT CAST(c_custkey AS BIGINT) AS pid,
             CAST(((c_custkey % 23) * 31 + (c_custkey % 19) * 17
@@ -1625,6 +1692,7 @@ QUERIES = {
     "tile_s2_cells": q_tile_s2_cells,
     "tile_pip_join": q_tile_pip_join,
     "points_pip_join": q_points_pip_join,
+    "parts_pip_join": q_parts_pip_join,
     "point_values": q_point_values,
     "zonal_stats": q_zonal_stats,
     "image_stats": q_image_stats,

@@ -197,6 +197,51 @@ def bench_polygons(n_images: int, tile_px: int, n_polys: int = 25) -> List[dict]
     return polys
 
 
+def part_polygon_params(partkeys: np.ndarray):
+    """Per-PART-KEY diamond polygons — thousands of small polygons over
+    the tile grid so the polygon side is itself a large Dataset (the
+    two-large-sides shuffle PIP join input).  Radii reach into
+    neighboring 1 km grid cells, exercising multi-cell coverage.
+
+    SQL twin (see oracle_sql 'parts_pip_join'):
+        pcx = 600000 + (k % 40) * 1000 + 500,  rx = 417 + (k % 5) * 211
+        pcy = 5700000 - (k // 40) * 1000 - 500, ry = 389 + (k % 7) * 157
+    """
+    k = np.asarray(partkeys, dtype=np.int64)
+    pcx = TILE_X0 + (k % TILE_COLS) * TILE_STEP + 500.0
+    pcy = TILE_Y0 - (k // TILE_COLS) * TILE_STEP - 500.0
+    rx = 417.0 + (k % 5) * 211.0
+    ry = 389.0 + (k % 7) * 157.0
+    return pcx, pcy, rx, ry
+
+
+def part_polygons_batch(partkeys: np.ndarray) -> pa.Table:
+    """(poly_id, geom) Arrow batch of the per-part diamonds — the
+    distributed polygon-side input of cell_pip_join."""
+    import json
+
+    pcx, pcy, rx, ry = part_polygon_params(partkeys)
+    k = np.asarray(partkeys, dtype=np.int64)
+    geoms = [
+        json.dumps(
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [cx - dx, cy],
+                        [cx, cy + dy],
+                        [cx + dx, cy],
+                        [cx, cy - dy],
+                        [cx - dx, cy],
+                    ]
+                ],
+            }
+        )
+        for cx, cy, dx, dy in zip(pcx, pcy, rx, ry)
+    ]
+    return pa.table({"poly_id": pa.array(k, pa.int64()), "geom": pa.array(geoms, pa.string())})
+
+
 def nation_polygon_params(n: int):
     cx = TILE_X0 + (n % 8) * 5000.0 + 2500.0
     cy = TILE_Y0 - (n % 5) * 8000.0 - 4000.0

@@ -102,69 +102,123 @@ class SampleTilesAtPoints:
 
 def cell_pip_join(
     points_ds,
-    polygons: Sequence[dict],
+    polygons,
     cell_res: float,
     x_col: str = "x",
     y_col: str = "y",
     key_col: str = "pid",
 ):
-    """Shuffle PIP join for a LARGE polygon side: polygons exploded to
-    covering cells on the driver (poly count >> cells per poly), points
-    get their containing cell, groupby(cell) runs per-cell PIP with
-    only that cell's polygons.  Returns a Dataset of
-    (key_col, poly_id) matches.
+    """Shuffle PIP join where BOTH sides stream as Datasets — the
+    cluster-scale form of the reference's crop/contains joins
+    (gdal.py:819-888) with no driver-side materialization of either
+    side.
+
+    ``polygons`` is a Dataset with columns (poly_id, geom[GeoJSON
+    string]) — a driver-side list of GeoJSON feature dicts is also
+    accepted and converted for the small/legacy callers.
+
+    Physical plan: each polygon row explodes to its envelope's
+    covering grid cells (a Dataset map, so the polygon side scales out
+    too); each point carries its single home cell; both co-shuffle
+    once on ``cell`` (groupby) and every cell group parses its local
+    polygons once and runs vectorized ray-casting over the group's
+    points.  A matching (point, polygon) pair meets in EXACTLY the
+    point's home cell — the polygon's covering cells include every
+    cell it touches — so matches are globally unique and no dedup
+    shuffle is needed.
 
     Partitioning assumption: a polygon spans few grid cells at the
-    chosen ``cell_res`` (document per use; envelope explosion is exact,
-    the PIP inside the group is exact, so res only affects fan-out)."""
+    chosen ``cell_res`` (envelope explosion is exact; res only
+    affects fan-out).  Hot cells can be salted upstream (stages.skew).
+    """
+    import json
+
     import pandas as pd
+    import ray.data as rd
 
     from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cells_covering_bounds
-    from gdal_boots_ray.kernels.geometry import envelope
 
-    cell_to_polys: Dict[int, List] = {}
-    for p in polygons:
-        rings = polygon_rings(p["geometry"])
-        env = envelope(p["geometry"])
-        for c in grid_cells_covering_bounds(env, cell_res):
-            cell_to_polys.setdefault(int(c), []).append((int(p["poly_id"]), rings))
-    lookup_ref = ray.put(cell_to_polys)
+    if not hasattr(polygons, "map_batches"):  # legacy list-of-dicts callers
+        polygons = rd.from_arrow(
+            pa.table(
+                {
+                    "poly_id": pa.array([int(p["poly_id"]) for p in polygons], pa.int64()),
+                    "geom": pa.array([json.dumps(p["geometry"]) for p in polygons], pa.string()),
+                }
+            )
+        )
 
-    def add_cell(batch: pa.Table) -> pa.Table:
+    def explode_polys(batch: pa.Table) -> pa.Table:
+        pids = batch.column("poly_id").to_numpy()
+        geoms = batch.column("geom").to_pylist()
+        out_cell: List[int] = []
+        out_idx: List[int] = []
+        for i, gj in enumerate(geoms):
+            rings = polygon_rings(json.loads(gj))
+            ext = rings[0]
+            env = (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
+            cc = grid_cells_covering_bounds(env, cell_res)
+            out_cell.extend(cc.tolist())
+            out_idx.extend([i] * len(cc))
+        n = len(out_cell)
+        return pa.table(
+            {
+                "cell": pa.array(out_cell, pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "id": pa.array(pids[out_idx] if n else [], pa.int64()),
+                "x": pa.array(np.full(n, np.nan), pa.float64()),
+                "y": pa.array(np.full(n, np.nan), pa.float64()),
+                "geom": pa.array([geoms[i] for i in out_idx], pa.string()),
+            }
+        )
+
+    def tag_points(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).to_numpy()
         y = batch.column(y_col).to_numpy()
-        return batch.append_column("cell", pa.array(grid_cell_id(x, y, cell_res), pa.int64()))
+        n = len(x)
+        return pa.table(
+            {
+                "cell": pa.array(grid_cell_id(x, y, cell_res), pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "id": batch.column(key_col).cast(pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+                "geom": pa.array([None] * n, pa.string()),
+            }
+        )
 
-    class PerCellPIP:
-        def __init__(self):
-            self.lookup = ray.get(lookup_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            x = batch.column(x_col).to_numpy()
-            y = batch.column(y_col).to_numpy()
-            cells = batch.column("cell").to_numpy()
-            keys = batch.column(key_col).to_numpy()
-            out_keys: List[int] = []
-            out_polys: List[int] = []
-            for c in np.unique(cells):
-                polys = self.lookup.get(int(c))
-                if not polys:
-                    continue
-                m = cells == c
-                for pid, rings in polys:
-                    inside = points_in_rings(x[m], y[m], rings)
-                    out_keys.extend(keys[m][inside].tolist())
-                    out_polys.extend([pid] * int(inside.sum()))
-            return pa.table(
-                {key_col: pa.array(out_keys, pa.int64()), "poly_id": pa.array(out_polys, pa.int64())}
-            )
-
-    # the groupby(cell) shuffle co-locates each cell; PerCellPIP then
-    # probes only the local cell's polygons
-    matched = points_ds.map_batches(add_cell, batch_format="pyarrow").map_batches(
-        PerCellPIP, batch_format="pyarrow", concurrency=(1, 8)
+    both = points_ds.map_batches(tag_points, batch_format="pyarrow").union(
+        polygons.map_batches(explode_polys, batch_format="pyarrow")
     )
-    return matched
+
+    def group_pip(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {key_col: pd.Series([], dtype=np.int64), "poly_id": pd.Series([], dtype=np.int64)}
+        )
+        pm = g["kind"].to_numpy() == 1
+        if not pm.any() or pm.all():
+            return empty
+        px = g["x"].to_numpy()[~pm]
+        py = g["y"].to_numpy()[~pm]
+        pids = g["id"].to_numpy()[~pm]
+        out_keys: List[np.ndarray] = []
+        out_polys: List[np.ndarray] = []
+        for poly_id, gj in zip(g["id"].to_numpy()[pm], g["geom"].to_numpy()[pm]):
+            rings = polygon_rings(json.loads(gj))
+            inside = points_in_rings(px, py, rings)
+            hits = pids[inside]
+            out_keys.append(hits)
+            out_polys.append(np.full(len(hits), poly_id, np.int64))
+        if not out_keys:
+            return empty
+        return pd.DataFrame(
+            {
+                key_col: np.concatenate(out_keys).astype(np.int64),
+                "poly_id": np.concatenate(out_polys),
+            }
+        )
+
+    return both.groupby("cell").map_groups(group_pip, batch_format="pandas")
 
 
 def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optional[np.ndarray] = None):
