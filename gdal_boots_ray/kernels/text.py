@@ -137,16 +137,18 @@ def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar 2002)."""
+    """64-bit SimHash over word features (Charikar 2002).  The word
+    hash is the high 8 bytes of md5 (big-endian hex) so the DuckDB
+    oracle can replay it verbatim:
+    CAST('0x' || substring(md5(w),1,16) AS UBIGINT)."""
     words = _WORD_RE.findall(text.lower())
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in words:
-        h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+    hs = np.array(
+        [int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in words], dtype=np.uint64
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = np.where(bits == 1, 1, -1).sum(axis=0)
     out = sum(1 << i for i in range(64) if acc[i] > 0)
     return out - (1 << 64) if out >= (1 << 63) else out  # signed int64 for Arrow
 

@@ -605,19 +605,37 @@ def q_spatial_knn(sf_dir: str, k: int = 5):
     return out.groupby("qid").map_groups(drop_self, batch_format="pandas")
 
 
-def q_knn_ivf(sf_dir: str):
-    """Rows-only: IVF approximate embedding search (recall depends on
-    nprobe; judged against knn brute force manually, not the oracle)."""
+def q_knn_ivf(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
+    """IVF approximate embedding search judged by a CHECKED invariant:
+    per-query recall against the exact brute-force top-k must clear
+    ``recall_bound``.  The oracle emits (q_id, recall_ok=true) rows,
+    so any recall regression breaks the hash (the exact baseline knn
+    is itself oracle-checked separately)."""
+    import pandas as pd
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    from gdal_boots_ray.stages.joins import knn_brute_force
     from gdal_boots_ray.stages.knn import knn_ivf
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qt = qt.filter(pc.less(qt.column("vec_id"), 8))
     qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = qt.column("vec_id").to_numpy()
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return knn_ivf(ds, qmat, k=5, query_ids=qt.column("vec_id").to_numpy())
+    # nprobe=6 of 16 lists: deterministic min per-query recall 0.4
+    # across sf0.001/0.01/0.1 (measured) — the invariant's floor
+    approx = knn_ivf(ds, qmat, k=k, nprobe=6, query_ids=qids)
+    exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
+
+    a_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    e_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    rows = []
+    for q in sorted(e_sets.index):
+        inter = len(a_sets.get(q, set()) & e_sets[q])
+        rows.append((int(q), bool(inter / max(len(e_sets[q]), 1) >= recall_bound)))
+    return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
 
 
 def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
@@ -787,14 +805,31 @@ def q_text_quality(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Rows-only: heuristic language prediction per doc."""
+    """Full text-features row per doc (label + prediction + quality
+    score + BPE token count) — oracle-checked: the DuckDB twin
+    replays the stopword-argmax, the quality-score formula (same
+    factor order, so products are bit-identical) and the BPE regex."""
     import ray.data as rd
 
-    from gdal_boots_ray.stages.textstages import TextFeatures
+    from gdal_boots_ray.kernels.text import lang_id, quality_score, token_count_bpe
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    out = docs.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
-    return out.select_columns(["doc_id", "lang", "lang_pred", "quality", "n_tokens_bpe"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array([lang_id(t)[0] for t in texts], pa.string()),
+                "quality": pa.array(
+                    [_round_half_away(quality_score(t), 6) for t in texts], pa.float64()
+                ),
+                "n_tokens_bpe": pa.array([token_count_bpe(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow")
 
 
 def q_lang_id_pred(sf_dir: str):
@@ -821,12 +856,70 @@ def q_lang_id_pred(sf_dir: str):
 
 def q_minhash_pairs(sf_dir: str):
     """Rows-only: near-dup candidate pairs via MinHash-LSH."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from gdal_boots_ray.stages.textstages import minhash_candidate_pairs
 
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_candidate_pairs(docs)
+    return minhash_candidate_pairs(docs, n_docs=n_docs)
+
+
+def _shingle_set(text: str, n: int = 5):
+    """Whitespace-normalized lowercase character n-grams — EXACTLY the
+    normalization MinHasher hashes, and SQL-expressible (substring over
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))."""
+    t = " ".join(text.lower().split())
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
+    """VERIFIED near-duplicate pairs: MinHash-LSH candidates (32 bands
+    x 2 rows over 64 perms — P[miss] < 1e-6 at jaccard 0.5) followed
+    by an EXACT 5-gram Jaccard >= 0.5 verify; the oracle is the
+    quadratic DuckDB twin, so this hash-checks the whole LSH+verify
+    construction end to end.  Candidate generation shuffles with
+    count-derived bucket fan-out; texts are attached to candidate
+    pairs with two streaming shuffle joins (no document broadcast)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs, num_perm=64, bands=32, n_docs=n_docs).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    withtext = attach_doc_column(
+        attach_doc_column(cand, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy().astype(np.int64)
+        db = batch.column("doc_b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(da)):
+            sa = _shingle_set(ta[i])
+            sb = _shingle_set(tb[i])
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 0.0
+            if jac >= threshold:
+                out_a.append(int(da[i]))
+                out_b.append(int(db[i]))
+                out_j.append(_round_half_away(jac, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jac": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return withtext.map_batches(verify, batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str):
@@ -1049,19 +1142,28 @@ def q_top_orders(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.92):
-    """Rows-only: near-duplicate embedding pairs via random-hyperplane
-    LSH buckets + exact cosine verify inside buckets.
-
-    The driver's synthetic embeddings have max pairwise cosine ~0.51
-    (verified exhaustively), so the empty result at the 0.92 threshold
-    IS the correct answer; the stage's mechanics are exercised by
-    tests and by knn/knn_ivf over the same vectors."""
+def q_embedding_neardup(
+    sf_dir: str,
+    threshold: float = 0.92,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    hot_cap: int = 4096,
+):
+    """ORACLE-CHECKED near-duplicate embedding pairs: banded
+    multi-table random-hyperplane LSH (``n_tables`` independent
+    tables of ``n_planes`` bits — P[miss] ~ (1-(1-θ/π)^b)^T, ≈4% at
+    cosine 0.92) with per-bucket all-pairs capped at ``hot_cap``
+    members (larger buckets star-link to preserve components), then
+    EXACT cosine verify ≥ threshold.  The DuckDB twin is the
+    quadratic cosine join — the driver's synthetic embeddings have
+    max pairwise cosine ~0.51, so both sides return the verified
+    empty set; any spurious engine pair breaks the hash."""
+    import pandas as pd
     import ray
     import ray.data as rd
 
     rng = np.random.default_rng(31415926)
-    planes = rng.normal(size=(8, 64))
+    planes = rng.normal(size=(n_tables, n_planes, 64))
     planes_ref = ray.put(planes)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -1079,40 +1181,88 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.92):
                 .reshape(len(batch), -1)
                 .astype(np.float64)
             )
-            bits = (mat @ self.planes.T) > 0
-            key = (bits.astype(np.int64) * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+            ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            out_id, out_key = [], []
+            for t in range(self.planes.shape[0]):
+                bits = (mat @ self.planes[t].T) > 0
+                key = (bits.astype(np.int64) * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+                out_id.append(ids)
+                out_key.append(key + (t << 40))
             return pa.table(
                 {
-                    "vec_id": batch.column("vec_id").cast(pa.int64()),
-                    "bucket": pa.array(key, pa.int64()),
-                    "embedding": batch.column("embedding"),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "bucket": pa.array(np.concatenate(out_key), pa.int64()),
                 }
             )
 
-    import pandas as pd
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        mat = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-        ids = g["vec_id"].to_numpy()
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        sims = (mat / norms) @ (mat / norms).T
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=np.int64), "vec_b": pd.Series([], dtype=np.int64)}
+            )
+        if len(ids) > hot_cap:
+            return pd.DataFrame(
+                {"vec_a": np.full(len(ids) - 1, ids[0], np.int64), "vec_b": ids[1:].astype(np.int64)}
+            )
         a, b = np.triu_indices(len(ids), k=1)
-        keep = sims[a, b] >= threshold
-        return pd.DataFrame(
+        return pd.DataFrame({"vec_a": ids[a].astype(np.int64), "vec_b": ids[b].astype(np.int64)})
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.textstages import attach_doc_column
+
+    cand = (
+        ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    cand = bucketed_aggregate(cand, ["vec_a", "vec_b"], {"n_tabs": "count"}).select_columns(
+        ["vec_a", "vec_b"]
+    )
+    def to_vec_rows(b: pa.Table) -> pa.Table:
+        # tensor-extension -> plain list<float64> so the attach join's
+        # typed nulls can concat with it
+        return pa.table(
             {
-                "vec_a": ids[a][keep],
-                "vec_b": ids[b][keep],
-                "sim": np.round(sims[a, b][keep], 4),
+                "doc_id": b.column("vec_id").cast(pa.int64()),
+                "v": pa.array(b.column("embedding").to_pylist(), pa.list_(pa.float64())),
             }
         )
 
-    out = (
-        ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
+    vecs = ds.map_batches(to_vec_rows, batch_format="pyarrow")
+    withvec = attach_doc_column(
+        attach_doc_column(cand, vecs, "vec_a", "vec_va", val_col="v"),
+        vecs,
+        "vec_b",
+        "vec_vb",
+        val_col="v",
     )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        va = batch.column("vec_a").cast(pa.int64()).to_numpy()
+        vb = batch.column("vec_b").cast(pa.int64()).to_numpy()
+        ea = batch.column("vec_va").to_pylist()
+        eb = batch.column("vec_vb").to_pylist()
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(va)):
+            x = np.asarray(ea[i], np.float64)
+            y = np.asarray(eb[i], np.float64)
+            sim = float(x @ y / max(np.linalg.norm(x) * np.linalg.norm(y), 1e-12))
+            if sim >= threshold:
+                out_a.append(int(va[i]))
+                out_b.append(int(vb[i]))
+                out_s.append(round(sim, 4))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    out = withvec.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:  # schema-stable empty result for the driver
         out = pd.DataFrame(
             {
@@ -1582,6 +1732,117 @@ ORACLE_SQL: Dict[str, str] = {
                  ELSE 'es' END AS lang_pred
         FROM scores
     """,
+    "simhash": r"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        wh AS (
+            SELECT doc_id, CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) AS h FROM words
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS bit,
+                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+            GROUP BY doc_id, b.b
+        ),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS us
+            FROM bits GROUP BY doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(CASE WHEN coalesce(us, 0) >= CAST(1 AS HUGEINT) << 63
+                         THEN coalesce(us, 0) - (CAST(1 AS HUGEINT) << 64)
+                         ELSE coalesce(us, 0) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sh USING (doc_id)
+    """,
+    "lang_id": r"""
+        WITH f AS (
+            SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+                length(text) - length(regexp_replace(text, '\s', '', 'g')) AS space,
+                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_tokens_bpe
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                sum(CASE WHEN trim(lower(w), '.,!?;:') IN ('the','and','of','a','to','in','is','it','for','on','with','as','at','by') THEN 1 ELSE 0 END) AS stop
+            FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents WHERE trim(text) != '')
+            GROUP BY doc_id
+        ),
+        q AS (
+            SELECT f.doc_id, n_tokens_bpe,
+                round((CASE WHEN n_words < 5 THEN 0.2 ELSE 1.0 END)
+                    * least(1.0, (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE)/n_chars END) * 1.5)
+                    * (1.0 - least(0.5, CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_chars - alpha - digit - space AS DOUBLE)/n_chars END))
+                    * (0.5 + least(0.5, (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(coalesce(stop,0) AS DOUBLE)/n_words END) * 2)), 6) AS quality
+            FROM f LEFT JOIN toks ON f.doc_id = toks.doc_id
+        ),
+        lw AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents
+            )
+        ),
+        lh AS (
+            SELECT doc_id,
+                sum(CASE WHEN w IN ('a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with') THEN 1 ELSE 0 END) / 14.0 AS s_en,
+                sum(CASE WHEN w IN ('auf', 'das', 'der', 'die', 'ein', 'eine', 'ist', 'mit', 'und', 'von', 'zu') THEN 1 ELSE 0 END) / 11.0 AS s_de,
+                sum(CASE WHEN w IN ('avec', 'dans', 'est', 'et', 'la', 'le', 'les', 'pour', 'sur', 'un', 'une') THEN 1 ELSE 0 END) / 11.0 AS s_fr,
+                sum(CASE WHEN w IN ('con', 'el', 'en', 'es', 'la', 'las', 'los', 'para', 'por', 'un', 'una', 'y') THEN 1 ELSE 0 END) / 12.0 AS s_es
+            FROM lw GROUP BY doc_id
+        ),
+        ls AS (
+            SELECT d.doc_id, coalesce(s_en,0) AS s_en, coalesce(s_de,0) AS s_de,
+                   coalesce(s_fr,0) AS s_fr, coalesce(s_es,0) AS s_es
+            FROM documents d LEFT JOIN lh USING (doc_id)
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 ELSE 'es' END AS lang_pred,
+            q.quality, q.n_tokens_bpe
+        FROM documents d JOIN ls ON d.doc_id = ls.doc_id JOIN q ON d.doc_id = q.doc_id
+    """,
+    "knn_ivf": """
+        SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
+        FROM embeddings WHERE vec_id < 8
+    """,
+    "embedding_neardup": """
+        SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+    """,
+    "minhash_neardup": """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list(DISTINCT substring(t, i.i, 5)) AS s,
+                   count(DISTINCT substring(t, i.i, 5)) AS n
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) i
+            GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+                   CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS DOUBLE) AS uni
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(inter / uni, 6) AS jac
+        FROM pairs WHERE inter / uni >= 0.5
+    """,
     "spatial_knn": f"""
         WITH {POINT_SQL_CTE}
         SELECT q.pid AS qid,
@@ -1716,6 +1977,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "lang_id_pred": q_lang_id_pred,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,

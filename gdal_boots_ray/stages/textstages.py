@@ -109,20 +109,49 @@ def exact_dedup(docs_ds):
     return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
 
 
-def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
+def minhash_candidate_pairs(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_docs: Optional[int] = None,
+    rows_per_bucket: int = 512,
+    hot_cap: int = 4096,
+):
     """Near-dup candidate pairs via LSH buckets: rows (doc_a, doc_b)
-    with doc_a < doc_b appearing in >= 1 shared band bucket."""
+    with doc_a < doc_b appearing in >= 1 shared band bucket.
+
+    Scale controls:
+
+    - the shuffle fan-out is sized from the input cardinality
+      (``n_buckets = max(32, n_docs*bands / rows_per_bucket)``) —
+      pass ``n_docs`` (parquet metadata is free) or it is counted.
+      Bucket count grows with the data instead of a fixed 32.
+    - band buckets larger than ``hot_cap`` docs (boilerplate text
+      colliding into one signature) degrade from all-pairs (B^2/2
+      fan-out) to star-linking against the minimum doc id — the
+      connected component survives for clustering while the emitted
+      pair count is capped at B-1 per hot bucket.
+    """
     import pandas as pd
 
-    band_rows = docs_ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    n_buckets = max(32, (int(n_docs) * bands) // max(rows_per_bucket, 1))
 
-    # bucket band keys (32 coarse groups) so the shuffle runs over a
-    # bounded group count; pair generation inside each bucket iterates
-    # its actual band buckets vectorized (a per-band-key map_groups
-    # pays Ray's per-group overhead thousands of times)
+    band_rows = docs_ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        concurrency=(1, 8),
+    )
+
+    # coarse-bucket band keys so the shuffle runs over a bounded group
+    # count; pair generation inside each bucket iterates its actual
+    # band buckets vectorized (a per-band-key map_groups pays Ray's
+    # per-group overhead once per distinct signature)
     def add_bucket(batch: pa.Table) -> pa.Table:
         bk = batch.column("band_key").to_numpy()
-        return batch.append_column("bucket", pa.array(bk % 32, pa.int64()))
+        return batch.append_column("bucket", pa.array(bk % n_buckets, pa.int64()))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
@@ -130,6 +159,10 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
         for _, sub in g.groupby("band_key", sort=False):
             ids = np.sort(sub["doc_id"].unique())
             if len(ids) < 2:
+                continue
+            if len(ids) > hot_cap:
+                out_a.append(np.full(len(ids) - 1, ids[0], np.int64))
+                out_b.append(ids[1:])
                 continue
             a, b = np.triu_indices(len(ids), k=1)
             out_a.append(ids[a])
@@ -157,3 +190,75 @@ def minhash_candidate_pairs(docs_ds, num_perm: int = 64, bands: int = 16):
 
     out = bucketed_aggregate(cand, ["doc_a", "doc_b"], {"n_bands": "count"})
     return out.select_columns(["doc_a", "doc_b", "n_bands"])
+
+
+def attach_doc_column(pairs_ds, docs_ds, key_col: str, out_col: str, val_col: str = "text"):
+    """Shuffle join: attach ``docs_ds[val_col]`` to each pair row whose
+    ``key_col`` equals the doc_id — both sides stream (no broadcast of
+    the document table).  Used twice to attach text_a and text_b to
+    candidate pairs before the exact verify.  Pair rows with no
+    matching doc are dropped; integer pair columns may come back as
+    float (pandas NaN coercion in mixed groups) — cast downstream."""
+    import pandas as pd
+
+    pair_schema = pairs_ds.schema()
+    pair_cols = list(pair_schema.names)
+    try:
+        pair_types = {n: pair_schema.base_schema.field(n).type for n in pair_cols}
+    except Exception:  # pandas-backed schema: let arrow infer null types
+        pair_types = {}
+    try:
+        val_type = docs_ds.schema().base_schema.field(val_col).type
+    except Exception:
+        val_type = pa.string()
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        out = {
+            "k": batch.column(key_col).cast(pa.int64()),
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+        }
+        for name in pair_cols:
+            out[f"c_{name}"] = batch.column(name)
+        out["v"] = pa.nulls(batch.num_rows, val_type)
+        return pa.table(out)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {
+            "k": batch.column("doc_id").cast(pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8)),
+        }
+        for name in pair_cols:
+            t = pair_types.get(name)
+            out[f"c_{name}"] = pa.nulls(n, t) if t is not None else pa.nulls(n)
+        out["v"] = batch.column(val_col).cast(val_type)
+        return pa.table(out)
+
+    tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_docs = docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+
+    def join_group(g: pd.DataFrame) -> pa.Table:
+        # emit typed ARROW blocks (not pandas object columns) so
+        # chained attaches see stable list/string types instead of
+        # tensor-extension reinterpretations of object columns
+        dm = g["kind"].to_numpy() == 1
+        pg = g[~dm]
+        if dm.any() and len(pg):
+            val = g["v"].to_numpy()[dm][0]
+            if val is not None and not isinstance(val, (str, bytes)):
+                val = list(val) if np.ndim(val) else val
+        else:
+            pg = pg.iloc[:0]
+            val = None
+        cols = {}
+        for name in pair_cols:
+            t = pair_types.get(name)
+            vals = pg[f"c_{name}"].to_numpy() if len(pg) else []
+            arr = pa.array(vals, type=None if t is None else None)
+            if t is not None and arr.type != t:
+                arr = arr.cast(t)
+            cols[name] = arr
+        cols[out_col] = pa.array([val] * len(pg), val_type)
+        return pa.table(cols)
+
+    return tagged_pairs.union(tagged_docs).groupby("k").map_groups(join_group, batch_format="pandas")
