@@ -200,13 +200,24 @@ _RAW_HEADER_LEN = 4 + struct.calcsize("<BHII")
 def raw_header(data) -> Tuple[int, int, int, int]:
     """(bands, h, w, payload_nbytes) of a uint8 RAW1 stream — lets
     callers slice the pixel payload zero-copy.  Raises for non-uint8
-    payloads (callers fall back to ``raw_decode``)."""
+    payloads (callers fall back to ``raw_header_full``)."""
     if bytes(data[:4]) != _RAW_MAGIC:
         raise ValueError("not a RAW1 stream")
     code, bands, h, w = struct.unpack_from("<BHII", data, 4)
     if code != 1:
         raise ValueError("raw_header supports uint8 payloads only")
     return bands, h, w, bands * h * w
+
+
+def raw_header_full(data) -> Tuple[np.dtype, int, int, int, int]:
+    """(dtype, bands, h, w, payload_nbytes) of any RAW1 stream — the
+    multi-dtype zero-copy slice path (reference dtype map
+    gdal.py:58-71)."""
+    if bytes(data[:4]) != _RAW_MAGIC:
+        raise ValueError("not a RAW1 stream")
+    code, bands, h, w = struct.unpack_from("<BHII", data, 4)
+    dt = _CODE_DTYPE[code]
+    return dt, bands, h, w, bands * h * w * dt.itemsize
 
 
 def raw_decode(data: bytes) -> np.ndarray:

@@ -202,6 +202,35 @@ def _bounds_to(dst, src, b: np.ndarray) -> np.ndarray:
     return np.array([min(x), min(y), max(x), max(y)])
 
 
+def bspline_weights(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline tap weights for taps at offsets -1..2 of the
+    continuous coordinate fraction ``t`` — partition of unity, no
+    normalization needed (GDAL Resampling.cubicspline family)."""
+    w = np.empty((4,) + t.shape)
+    for idx, k in enumerate(range(-1, 3)):
+        s_ = np.abs(t - k)
+        w[idx] = np.where(
+            s_ < 1,
+            (3 * s_**3 - 6 * s_**2 + 4) / 6.0,
+            np.where(s_ < 2, (2 - s_) ** 3 / 6.0, 0.0),
+        )
+    return w
+
+
+def lanczos3_weights(t: np.ndarray) -> np.ndarray:
+    """Lanczos a=3 windowed-sinc tap weights for taps at offsets
+    -2..3, normalized to sum 1 (GDAL Resampling.lanczos family)."""
+    w = np.empty((6,) + t.shape)
+    a = 3.0
+    for idx, k in enumerate(range(-2, 4)):
+        s_ = t - k
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = a * np.sin(np.pi * s_) * np.sin(np.pi * s_ / a) / (np.pi**2 * s_**2)
+        w[idx] = np.where(np.abs(s_) < 1e-12, 1.0, val)
+    w /= w.sum(axis=0)
+    return w
+
+
 def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, res_y):
     h_out, w_out = out.shape[1:]
     sh, sw = s.img.shape[1:]
@@ -269,9 +298,45 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
         painted |= valid
         return
 
-    if resampling in ("bilinear", "cubicspline", "lanczos"):
-        if resampling != "bilinear":
-            resampling = "bilinear"  # documented approximation: spline/lanczos -> bilinear
+    if resampling in ("cubicspline", "lanczos"):
+        # separable windowed gathers matching GDAL's kernel families:
+        # cubicspline = cubic B-spline (4 taps, partition of unity),
+        # lanczos = sinc windowed sinc, a=3 (6 taps, normalized)
+        fx = PX - 0.5
+        fy = PY - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        valid = (PX >= 0) & (PX < sw) & (PY >= 0) & (PY < sh)
+
+        if resampling == "cubicspline":
+            taps, start = 4, -1
+            kweights = bspline_weights
+        else:
+            taps, start = 6, -2
+            kweights = lanczos3_weights
+
+        wx = kweights(tx)
+        wy = kweights(ty)
+        for b in range(out.shape[0]):
+            sb = s.img[min(b, s.img.shape[0] - 1)].astype(np.float64)
+            acc = np.zeros(PX.shape)
+            for j in range(taps):
+                yj = np.clip(y0 + j + start, 0, sh - 1)
+                rowacc = np.zeros(PX.shape)
+                for i in range(taps):
+                    xi = np.clip(x0 + i + start, 0, sw - 1)
+                    rowacc += wx[i] * sb[yj, xi]
+                acc += wy[j] * rowacc
+            if np.issubdtype(out.dtype, np.integer):
+                info = np.iinfo(out.dtype)
+                acc = np.clip(np.rint(acc), info.min, info.max)
+            out[b][valid] = acc[valid].astype(out.dtype)
+        painted |= valid
+        return
+
+    if resampling == "bilinear":
         fx = PX - 0.5
         fy = PY - 0.5
         x0 = np.floor(fx).astype(np.int64)

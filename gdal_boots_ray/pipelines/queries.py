@@ -392,6 +392,50 @@ def q_image_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_image_stats_u16(sf_dir: str):
+    """Multi-dtype decode path: uint16 payloads (16-bit PNG + RAW1
+    dtype streams) decode to px_dtype-tagged pixel buffers; stats run
+    on the dtype-aware zero-copy views.  SQL twin enumerates the
+    %60000 field."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import synth_images_u16_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = ds.map_batches(
+        lambda b: synth_images_u16_batch(b.column("p_partkey").to_numpy()),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), batch_size=128)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            b0 = views[i] if views[i].ndim == 2 else views[i][0]
+            assert b0.dtype == np.uint16, f"expected uint16 view, got {b0.dtype}"
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def q_mosaic_groups(sf_dir: str):
     """Row-of-tiles mosaics: group by grid row, explicit seq order,
     pixel mosaics distributed; SQL twin checks the output grid shape."""
@@ -1414,6 +1458,87 @@ def q_tile_resize(sf_dir: str):
     return ds.map_batches(resize, batch_format="pyarrow")
 
 
+def _q_tile_resize_kernel(sf_dir: str, resampling: str):
+    """2x downscale of every tile with a windowed resampling kernel;
+    emits (image_id, out_w, out_h, out_sum).  The SQL twin replays the
+    separable gather with the ENGINE's own tap weights embedded as
+    literals (t=0.5 for an aligned 2x downscale), so kernel math is
+    hash-checked end to end."""
+    from gdal_boots_ray.kernels.warp import WarpSource, warp
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def resize(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        out_sum = np.empty(n, np.float64)
+        for i in range(n):
+            img = views[i]
+            src = WarpSource(img if img.ndim == 3 else img[None], gts[i], 3857)
+            out, _ = warp([src], resolution=(20.0, 20.0), resampling=resampling, dtype=np.float64)
+            out_h[i], out_w[i] = out.shape[1], out.shape[2]
+            out_sum[i] = round(float(out[0].sum()), 4)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "out_sum": pa.array(out_sum),
+            }
+        )
+
+    return ds.map_batches(resize, batch_format="pyarrow")
+
+
+def q_tile_resize_lanczos(sf_dir: str):
+    return _q_tile_resize_kernel(sf_dir, "lanczos")
+
+
+def q_tile_resize_cubicspline(sf_dir: str):
+    return _q_tile_resize_kernel(sf_dir, "cubicspline")
+
+
+def _resize_kernel_sql(resampling: str) -> str:
+    """DuckDB twin of the 2x windowed-kernel downscale: one flat sum of
+    (wx * wy * clamped-field-value) contributions with the engine's tap
+    weights at t=0.5 embedded as repr'd doubles."""
+    from gdal_boots_ray.kernels.warp import bspline_weights, lanczos3_weights
+
+    t = np.array([0.5])
+    if resampling == "cubicspline":
+        w = bspline_weights(t)[:, 0]
+        start = -1
+    else:
+        w = lanczos3_weights(t)[:, 0]
+        start = -2
+    case = " ".join(
+        f"WHEN {start + i} THEN CAST({float(w[i])!r} AS DOUBLE)" for i in range(len(w))
+    )
+    kmin, kmax = start, start + len(w) - 1
+    return f"""
+        WITH {TILE_SQL_CTE},
+        contrib AS (
+            SELECT t.image_id, t.w, t.h,
+                (CASE kx.i {case} END) * (CASE ky.i {case} END) *
+                ((least(greatest(2 * gox.ox + kx.i, 0), t.w - 1) * 31
+                  + least(greatest(2 * goy.oy + ky.i, 0), t.h - 1) * 17 + t.k) % 256) AS c
+            FROM tiles t,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(t.w / 2 - 1 AS INT))) AS ox) gox,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(t.h / 2 - 1 AS INT))) AS oy) goy,
+                 (SELECT unnest(generate_series({kmin}, {kmax})) AS i) kx,
+                 (SELECT unnest(generate_series({kmin}, {kmax})) AS i) ky
+        )
+        SELECT image_id, CAST(min(w) / 2 AS BIGINT) AS out_w, CAST(min(h) / 2 AS BIGINT) AS out_h,
+               round(sum(c), 4) AS out_sum
+        FROM contrib GROUP BY image_id
+    """
+
+
 def q_polygonize(sf_dir: str, n_tiles: int = 24):
     """Rows-only: vectorize the >=128 threshold mask of the first
     ``n_tiles`` tiles (connected components + ring tracing,
@@ -1587,6 +1712,18 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "image_stats_u16": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 60000 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
     "mosaic_groups": f"""
         WITH {TILE_SQL_CTE}
         SELECT CAST(k // 40 AS BIGINT) AS mosaic_key,
@@ -1648,6 +1785,8 @@ ORACLE_SQL: Dict[str, str] = {
                round(CAST(sum(v) AS DOUBLE) / 4.0, 6) AS mean_sum
         FROM px GROUP BY image_id, w, h
     """,
+    "tile_resize_lanczos": _resize_kernel_sql("lanczos"),
+    "tile_resize_cubicspline": _resize_kernel_sql("cubicspline"),
     "union_bounds": f"""
         WITH {TILE_SQL_CTE}
         SELECT CAST(k // 40 AS BIGINT) AS mosaic_key,
@@ -1957,10 +2096,13 @@ QUERIES = {
     "point_values": q_point_values,
     "zonal_stats": q_zonal_stats,
     "image_stats": q_image_stats,
+    "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
     "vector_reproject": q_vector_reproject,
     "sessionize": q_sessionize,
     "tile_resize": q_tile_resize,
+    "tile_resize_lanczos": q_tile_resize_lanczos,
+    "tile_resize_cubicspline": q_tile_resize_cubicspline,
     "polygonize": q_polygonize,
     "polygonize_regions": q_polygonize_regions,
     "mosaic_groups": q_mosaic_groups,

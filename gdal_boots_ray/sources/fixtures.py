@@ -126,6 +126,41 @@ def synth_images_batch(keys: np.ndarray, bands: int = 1) -> pa.Table:
     )
 
 
+def tile_pixels_u16(key: int, w: int, h: int) -> np.ndarray:
+    """uint16 pixel field ``(x*31 + y*17 + key) % 60000`` — the
+    multi-dtype decode-path fixture (SQL twin in oracle_sql
+    'image_stats_u16')."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return ((x * 31 + y * 17 + int(key)) % 60000).astype(np.uint16)
+
+
+def synth_images_u16_batch(keys: np.ndarray) -> pa.Table:
+    """input_hint-schema batch with uint16 payloads: even keys 16-bit
+    PNG, odd keys RAW1 dtype-coded streams (reference dtype map
+    gdal.py:58-71)."""
+    p = tile_params(keys)
+    fmts = tile_fmt(keys)
+    blobs: List[bytes] = []
+    for key, w, h, fmt in zip(p["key"], p["w"], p["h"], fmts):
+        img = tile_pixels_u16(int(key), int(w), int(h))
+        blobs.append(encode_image(img, str(fmt)))
+    ids = [f"img-{int(k):08d}" for k in p["key"]]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(p["w"], pa.int32()),
+            "h": pa.array(p["h"], pa.int32()),
+            "fmt": pa.array(fmts.tolist(), pa.string()),
+            "caption": pa.array([f"tile {i}" for i in ids], pa.string()),
+            "phash": pa.array(tile_phash(p["key"]), pa.int64()),
+            "epsg": pa.array(np.full(len(keys), TILE_EPSG, np.int32), pa.int32()),
+            "gt": pa.array(p["gt"].tolist(), pa.list_(pa.float64(), 6)),
+        }
+    )
+
+
 def point_params(custkeys: np.ndarray, n_tiles: int) -> Dict[str, np.ndarray]:
     """Sample points derived from customer keys; each point lands inside
     tile ``c % n_tiles`` at fractional pixel ((c%23)+0.5, (c%19)+0.5)."""

@@ -49,13 +49,19 @@ def binary_column_views(col) -> list:
 
 
 def batch_pixel_views(batch: pa.Table) -> list:
-    """Per-row (h,w)/(bands,h,w) zero-copy views of a decoded batch."""
+    """Per-row (h,w)/(bands,h,w) zero-copy views of a decoded batch.
+    Honors the per-row ``px_dtype`` column when present (multi-dtype
+    pixel path, reference dtype map gdal.py:58-71); uint8 otherwise."""
     ws = batch.column("w").to_numpy()
     hs = batch.column("h").to_numpy()
     bands = batch.column("bands").to_numpy()
+    if "px_dtype" in batch.column_names:
+        dts = [np.dtype(s) for s in batch.column("px_dtype").to_pylist()]
+    else:
+        dts = [np.dtype(np.uint8)] * len(ws)
     raw = binary_column_views(batch.column("pixels"))
     return [
-        pixels_view(raw[i], int(bands[i]), int(hs[i]), int(ws[i]))
+        pixels_view(raw[i], int(bands[i]), int(hs[i]), int(ws[i]), dtype=dts[i])
         for i in range(len(raw))
     ]
 
@@ -97,43 +103,46 @@ class DecodeImages:
         self.validate = validate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from gdal_boots_ray.kernels.png import _RAW_HEADER_LEN, raw_header
+        from gdal_boots_ray.kernels.png import _RAW_HEADER_LEN, raw_header_full
 
         fmts = batch.column("fmt").to_pylist()
         blobs = binary_column_views(batch.column("bytes"))
         pixels: List[np.ndarray] = []
+        dtypes: List[str] = []
         bands = np.empty(len(fmts), dtype=np.int32)
         ok = np.ones(len(fmts), dtype=bool)
         for i, fmt in enumerate(fmts):
             raw = blobs[i]
             try:
                 if fmt == "raw":
-                    try:
-                        nb, _h, _w, nbytes = raw_header(raw)
-                        img = raw[_RAW_HEADER_LEN : _RAW_HEADER_LEN + nbytes]  # zero-copy slice
-                        bands[i] = nb
-                    except ValueError:  # non-uint8 payload
-                        img = decode_image(bytes(raw), fmt)
-                        bands[i] = 1 if img.ndim == 2 else img.shape[0]
+                    # zero-copy slice for every dtype (payload is
+                    # little-endian C-order, matching the view dtype)
+                    dt, nb, _h, _w, nbytes = raw_header_full(raw)
+                    img = raw[_RAW_HEADER_LEN : _RAW_HEADER_LEN + nbytes]
+                    bands[i] = nb
+                    dtypes.append(dt.name)
                 else:
                     img = decode_image(bytes(raw), fmt)
                     bands[i] = 1 if img.ndim == 2 else img.shape[0]
+                    dtypes.append(img.dtype.name)
             except Exception:
                 if self.validate:
                     ok[i] = False
                     pixels.append(np.empty(0, np.uint8))
                     bands[i] = 0
+                    dtypes.append("uint8")
                     continue
                 raise
             pixels.append(img)
         out = batch
         if self.drop_bytes:
             out = out.drop_columns(["bytes"])
-        for col in ("pixels", "bands", "is_valid"):
+        for col in ("pixels", "bands", "px_dtype", "is_valid"):
             if col in out.column_names:
                 out = out.drop_columns([col])
         out = out.append_column("pixels", large_binary_from_arrays(pixels))
         out = out.append_column("bands", pa.array(bands, pa.int32()))
+        out = out.append_column("px_dtype", pa.array(dtypes, pa.string()))
         if self.validate:
             out = out.append_column("is_valid", pa.array(ok, pa.bool_()))
         return out
@@ -164,13 +173,11 @@ class EncodeImages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws = batch.column("w").to_numpy()
-        hs = batch.column("h").to_numpy()
-        bands = batch.column("bands").to_numpy()
-        pix = batch.column("pixels")
+        views = batch_pixel_views(batch)  # zero-copy, dtype-aware
         blobs = []
         for i in range(len(ws)):
-            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
-            if self.quantize_bits < 8:
+            img = views[i]
+            if self.quantize_bits < 8 and img.dtype == np.uint8:
                 img = lossy_quantize(img, self.quantize_bits)
             kw = {"zlevel": self.zlevel} if self.fmt == "png" else {}
             blobs.append(encode_image(img, self.fmt, **kw))

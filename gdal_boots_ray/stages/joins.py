@@ -79,19 +79,17 @@ class SampleTilesAtPoints:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.sampling import sample_points
+        from gdal_boots_ray.stages.decode import batch_pixel_views
 
         n = batch.num_rows
         xs = batch.column(self.x_col).to_numpy()
         ys = batch.column(self.y_col).to_numpy()
         gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
-        ws = batch.column("w").to_numpy()
-        hs = batch.column("h").to_numpy()
-        bands = batch.column("bands").to_numpy()
-        pix = batch.column("pixels")
+        views = batch_pixel_views(batch)  # zero-copy, dtype-aware
         values = np.zeros(n, dtype=np.float64)
         valid = np.zeros(n, dtype=bool)
         for i in range(n):
-            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            img = views[i]
             v, ok = sample_points(img if img.ndim == 2 else img[0], gts[i], xs[i : i + 1], ys[i : i + 1])
             valid[i] = ok[0]
             values[i] = float(v[0]) if ok[0] else np.nan

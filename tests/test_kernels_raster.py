@@ -354,3 +354,61 @@ class TestWarpResolutionRatio:
         # explicit width/height derive the resolution
         wh, gih = warp([src], bbox=bbox, bbox_crs=32631, width=50, height=70)
         assert wh.shape[1:] == (70, 50)
+
+
+class TestWindowedResamplers:
+    """Lanczos (a=3) + cubic B-spline resampling kernels."""
+
+    def test_partition_of_unity(self):
+        import numpy as np
+
+        from gdal_boots_ray.kernels.warp import bspline_weights, lanczos3_weights
+
+        t = np.linspace(0, 1, 33)
+        assert np.allclose(bspline_weights(t).sum(axis=0), 1.0, atol=1e-12)
+        assert np.allclose(lanczos3_weights(t).sum(axis=0), 1.0, atol=1e-12)
+
+    def test_constant_preserved(self):
+        import numpy as np
+
+        from gdal_boots_ray.kernels.warp import WarpSource, warp
+
+        img = np.full((16, 16), 77, np.uint8)
+        gt = np.array([10.0, 0, 0, 0, -10.0, 160.0])
+        for rs in ("cubicspline", "lanczos"):
+            out, _ = warp(
+                [WarpSource(img[None], gt, 3857)], resolution=(20.0, 20.0), resampling=rs, dtype=np.float64
+            )
+            assert np.allclose(out, 77, atol=1e-9), rs
+
+    def test_lanczos_reproduces_linear_ramp(self):
+        import numpy as np
+
+        from gdal_boots_ray.kernels.warp import WarpSource, warp
+
+        ramp = np.tile(np.arange(32, dtype=np.float64), (32, 1))
+        out, _ = warp(
+            [WarpSource(ramp[None], np.array([10.0, 0, 0, 0, -10.0, 320.0]), 3857)],
+            resolution=(20.0, 20.0),
+            resampling="lanczos",
+            dtype=np.float64,
+        )
+        expect = np.tile(np.arange(16) * 2 + 0.5, (16, 1))
+        assert np.abs(out[0][4:-4, 4:-4] - expect[4:-4, 4:-4]).max() < 1e-9
+
+    def test_cubicspline_smooths_impulse(self):
+        import numpy as np
+
+        from gdal_boots_ray.kernels.warp import WarpSource, warp
+
+        img = np.zeros((16, 16), np.float64)
+        img[8, 8] = 100.0
+        out, _ = warp(
+            [WarpSource(img[None], np.array([10.0, 0, 0, 0, -10.0, 160.0]), 3857)],
+            resolution=(10.0, 10.0),
+            resampling="cubicspline",
+            dtype=np.float64,
+        )
+        # B-spline smoothing spreads the impulse: peak strictly below input
+        assert out[0].max() < 100.0
+        assert np.isclose(out[0].sum(), 100.0, atol=1e-6)  # mass preserved
