@@ -179,7 +179,190 @@ def grid_cell_center(cell_id, res: float) -> Tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# Hex cells (H3-like planar axial binning; documented approximation)
+# Icosahedral aperture-7 hex cells ("h3x") — the H3-geometry index
+# ---------------------------------------------------------------------------
+#
+# A from-scratch icosahedral gnomonic aperture-7 hexagonal index with
+# the same geometric construction as H3 (north-star rule: "H3 (res
+# 7-9) and S2"): 20 icosahedron faces, gnomonic projection per face,
+# hexagonal axial grid refined by aperture 7 with the Class-II/III
+# alternating rotation atan(sqrt(3)/5) per resolution, cube-rounded
+# assignment, center/parent/neighbor operations.
+#
+# Honest deviation from canonical H3 (documented; the canonical base
+# cell + face-IJK tables are not reproducible offline): ids are NOT
+# bit-compatible with the h3 library, cells are clipped at face
+# boundaries (each face owns the Voronoi region of its center, so
+# boundary cells are partial hexes instead of spanning faces, and the
+# 12 pentagon cells appear as clipped vertex neighborhoods), and the
+# resolution scale S0 is chosen so res-7..9 cell sizes match H3's
+# published edge lengths (~1.22 km at res 7).
+
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+_ICO_VERTS = np.array(
+    [
+        [-1, _PHI, 0], [1, _PHI, 0], [-1, -_PHI, 0], [1, -_PHI, 0],
+        [0, -1, _PHI], [0, 1, _PHI], [0, -1, -_PHI], [0, 1, -_PHI],
+        [_PHI, 0, -1], [_PHI, 0, 1], [-_PHI, 0, -1], [-_PHI, 0, 1],
+    ],
+    dtype=np.float64,
+)
+_ICO_VERTS /= np.linalg.norm(_ICO_VERTS, axis=1, keepdims=True)
+_ICO_FACES = np.array(
+    [
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ],
+    dtype=np.int64,
+)
+
+
+def _ico_bases():
+    centers = _ICO_VERTS[_ICO_FACES].sum(axis=1)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # u-axis: first face vertex projected into the tangent plane
+    v0 = _ICO_VERTS[_ICO_FACES[:, 0]]
+    u = v0 - (v0 * centers).sum(axis=1, keepdims=True) * centers
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    v = np.cross(centers, u)
+    return centers, u, v
+
+
+_ICO_CENTERS, _ICO_U, _ICO_V = _ico_bases()
+
+# aperture-7 inter-resolution rotation and scale
+_H3X_ALPHA = np.arctan(np.sqrt(3.0) / 5.0)
+_H3X_S0 = 0.1755  # res-0 hex size in gnomonic units (~H3 res-0 edge)
+_H3X_OFF = np.int64(1) << 20
+_SQRT3_3 = np.sqrt(3.0) / 3.0
+
+
+def _h3x_grid_params(res: int):
+    s = _H3X_S0 / (7.0 ** (res / 2.0))
+    c = np.cos(res * _H3X_ALPHA)
+    sn = np.sin(res * _H3X_ALPHA)
+    return s, c, sn
+
+
+def _h3x_face_of(x, y, z):
+    dots = x[:, None] * _ICO_CENTERS[:, 0] + y[:, None] * _ICO_CENTERS[:, 1] + z[:, None] * _ICO_CENTERS[:, 2]
+    return np.argmax(dots, axis=1)
+
+
+def _cube_round(q, r):
+    """Axial (fractional) -> nearest hex, standard cube rounding with
+    floor(x+0.5) ties (mirrored verbatim in the SQL twin)."""
+    x, z = q, r
+    y = -x - z
+    rx, ry, rz = np.floor(x + 0.5), np.floor(y + 0.5), np.floor(z + 0.5)
+    dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)
+    qf = np.where(fix_x, -ry - rz, rx)
+    rf = np.where(fix_z, -rx - ry, rz)
+    return qf.astype(np.int64), rf.astype(np.int64)
+
+
+def h3x_cell(lon_deg, lat_deg, res: int) -> np.ndarray:
+    """Vectorized icosahedral aperture-7 hex cell id at ``res``
+    (0..15; the north-star range is 7-9)."""
+    if not 0 <= res <= 15:
+        raise ValueError(f"h3x res must be 0..15, got {res}")
+    x, y, z = _lonlat_to_xyz(lon_deg, lat_deg)
+    x, y, z = np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)
+    face = _h3x_face_of(x, y, z)
+    c = _ICO_CENTERS[face]
+    u = _ICO_U[face]
+    v = _ICO_V[face]
+    dp = x * c[:, 0] + y * c[:, 1] + z * c[:, 2]
+    tx, ty, tz = x / dp, y / dp, z / dp  # gnomonic point on tangent plane
+    px = tx * u[:, 0] + ty * u[:, 1] + tz * u[:, 2]
+    py = tx * v[:, 0] + ty * v[:, 1] + tz * v[:, 2]
+    s, co, sn = _h3x_grid_params(res)
+    gx = (co * px + sn * py) / s
+    gy = (-sn * px + co * py) / s
+    fq = _SQRT3_3 * gx - gy / 3.0
+    fr = (2.0 / 3.0) * gy
+    qi, ri = _cube_round(fq, fr)
+    return (
+        ((face * np.int64(16) + res) << np.int64(42))
+        | ((qi + _H3X_OFF) << np.int64(21))
+        | (ri + _H3X_OFF)
+    )
+
+
+def h3x_decode(cell_id: np.ndarray):
+    """(face, res, q, r) of h3x ids."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    fr = cell_id >> np.int64(42)
+    face, res = fr // 16, fr % 16
+    q = ((cell_id >> np.int64(21)) & np.int64((1 << 21) - 1)) - _H3X_OFF
+    r = (cell_id & np.int64((1 << 21) - 1)) - _H3X_OFF
+    return face, res, q, r
+
+
+def h3x_res(cell_id: np.ndarray) -> np.ndarray:
+    return h3x_decode(cell_id)[1]
+
+
+def h3x_cell_center(cell_id: np.ndarray):
+    """(lon, lat) of cell centers (inverse gnomonic through the cell's
+    own face basis)."""
+    face, res, q, r = h3x_decode(np.asarray(cell_id, dtype=np.int64))
+    out_lon = np.empty(len(face))
+    out_lat = np.empty(len(face))
+    for rr in np.unique(res):
+        m = res == rr
+        s, co, sn = _h3x_grid_params(int(rr))
+        gx = np.sqrt(3.0) * (q[m] + r[m] / 2.0)
+        gy = 1.5 * r[m]
+        # undo the res rotation, rescale to gnomonic units
+        px = (co * gx - sn * gy) * s
+        py = (sn * gx + co * gy) * s
+        c = _ICO_CENTERS[face[m]]
+        u = _ICO_U[face[m]]
+        v = _ICO_V[face[m]]
+        t = c + px[:, None] * u + py[:, None] * v
+        t /= np.linalg.norm(t, axis=1, keepdims=True)
+        out_lon[m] = np.degrees(np.arctan2(t[:, 1], t[:, 0]))
+        out_lat[m] = np.degrees(np.arcsin(np.clip(t[:, 2], -1, 1)))
+    return out_lon, out_lat
+
+
+def h3x_parent(cell_id: np.ndarray, res: int = None) -> np.ndarray:
+    """Parent at ``res`` (default: one coarser): the cell containing
+    this cell's center — H3's center-containment hierarchy."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    cur = h3x_res(cell_id)
+    target = (cur - 1) if res is None else np.full_like(cur, res)
+    lon, lat = h3x_cell_center(cell_id)
+    out = np.empty_like(cell_id)
+    for t in np.unique(target):
+        m = target == t
+        out[m] = h3x_cell(lon[m], lat[m], int(t))
+    return out
+
+
+def h3x_neighbors(cell_id: int) -> np.ndarray:
+    """The 6 axial neighbors on the same face grid (face-local; cells
+    across an icosahedron edge belong to the neighboring face's grid
+    — documented deviation from canonical H3 edge traversal)."""
+    face, res, q, r = (int(a[0]) for a in h3x_decode(np.asarray([cell_id])))
+    deltas = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    out = []
+    for dq, dr in deltas:
+        out.append(
+            ((face * 16 + res) << 42)
+            | ((q + dq + int(_H3X_OFF)) << 21)
+            | (r + dr + int(_H3X_OFF))
+        )
+    return np.array(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Hex cells (planar axial binning; the cheap planar fallback)
 # ---------------------------------------------------------------------------
 
 

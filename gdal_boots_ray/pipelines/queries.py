@@ -157,6 +157,122 @@ def q_tile_s2_cells(sf_dir: str):
     return ds.select_columns(["image_id", "s2_cell"])
 
 
+def q_tile_h3_cells(sf_dir: str):
+    """Icosahedral aperture-7 hex cells (h3x) of tile centers at the
+    north-star res 7-9 — oracle-checked: the DuckDB twin replays the
+    whole geometric pipeline (sphere -> argmax icosahedron face ->
+    gnomonic -> rotated aperture-7 axial grid -> cube rounding) in
+    SQL over the embedded face-basis table."""
+    from gdal_boots_ray.kernels.cells import h3x_cell
+    from gdal_boots_ray.stages.geo import make_add_lonlat
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    ds = ds.map_batches(make_add_lonlat(), batch_format="pyarrow")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "h3_7": pa.array(h3x_cell(lon, lat, 7), pa.int64()),
+                "h3_8": pa.array(h3x_cell(lon, lat, 8), pa.int64()),
+                "h3_9": pa.array(h3x_cell(lon, lat, 9), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cells, batch_format="pyarrow")
+
+
+def _h3x_sql() -> str:
+    """DuckDB twin of h3x_cell at res 7/8/9 over tile centers: the
+    face table and per-res grid constants are embedded as literals
+    derived from the kernel's icosahedron; every runtime op (argmax
+    face, gnomonic divide, rotation, axial transform, cube rounding)
+    is re-expressed in SQL with matching association order."""
+    from gdal_boots_ray.kernels.cells import _ICO_CENTERS, _ICO_U, _ICO_V, _h3x_grid_params
+
+    rows = []
+    for f in range(20):
+        c, u, v = _ICO_CENTERS[f], _ICO_U[f], _ICO_V[f]
+        vals = ", ".join(repr(float(x)) for x in (*c, *u, *v))
+        rows.append(f"({f}, {vals})")
+    faces_values = ",\n            ".join(rows)
+
+    res_cols = []
+    for res in (7, 8, 9):
+        s, co, sn = _h3x_grid_params(res)
+        sq3_3 = repr(float(np.sqrt(3.0) / 3.0))
+        expr = f"""
+        r{res} AS (
+            SELECT image_id, face,
+                ({co!r} * px + {sn!r} * py) / {s!r} AS gx,
+                (-{sn!r} * px + {co!r} * py) / {s!r} AS gy
+            FROM proj
+        ),
+        a{res} AS (
+            SELECT image_id, face,
+                {sq3_3} * gx - gy / 3.0 AS fq,
+                (2.0 / 3.0) * gy AS fr
+            FROM r{res}
+        ),
+        c{res} AS (
+            SELECT image_id, face, fq, fr,
+                floor(fq + 0.5) AS rx, floor((-fq - fr) + 0.5) AS ry, floor(fr + 0.5) AS rz,
+                abs(floor(fq + 0.5) - fq) AS dx,
+                abs(floor((-fq - fr) + 0.5) - (-fq - fr)) AS dy,
+                abs(floor(fr + 0.5) - fr) AS dz
+            FROM a{res}
+        ),
+        h{res} AS (
+            SELECT image_id,
+                (face * 16 + {res}) * 4398046511104
+                + (CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) + 1048576) * 2097152
+                + (CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz) THEN -rx - ry ELSE rz END AS BIGINT) + 1048576)
+                AS h3_{res}
+            FROM c{res}
+        )"""
+        res_cols.append(expr)
+
+    return f"""
+        WITH {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                degrees((x0 + w * 10.0 / 2) / 6378137.0) AS lon,
+                degrees(2 * atan(exp((y0 - h * 10.0 / 2) / 6378137.0)) - pi() / 2) AS lat
+            FROM tiles
+        ),
+        xyz AS (
+            SELECT image_id,
+                cos(radians(lat)) * cos(radians(lon)) AS x,
+                cos(radians(lat)) * sin(radians(lon)) AS y,
+                sin(radians(lat)) AS z
+            FROM ll
+        ),
+        faces(f, cx, cy, cz, ux, uy, uz, vx, vy, vz) AS (VALUES
+            {faces_values}
+        ),
+        sel AS (
+            SELECT image_id, x, y, z, f AS face, cx, cy, cz, ux, uy, uz, vx, vy, vz,
+                   row_number() OVER (PARTITION BY image_id
+                                      ORDER BY x * cx + y * cy + z * cz DESC, f ASC) AS rn
+            FROM xyz, faces
+        ),
+        proj AS (
+            SELECT image_id, face,
+                (x / (x * cx + y * cy + z * cz)) * ux
+                  + (y / (x * cx + y * cy + z * cz)) * uy
+                  + (z / (x * cx + y * cy + z * cz)) * uz AS px,
+                (x / (x * cx + y * cy + z * cz)) * vx
+                  + (y / (x * cx + y * cy + z * cz)) * vy
+                  + (z / (x * cx + y * cy + z * cz)) * vz AS py
+            FROM sel WHERE rn = 1
+        ),{",".join(res_cols)}
+        SELECT h7.image_id, h7.h3_7, h8.h3_8, h9.h3_9
+        FROM h7 JOIN h8 USING (image_id) JOIN h9 USING (image_id)
+    """
+
+
 def q_tile_pip_join(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1648,6 +1764,7 @@ ORACLE_SQL: Dict[str, str] = {
              * 2305843009213693952) + (pos * 8796093022208) + 4398046511104 AS s2_cell
         FROM walk WHERE k = 20
     """,
+    "tile_h3_cells": _h3x_sql(),
     "tile_pip_join": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE}
         SELECT poly_id, image_id
@@ -2090,6 +2207,7 @@ QUERIES = {
     "tile_bounds_4326": q_tile_bounds_4326,
     "tile_grid_cells": q_tile_grid_cells,
     "tile_s2_cells": q_tile_s2_cells,
+    "tile_h3_cells": q_tile_h3_cells,
     "tile_pip_join": q_tile_pip_join,
     "points_pip_join": q_points_pip_join,
     "parts_pip_join": q_parts_pip_join,

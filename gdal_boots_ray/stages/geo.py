@@ -14,7 +14,12 @@ import numpy as np
 import pyarrow as pa
 
 from gdal_boots_ray.kernels.affine import bounds as bounds_kernel
-from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cells_covering_bounds, s2_cell_id
+from gdal_boots_ray.kernels.cells import (
+    grid_cell_id,
+    grid_cells_covering_bounds,
+    h3x_cell,
+    s2_cell_id,
+)
 from gdal_boots_ray.kernels.crs import transform_points
 
 
@@ -53,6 +58,18 @@ def make_add_s2_cell(level: int, lon_col: str = "lon", lat_col: str = "lat", out
         lon = batch.column(lon_col).to_numpy()
         lat = batch.column(lat_col).to_numpy()
         return batch.append_column(out, pa.array(s2_cell_id(lon, lat, level), pa.int64()))
+
+    return fn
+
+
+def make_add_h3_cell(res: int, lon_col: str = "lon", lat_col: str = "lat", out: str = "h3_cell"):
+    """Icosahedral aperture-7 hex cell of a lon/lat column (the
+    north-star H3-style index, kernels.cells.h3x_cell)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        return batch.append_column(out, pa.array(h3x_cell(lon, lat, res), pa.int64()))
 
     return fn
 
