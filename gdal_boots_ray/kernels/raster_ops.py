@@ -134,3 +134,27 @@ def meta_decode(s: Optional[str]) -> imdict:
         return imdict()
     raw = json.loads(s)
     return imdict({k: json.loads(v[5:]) if isinstance(v, str) and v.startswith("json:") else v for k, v in raw.items()})
+
+
+# ---------------------------------------------------------------------------
+# Band descriptions (M12 — reference gdal.py:278-283)
+# ---------------------------------------------------------------------------
+
+
+def band_descriptions_get(descs, n_bands: int):
+    """Normalized per-band description list (missing -> '' like GDAL's
+    empty descriptions)."""
+    out = list(descs or [])
+    if len(out) > n_bands:
+        raise ValueError(f"{len(out)} descriptions for {n_bands} bands")
+    out.extend("" for _ in range(n_bands - len(out)))
+    return out
+
+
+def band_descriptions_set(descs, n_bands: int, values) -> list:
+    """Reference ``descriptions = [...]`` semantics: the assigned list
+    must match the band count exactly (gdal.py:281-283)."""
+    values = list(values)
+    if len(values) != n_bands:
+        raise ValueError(f"expected {n_bands} descriptions, got {len(values)}")
+    return [str(v) for v in values]

@@ -35,12 +35,22 @@ class FusedTileWorker:
     fusion is the physical plan for the flagship (Ray fuses stateless
     maps automatically but not actor pools of different sizes)."""
 
-    def __init__(self, polygons_ref, cell_res: float, s2_level: int, with_s2: bool, decode_all: bool = False):
+    def __init__(
+        self,
+        polygons_ref,
+        cell_res: float,
+        s2_level: int,
+        with_s2: bool,
+        decode_all: bool = False,
+        keep_path: bool = False,
+    ):
         self.decode = DecodeImages()
+        self.keep_path = keep_path
         payload_cols = ["pixels", "bands"] if decode_all else ["bytes", "fmt"]
+        extra = ["shard"] if keep_path else []
         self.join = BroadcastPIPJoin(
             polygons_ref,
-            keep_cols=["image_id", *payload_cols, "w", "h", "gt", "cx", "cy"],
+            keep_cols=["image_id", *payload_cols, "w", "h", "gt", "cx", "cy", *extra],
         )
         self.zonal = ZonalStats(polygons_ref)
         self.cell_fn = make_add_grid_cell(cell_res)
@@ -55,6 +65,14 @@ class FusedTileWorker:
         # reference's crop_by_geometry also decodes only what it
         # crops).  decode_all=True restores decode-everything for
         # pipelines whose downstream consumes every tile's pixels.
+        if self.keep_path and "path" in batch.column_names:
+            import os as _os
+
+            shards = [
+                _os.path.splitext(_os.path.basename(p))[0]
+                for p in batch.column("path").to_pylist()
+            ]
+            batch = batch.append_column("shard", pa.array(shards, pa.string()))
         if self.decode_all:
             batch = self.decode(batch)
         batch = add_bounds(batch)
@@ -79,18 +97,20 @@ class FusedTileWorker:
         from gdal_boots_ray.stages.decode import binary_column_views
         from gdal_boots_ray.stages.zonal import _rings_mask
 
+        has_shard = "shard" in matched.column_names
         n = matched.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "poly_id": pa.array([], pa.int64()),
-                    "image_id": pa.array([], pa.string()),
-                    "n_px": pa.array([], pa.int64()),
-                    "sum_v": pa.array([], pa.float64()),
-                    "min_v": pa.array([], pa.float64()),
-                    "max_v": pa.array([], pa.float64()),
-                }
-            )
+            cols = {
+                "poly_id": pa.array([], pa.int64()),
+                "image_id": pa.array([], pa.string()),
+                "n_px": pa.array([], pa.int64()),
+                "sum_v": pa.array([], pa.float64()),
+                "min_v": pa.array([], pa.float64()),
+                "max_v": pa.array([], pa.float64()),
+            }
+            if has_shard:
+                cols["shard"] = pa.array([], pa.string())
+            return pa.table(cols)
         gts = matched.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
         hs = matched.column("h").to_numpy()
         ws = matched.column("w").to_numpy()
@@ -123,45 +143,51 @@ class FusedTileWorker:
                 min_v[i] = float(sel.min())
                 max_v[i] = float(sel.max())
         keep = n_px > 0
-        return pa.table(
-            {
-                "poly_id": pa.array(pids[keep].astype(np.int64)),
-                "image_id": pa.array([v for v, k in zip(ids, keep) if k], pa.string()),
-                "n_px": pa.array(n_px[keep]),
-                "sum_v": pa.array(sum_v[keep]),
-                "min_v": pa.array(min_v[keep]),
-                "max_v": pa.array(max_v[keep]),
-            }
-        )
+        cols = {
+            "poly_id": pa.array(pids[keep].astype(np.int64)),
+            "image_id": pa.array([v for v, k in zip(ids, keep) if k], pa.string()),
+            "n_px": pa.array(n_px[keep]),
+            "sum_v": pa.array(sum_v[keep]),
+            "min_v": pa.array(min_v[keep]),
+            "max_v": pa.array(max_v[keep]),
+        }
+        if has_shard:
+            shards = matched.column("shard").to_pylist()
+            cols["shard"] = pa.array([v for v, k in zip(shards, keep) if k], pa.string())
+        return pa.table(cols)
 
 
 def _partial_zonal_agg(stats):
     import pyarrow.compute as pc
 
+    has_shard = "shard" in stats.column_names
+    keys = ["shard", "poly_id"] if has_shard else ["poly_id"]
     if stats.num_rows == 0:
-        return pa.table(
-            {
-                "poly_id": pa.array([], pa.int64()),
-                "n_tiles": pa.array([], pa.int64()),
-                "n_px": pa.array([], pa.int64()),
-                "sum_v": pa.array([], pa.float64()),
-                "min_v": pa.array([], pa.float64()),
-                "max_v": pa.array([], pa.float64()),
-            }
-        )
-    g = stats.group_by("poly_id").aggregate(
+        cols = {
+            "poly_id": pa.array([], pa.int64()),
+            "n_tiles": pa.array([], pa.int64()),
+            "n_px": pa.array([], pa.int64()),
+            "sum_v": pa.array([], pa.float64()),
+            "min_v": pa.array([], pa.float64()),
+            "max_v": pa.array([], pa.float64()),
+        }
+        if has_shard:
+            cols = {"shard": pa.array([], pa.string()), **cols}
+        return pa.table(cols)
+    g = stats.group_by(keys).aggregate(
         [("image_id", "count"), ("n_px", "sum"), ("sum_v", "sum"), ("min_v", "min"), ("max_v", "max")]
     )
-    return pa.table(
-        {
-            "poly_id": g.column("poly_id").cast(pa.int64()),
-            "n_tiles": g.column("image_id_count").cast(pa.int64()),
-            "n_px": g.column("n_px_sum").cast(pa.int64()),
-            "sum_v": g.column("sum_v_sum").cast(pa.float64()),
-            "min_v": g.column("min_v_min").cast(pa.float64()),
-            "max_v": g.column("max_v_max").cast(pa.float64()),
-        }
-    )
+    cols = {
+        "poly_id": g.column("poly_id").cast(pa.int64()),
+        "n_tiles": g.column("image_id_count").cast(pa.int64()),
+        "n_px": g.column("n_px_sum").cast(pa.int64()),
+        "sum_v": g.column("sum_v_sum").cast(pa.float64()),
+        "min_v": g.column("min_v_min").cast(pa.float64()),
+        "max_v": g.column("max_v_max").cast(pa.float64()),
+    }
+    if has_shard:
+        cols = {"shard": g.column("shard"), **cols}
+    return pa.table(cols)
 
 
 def run_flagship(
@@ -236,6 +262,118 @@ def run_flagship(
 
         stats = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
     return stats
+
+
+def run_flagship_resumable(
+    images_path: str,
+    out_dir: str,
+    polygons: Optional[Sequence[dict]] = None,
+    cell_res: float = 5000.0,
+    s2_level: int = 9,
+    with_s2: bool = True,
+    batch_size: int = 64,
+    chunk_files: int = 4,
+):
+    """The flagship pipeline with per-INPUT-SHARD checkpoint
+    partitions (north_rule: "resumable from checkpoint with
+    per-partition lineage + metrics").
+
+    Each input parquet file is one resume unit: its per-(shard, poly)
+    zonal partials land in ``out_dir/part=<stem>/`` with an atomic
+    manifest.  A rerun anti-joins the file stems against completed
+    manifests and streams ONLY the missing shards — files are
+    processed in chunks of ``chunk_files`` so a kill loses at most one
+    chunk of work.  The final combine folds all partition partials
+    into the per-polygon aggregate; partial sums are integer-valued in
+    float64, so the combined output is bit-identical no matter how
+    batches or chunks were split before a kill.
+
+    Returns (final pandas DataFrame, run summary dict).
+    """
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from gdal_boots_ray.state.manifest import (
+        completed_partitions,
+        finalize_run,
+        resume_plan,
+        write_partitioned,
+    )
+
+    files = sorted(_glob.glob(os.path.join(images_path, "part-*.parquet"))) or [images_path]
+    stems = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    todo = set(resume_plan(out_dir, stems))
+    todo_files = [f for f, s in zip(files, stems) if s in todo]
+
+    if polygons is None:
+        polygons = nation_polygons(np.arange(25))
+    poly_ref = put_polygons(polygons)
+
+    for i in range(0, len(todo_files), chunk_files):
+        chunk = todo_files[i : i + chunk_files]
+        ds = rd.read_parquet(chunk, include_paths=True)
+
+        def fused(batch, _cache={}):
+            worker = _cache.get("w")
+            if worker is None:
+                worker = _cache["w"] = FusedTileWorker(
+                    poly_ref, cell_res, s2_level, with_s2, keep_path=True
+                )
+            return worker(batch)
+
+        stats = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
+        # groupby(shard) co-locates each file's partials; the partition
+        # writes are atomic (tmp + rename, manifest last)
+        write_partitioned(stats, out_dir, "shard").to_pandas()
+        # shards with zero matches produce no groups: checkpoint them
+        # as empty partitions so the resume anti-join sees them done
+        from gdal_boots_ray.state.manifest import write_partition
+
+        chunk_done = completed_partitions(out_dir)
+        for f in chunk:
+            stem = os.path.splitext(os.path.basename(f))[0]
+            if stem not in chunk_done:
+                empty = pa.table(
+                    {
+                        "shard": pa.array([], pa.string()),
+                        "poly_id": pa.array([], pa.int64()),
+                        "n_tiles": pa.array([], pa.int64()),
+                        "n_px": pa.array([], pa.int64()),
+                        "sum_v": pa.array([], pa.float64()),
+                        "min_v": pa.array([], pa.float64()),
+                        "max_v": pa.array([], pa.float64()),
+                    }
+                )
+                write_partition(out_dir, stem, empty)
+
+    # final combine over ALL partitions (tiny: rows ~ shards x polys)
+    parts = completed_partitions(out_dir)
+    frames = []
+    for key in sorted(parts):
+        t = _pq.read_table(os.path.join(out_dir, f"part={key}", "data.parquet"))
+        frames.append(t.to_pandas())
+    if frames:
+        allp = pd.concat(frames, ignore_index=True)
+        final = (
+            allp.groupby("poly_id")
+            .agg(
+                n_tiles=("n_tiles", "sum"),
+                n_px=("n_px", "sum"),
+                sum_v=("sum_v", "sum"),
+                min_v=("min_v", "min"),
+                max_v=("max_v", "max"),
+            )
+            .reset_index()
+            .sort_values("poly_id")
+            .reset_index(drop=True)
+        )
+    else:
+        final = pd.DataFrame(columns=["poly_id", "n_tiles", "n_px", "sum_v", "min_v", "max_v"])
+    summary = finalize_run(out_dir, metrics={"shards": len(parts)})
+    return final, summary
 
 
 def combine_zonal_partials(stats_ds) -> "object":

@@ -174,3 +174,157 @@ def read_gpkg(path_or_bytes, layer: Optional[str] = None):
     finally:
         if tmp:
             os.unlink(tmp)
+
+
+# ---------------------------------------------------------------------------
+# GPKG writer (reference VectorDataset.to_file on .gpkg, gdal.py:1225-1263)
+# ---------------------------------------------------------------------------
+
+_WKB_CODES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def encode_wkb(geom: dict) -> bytes:
+    """GeoJSON geometry -> little-endian ISO WKB (2D)."""
+    t = geom["type"]
+    code = _WKB_CODES.get(t)
+    if code is None:
+        raise ValueError(f"unsupported geometry type {t!r}")
+    out = bytearray(struct.pack("<BI", 1, code))
+
+    def pts(seq):
+        out.extend(struct.pack("<I", len(seq)))
+        for p in seq:
+            out.extend(struct.pack("<dd", float(p[0]), float(p[1])))
+
+    if t == "Point":
+        x, y = geom["coordinates"][:2]
+        out.extend(struct.pack("<dd", float(x), float(y)))
+    elif t == "LineString":
+        pts(geom["coordinates"])
+    elif t == "Polygon":
+        out.extend(struct.pack("<I", len(geom["coordinates"])))
+        for ring in geom["coordinates"]:
+            pts(ring)
+    elif t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        sub_type = {"MultiPoint": "Point", "MultiLineString": "LineString", "MultiPolygon": "Polygon"}[t]
+        out.extend(struct.pack("<I", len(geom["coordinates"])))
+        for part in geom["coordinates"]:
+            out.extend(encode_wkb({"type": sub_type, "coordinates": part}))
+    else:  # GeometryCollection
+        subs = geom.get("geometries", [])
+        out.extend(struct.pack("<I", len(subs)))
+        for sub in subs:
+            out.extend(encode_wkb(sub))
+    return bytes(out)
+
+
+def make_gpkg_blob(geom: Optional[dict], srs_id: int) -> Optional[bytes]:
+    """GeoJSON geometry -> GPKG 'GP' blob (version 0, little-endian
+    header, no envelope; empty flag 0x10 for None)."""
+    if geom is None:
+        return b"GP" + bytes([0, 0x11]) + struct.pack("<i", srs_id)
+    return b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id) + encode_wkb(geom)
+
+
+def _sqlite_type(v) -> str:
+    if isinstance(v, bool):
+        return "INTEGER"
+    if isinstance(v, int):
+        return "INTEGER"
+    if isinstance(v, float):
+        return "REAL"
+    return "TEXT"
+
+
+def write_gpkg(path: str, table: pa.Table, layer: str = "layer", geom_col: str = "geom") -> str:
+    """Engine feature table (fid, geom GeoJSON, geom_type, epsg, props
+    JSON) -> a GeoPackage file with the required metadata tables
+    (gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns) and
+    one feature table — the writer twin of read_gpkg_table."""
+    fids = table.column("fid").to_pylist()
+    geoms = [json.loads(g) if g else None for g in table.column(geom_col).to_pylist()]
+    props = [json.loads(p) if p else {} for p in table.column("props").to_pylist()]
+    epsg = int(table.column("epsg")[0].as_py()) if table.num_rows else 4326
+    gtypes = {g["type"] for g in geoms if g}
+    gname = gtypes.pop().upper() if len(gtypes) == 1 else "GEOMETRY"
+
+    field_names: List[str] = []
+    field_types: Dict[str, str] = {}
+    for pr in props:
+        for k, v in pr.items():
+            if k not in field_types and v is not None:
+                field_names.append(k)
+                field_types[k] = _sqlite_type(v)
+
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10300")
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+                srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+                organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+                definition TEXT NOT NULL, description TEXT)"""
+        )
+        for srs_id, name, org, cid, definition in (
+            (-1, "Undefined cartesian SRS", "NONE", -1, "undefined"),
+            (0, "Undefined geographic SRS", "NONE", 0, "undefined"),
+            (epsg, f"EPSG:{epsg}", "EPSG", epsg, f"EPSG:{epsg}"),
+        ):
+            con.execute(
+                "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+                (name, srs_id, org, cid, definition),
+            )
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_contents (
+                table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+                identifier TEXT UNIQUE, description TEXT DEFAULT '',
+                last_change TEXT, min_x DOUBLE, min_y DOUBLE,
+                max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents (table_name, data_type, identifier, srs_id) VALUES (?,?,?,?)",
+            (layer, "features", layer, epsg),
+        )
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+                table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+                geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+                z TINYINT NOT NULL, m TINYINT NOT NULL,
+                CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (layer, geom_col, gname, epsg),
+        )
+        cols = ", ".join(f'"{k}" {field_types[k]}' for k in field_names)
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY, "{geom_col}" BLOB{", " + cols if cols else ""})'
+        )
+        placeholders = ",".join("?" * (2 + len(field_names)))
+        for fid, geom, pr in zip(fids, geoms, props):
+            vals = [fid, make_gpkg_blob(geom, epsg)]
+            for k in field_names:
+                v = pr.get(k)
+                if isinstance(v, (dict, list)):
+                    v = json.dumps(v)
+                vals.append(v)
+            con.execute(f'INSERT INTO "{layer}" VALUES ({placeholders})', vals)
+        con.commit()
+    finally:
+        con.close()
+    return path
+
+
+def gpkg_to_bytes(table: pa.Table, layer: str = "layer") -> bytes:
+    """Feature table -> GPKG file bytes (reference to_bytes path)."""
+    fd, tmp = tempfile.mkstemp(suffix=".gpkg")
+    os.close(fd)
+    try:
+        os.unlink(tmp)  # sqlite wants to create the file
+        write_gpkg(tmp, table, layer=layer)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)

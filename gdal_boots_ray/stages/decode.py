@@ -193,3 +193,18 @@ class EncodeImages:
         else:
             out = out.append_column("fmt", fmt_col)
         return out
+
+
+def make_set_band_descriptions(values):
+    """Stage: attach a ``band_desc`` list<string> column (validated
+    against each row's band count — M12, reference gdal.py:278-283)."""
+    from gdal_boots_ray.kernels.raster_ops import band_descriptions_set
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bands = batch.column("bands").to_numpy()
+        col = [band_descriptions_set(None, int(b), values) for b in bands]
+        if "band_desc" in batch.column_names:
+            batch = batch.drop_columns(["band_desc"])
+        return batch.append_column("band_desc", pa.array(col, pa.list_(pa.string())))
+
+    return fn
