@@ -15,7 +15,7 @@ before any wide groupby; exposed here as a reusable helper.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -26,15 +26,27 @@ def bucketed_aggregate(
     ds,
     keys: Sequence[str],
     agg: Dict[str, str],
-    n_buckets: int = 32,
+    n_buckets: Optional[int] = None,
 ):
     """Partial-per-batch then bucketed-final aggregation.
 
     agg: {column: 'sum'|'count'|'min'|'max'} — 'count' counts rows and
     needs no source column (use any name).  Returns Dataset with key
     columns + aggregated columns (named as the dict keys).
+
+    ``n_buckets`` bounds the final-combine shuffle fan-out; the
+    default scales with the cluster (2x CPU count, floor 32) so the
+    reducer count grows with the cluster instead of silently capping
+    parallelism at a constant.
     """
     keys = list(keys)
+    if n_buckets is None:
+        try:
+            import ray
+
+            n_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            n_buckets = 32
 
     spec_items = list(agg.items())
 
