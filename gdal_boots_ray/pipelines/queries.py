@@ -356,13 +356,20 @@ def q_point_values(sf_dir: str):
     from gdal_boots_ray.sources.fixtures import point_params
     from gdal_boots_ray.stages.decode import pixels_view
 
+    import ray
+
     n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    # bucket the tile key so the shuffle has a bounded number of
+    # groups (per-key map_groups pays Ray's per-group cost thousands
+    # of times); buckets scale with the cluster
+    n_buckets = max(64, 2 * int(ray.cluster_resources().get("CPU", 16)))
 
     def tag_points(batch: pa.Table) -> pa.Table:
         p = point_params(batch.column("c_custkey").to_numpy(), n_part)
         n = len(p["custkey"])
         return pa.table(
             {
+                "b": pa.array(p["tile_key"] % n_buckets, pa.int64()),
                 "k": pa.array(p["tile_key"], pa.int64()),
                 "kind": pa.array(np.zeros(n, np.int8)),
                 "pid": pa.array(p["custkey"], pa.int64()),
@@ -382,6 +389,7 @@ def q_point_values(sf_dir: str):
         keys = np.array([int(i.split("-")[1]) for i in ids], dtype=np.int64)
         return pa.table(
             {
+                "b": pa.array(keys % n_buckets, pa.int64()),
                 "k": pa.array(keys, pa.int64()),
                 "kind": pa.array(np.ones(n, np.int8)),
                 "pid": pa.array(np.zeros(n, np.int64)),
@@ -400,28 +408,33 @@ def q_point_values(sf_dir: str):
     )
     tiles = _tiles_dataset(sf_dir, decode=True).map_batches(tag_tiles, batch_format="pyarrow")
 
-    def sample_group(g: pd.DataFrame) -> pd.DataFrame:
+    def sample_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"pid": pd.Series([], dtype=np.int64), "value": pd.Series([], dtype=np.int64)}
         )
         tm = g["kind"].to_numpy() == 1
+        tiles_g = g[tm]
         pts_g = g[~tm]
-        if not tm.any() or not len(pts_g):
+        if not len(tiles_g) or not len(pts_g):
             return empty
-        trow = g[tm].iloc[0]
-        img = pixels_view(trow["pixels"], int(trow["bands"]), int(trow["h"]), int(trow["w"]))
-        gt = np.asarray(trow["gt"], np.float64)
-        vals, ok = sample_points(
-            img if img.ndim == 2 else img[0], gt, pts_g["x"].to_numpy(), pts_g["y"].to_numpy()
-        )
-        return pd.DataFrame(
-            {
-                "pid": pts_g["pid"].to_numpy()[ok].astype(np.int64),
-                "value": vals[ok].astype(np.int64),
-            }
-        )
+        out_pid, out_val = [], []
+        groups = {k: sub for k, sub in pts_g.groupby("k", sort=False)}
+        for trow in tiles_g.itertuples(index=False):
+            sub = groups.get(trow.k)
+            if sub is None:
+                continue
+            img = pixels_view(trow.pixels, int(trow.bands), int(trow.h), int(trow.w))
+            gt = np.asarray(trow.gt, np.float64)
+            vals, ok = sample_points(
+                img if img.ndim == 2 else img[0], gt, sub["x"].to_numpy(), sub["y"].to_numpy()
+            )
+            out_pid.append(sub["pid"].to_numpy()[ok].astype(np.int64))
+            out_val.append(vals[ok].astype(np.int64))
+        if not out_pid:
+            return empty
+        return pd.DataFrame({"pid": np.concatenate(out_pid), "value": np.concatenate(out_val)})
 
-    return pts.union(tiles).groupby("k").map_groups(sample_group, batch_format="pandas")
+    return pts.union(tiles).groupby("b").map_groups(sample_bucket, batch_format="pandas")
 
 
 def q_zonal_stats(sf_dir: str):
