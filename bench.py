@@ -118,6 +118,7 @@ def run_bench() -> dict:
 
     query_names = () if os.environ.get("GRAFT_BENCH_SCALING") else (
         "image_stats",
+        "tile_h3_cells",
         "tile_pip_join",
         "zonal_stats",
         "point_values",

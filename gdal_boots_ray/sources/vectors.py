@@ -167,3 +167,164 @@ def field_types(table: pa.Table) -> List[type]:
     for v in _json.loads(table.column("props")[0].as_py()).values():
         out.append(dict if isinstance(v, dict) else type(v) if v is not None else str)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer vector dataset (reference VectorDataset -> Layers -> Layer,
+# gdal.py:1145-1171, 1174-1341)
+# ---------------------------------------------------------------------------
+
+
+class Layer:
+    """One named feature layer: an appendable feature list over the
+    engine feature schema (reference Layer, gdal.py:1019-1142)."""
+
+    def __init__(self, name: str, geometry_type: str = "Polygon", epsg: int = 4326,
+                 fields: Optional[Dict[str, type]] = None, table: Optional[pa.Table] = None):
+        self.name = name
+        self.geometry_type = geometry_type
+        self.epsg = epsg
+        self.fields = dict(fields or {})
+        self._rows: List[dict] = []
+        self._base = table
+
+    def add_feature(self, geometry: dict, properties: Optional[dict] = None, fid: Optional[int] = None):
+        props = dict(properties or {})
+        for fname, ftype in self.fields.items():
+            props.setdefault(fname, None)
+        self._rows.append(
+            {
+                "fid": fid if fid is not None else len(self._rows),
+                "geometry": geometry,
+                "properties": props,
+            }
+        )
+
+    def __len__(self) -> int:
+        return (self._base.num_rows if self._base is not None else 0) + len(self._rows)
+
+    @property
+    def table(self) -> pa.Table:
+        coll = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "id": r["fid"], "geometry": r["geometry"], "properties": r["properties"]}
+                for r in self._rows
+            ],
+        }
+        t = features_table(coll, layer=self.name, epsg=self.epsg)
+        if self._base is not None:
+            t = pa.concat_tables([self._base, t]) if t.num_rows else self._base
+        return t
+
+    def field_names(self) -> List[str]:
+        return field_names(self.table) if len(self) else list(self.fields)
+
+
+class VectorDataset:
+    """Multi-layer container with format-dispatched open/to_file —
+    the engine twin of the reference VectorDataset (gdal.py:1174-1341;
+    layer access by name or index like Layers, gdal.py:1145-1171)."""
+
+    def __init__(self):
+        self._layers: List[Layer] = []
+
+    @classmethod
+    def create(cls) -> "VectorDataset":
+        return cls()
+
+    def add_layer(self, name: str, geometry_type: str = "Polygon", epsg: int = 4326,
+                  fields: Optional[Dict[str, type]] = None) -> Layer:
+        if py_invalid := [t for t in (fields or {}).values() if t not in (bool, int, float, str, dict)]:
+            raise ValueError(f"unsupported field types {py_invalid}")
+        layer = Layer(name, geometry_type, epsg, fields)
+        self._layers.append(layer)
+        return layer
+
+    @property
+    def layers(self) -> List[Layer]:
+        return list(self._layers)
+
+    def layer_names(self) -> List[str]:
+        return [l.name for l in self._layers]
+
+    def __getitem__(self, key) -> Layer:
+        if isinstance(key, int):
+            return self._layers[key]
+        for l in self._layers:
+            if l.name == key:
+                return l
+        raise KeyError(key)
+
+    def __len__(self) -> int:
+        return len(self._layers)
+
+    @classmethod
+    def open(cls, path: str) -> "VectorDataset":
+        ext = path.rsplit(".", 1)[-1].lower()
+        ds = cls()
+        if ext == "gpkg":
+            from gdal_boots_ray.sources.gpkg import gpkg_layers, read_gpkg_table
+
+            for name in gpkg_layers(path):
+                t = read_gpkg_table(path, name)
+                epsg = t.column("epsg")[0].as_py() if t.num_rows else 4326
+                ds._layers.append(Layer(name, epsg=epsg, table=t))
+        elif ext == "shp":
+            from gdal_boots_ray.sources.shapefile import read_shapefile_table
+
+            t = read_shapefile_table(path)
+            name = t.column("layer")[0].as_py() if t.num_rows else "layer0"
+            epsg = t.column("epsg")[0].as_py() if t.num_rows else 4326
+            ds._layers.append(Layer(name, epsg=epsg, table=t))
+        elif ext in ("geojson", "json"):
+            t = features_table(open(path).read())
+            ds._layers.append(Layer("layer0", table=t))
+        else:
+            raise ValueError(f"unsupported vector format {ext!r}")
+        return ds
+
+    def to_file(self, path: str) -> str:
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext == "gpkg":
+            from gdal_boots_ray.sources.gpkg import write_gpkg
+
+            import os as _os
+
+            if _os.path.exists(path):
+                _os.unlink(path)
+            for layer in self._layers:
+                write_gpkg(path, layer.table, layer=layer.name)
+            return path
+        if ext == "shp":
+            from gdal_boots_ray.sources.shapefile import write_shapefile
+
+            if len(self._layers) != 1:
+                raise ValueError("shapefiles hold exactly one layer")
+            return write_shapefile(path, self._layers[0].table)
+        if ext in ("geojson", "json"):
+            if len(self._layers) != 1:
+                raise ValueError("GeoJSON files hold one layer; use gpkg for multi-layer")
+            with open(path, "w") as fd:
+                json.dump(to_feature_collection(self._layers[0].table), fd)
+            return path
+        raise ValueError(f"unsupported vector format {ext!r}")
+
+    def to_bytes(self, fmt: str = "gpkg") -> bytes:
+        if fmt == "gpkg":
+            import os as _os
+            import tempfile as _tempfile
+
+            fd, tmp = _tempfile.mkstemp(suffix=".gpkg")
+            _os.close(fd)
+            _os.unlink(tmp)
+            try:
+                self.to_file(tmp)
+                with open(tmp, "rb") as f:
+                    return f.read()
+            finally:
+                if _os.path.exists(tmp):
+                    _os.unlink(tmp)
+        if fmt == "geojson":
+            return json.dumps(to_feature_collection(self._layers[0].table)).encode()
+        raise ValueError(f"unsupported to_bytes format {fmt!r}")

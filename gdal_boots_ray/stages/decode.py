@@ -208,3 +208,34 @@ def make_set_band_descriptions(values):
         return batch.append_column("band_desc", pa.array(col, pa.list_(pa.string())))
 
     return fn
+
+
+def make_set_nodata(values):
+    """Stage: attach a per-band ``nodata`` list<float64> column
+    (reference per-band nodata get/set, gdal.py:265-276; a scalar
+    applies to every band, None entries mean 'no nodata')."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bands = batch.column("bands").to_numpy()
+        col = []
+        for b in bands:
+            if values is None or isinstance(values, (int, float)):
+                col.append([None if values is None else float(values)] * int(b))
+            else:
+                vals = list(values)
+                if len(vals) != int(b):
+                    raise ValueError(f"expected {int(b)} nodata values, got {len(vals)}")
+                col.append([None if v is None else float(v) for v in vals])
+        if "nodata" in batch.column_names:
+            batch = batch.drop_columns(["nodata"])
+        return batch.append_column("nodata", pa.array(col, pa.list_(pa.float64())))
+
+    return fn
+
+
+def batch_nodata(batch: pa.Table) -> list:
+    """Per-row nodata lists (None where the column is absent) — the
+    get side of M11 for kernels that take WarpSource(nodata=...)."""
+    if "nodata" not in batch.column_names:
+        return [None] * batch.num_rows
+    return batch.column("nodata").to_pylist()
