@@ -1484,6 +1484,41 @@ def q_recode_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_psnr_fidelity(sf_dir: str, quantize_bits: int = 5, min_db: float = 40.0):
+    """The BASELINE.json input_hint per-row invariant as a checked
+    query: decode -> 5-bit lossy quantize -> PNG re-encode -> decode
+    -> per-image PSNR vs the original must clear 40 dB, and the
+    caption column must ride through the whole chain unchanged.  The
+    oracle emits one all-true row per image, so any fidelity or
+    caption regression breaks the hash."""
+    from gdal_boots_ray.kernels.png import decode_image, encode_image, psnr
+    from gdal_boots_ray.stages.decode import batch_pixel_views, lossy_quantize
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def fidelity(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        captions = batch.column("caption").to_pylist()
+        ok_psnr, ok_caption = [], []
+        for i, iid in enumerate(ids):
+            img = views[i]
+            q = lossy_quantize(img, quantize_bits)
+            back = decode_image(encode_image(q, "png"), "png")
+            db = psnr(img.reshape(back.shape), back)
+            ok_psnr.append(bool(db >= min_db))
+            ok_caption.append(captions[i] == f"tile {iid}")
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "psnr_ok": pa.array(ok_psnr, pa.bool_()),
+                "caption_ok": pa.array(ok_caption, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fidelity, batch_format="pyarrow")
+
+
 def q_vector_reproject(sf_dir: str):
     """to_epsg over the nation polygons: 3857 diamonds -> 4326; the
     oracle applies the closed-form inverse web-mercator to the diamond
@@ -1874,6 +1909,11 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "psnr_fidelity": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS caption_ok
+        FROM tiles
+    """,
     "vector_reproject": f"""
         WITH {POLY_SQL_CTE}
         SELECT poly_id,
@@ -2229,6 +2269,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
+    "psnr_fidelity": q_psnr_fidelity,
     "vector_reproject": q_vector_reproject,
     "sessionize": q_sessionize,
     "tile_resize": q_tile_resize,
