@@ -1560,6 +1560,89 @@ def q_vector_reproject(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_asof_join(sf_dir: str):
+    """AS-OF join over the events stream: every 'error' event matched
+    to the latest prior 'click' of the same user — the temporal join
+    the brief's custom-operator list names; the DuckDB oracle uses the
+    native ASOF JOIN operator (an independent implementation)."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def split(batch: pa.Table, etype: str) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), etype)
+        return batch.filter(m)
+
+    errors = ev.map_batches(lambda b: split(b, "error"), batch_format="pyarrow")
+    clicks = ev.map_batches(lambda b: split(b, "click"), batch_format="pyarrow")
+    out = asof_join(
+        errors,
+        clicks,
+        by_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id"],
+        right_cols=["value"],
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "click_value": pc.round(batch.column("value").cast(pa.float64()), 6),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """RANGE join: every order joined to the nation-derived price
+    bands containing its o_totalprice (lo <= p < hi) — both sides
+    stream through the 1-D cell co-shuffle; quadratic BETWEEN oracle."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import interval_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    bands = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_nationkey").to_numpy().astype(np.int64)
+        lo = n * 37000.0
+        hi = lo + 29000.0 + (n % 5) * 13000.0
+        return pa.table(
+            {
+                "iv_id": pa.array(n, pa.int64()),
+                "lo": pa.array(lo, pa.float64()),
+                "hi": pa.array(hi, pa.float64()),
+            }
+        )
+
+    out = interval_join(
+        orders,
+        bands.map_batches(to_bands, batch_format="pyarrow"),
+        val_col="o_totalprice",
+        point_key_col="o_orderkey",
+        iv_key_col="iv_id",
+        lo_col="lo",
+        hi_col="hi",
+        cell_width=25000.0,
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "iv_id": batch.column("iv_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > 30 min starts a new session) —
     the streaming-shaped operator; ordering within a group is explicit
@@ -1923,6 +2006,25 @@ ORACLE_SQL: Dict[str, str] = {
             round(degrees(2 * atan(exp((pcy + ry) / 6378137.0)) - pi() / 2), 9) AS north_lat
         FROM polys
     """,
+    "range_join": """
+        WITH bands AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS iv_id,
+                   n_nationkey * 37000.0 AS lo,
+                   n_nationkey * 37000.0 + 29000.0 + (n_nationkey % 5) * 13000.0 AS hi
+            FROM nation
+        )
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, iv_id
+        FROM orders, bands
+        WHERE o_totalprice >= lo AND o_totalprice < hi
+    """,
+    "asof_join": """
+        SELECT CAST(e.user_id AS BIGINT) AS user_id,
+               CAST(e.event_id AS BIGINT) AS event_id,
+               round(CAST(c.value AS DOUBLE), 6) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
     "sessionize": """
         WITH ev AS (
             SELECT user_id, ts, value,
@@ -2272,6 +2374,8 @@ QUERIES = {
     "psnr_fidelity": q_psnr_fidelity,
     "vector_reproject": q_vector_reproject,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "tile_resize": q_tile_resize,
     "tile_resize_lanczos": q_tile_resize_lanczos,
     "tile_resize_cubicspline": q_tile_resize_cubicspline,

@@ -219,6 +219,166 @@ def cell_pip_join(
     return both.groupby("cell").map_groups(group_pip, batch_format="pandas")
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    by_col: str,
+    ts_col: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+):
+    """Distributed AS-OF join: for every left row, the right row with
+    the greatest ``ts_col`` <= the left row's, within the same
+    ``by_col`` group (the temporal join Ray Data lacks natively;
+    composition: tag -> union -> groupby(by) -> sorted searchsorted
+    merge per group).  Left rows with no prior right row are dropped
+    (inner as-of).
+
+    ``left_cols`` / ``right_cols`` name the carried payload columns
+    (disjoint).  Output schema: by_col, *left_cols, *right_cols.
+
+    Partitioning assumption: one ``by_col`` group fits a worker (same
+    contract as any sessionization); salt hot keys upstream if not.
+    """
+    import pandas as pd
+
+    def _types(ds, cols):
+        try:
+            sch = ds.schema().base_schema
+            return {c: sch.field(c).type for c in cols}
+        except Exception:
+            return {}
+
+    lt = _types(left_ds, [ts_col, *left_cols])
+    rt = _types(right_ds, [ts_col, *right_cols])
+
+    def tag(batch: pa.Table, kind: int) -> pa.Table:
+        n = batch.num_rows
+        out = {
+            "k": batch.column(by_col).cast(pa.int64()),
+            "kind": pa.array(np.full(n, kind, np.int8)),
+            "ts": batch.column(ts_col),
+        }
+        for c in left_cols:
+            out[f"l_{c}"] = batch.column(c) if kind == 0 else pa.nulls(n, lt.get(c))
+        for c in right_cols:
+            out[f"r_{c}"] = batch.column(c) if kind == 1 else pa.nulls(n, rt.get(c))
+        return pa.table(out)
+
+    both = left_ds.map_batches(lambda b: tag(b, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(lambda b: tag(b, 1), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lm = g["kind"].to_numpy() == 0
+        lg = g[lm].sort_values("ts", kind="mergesort")
+        rg = g[~lm].sort_values("ts", kind="mergesort")
+        cols = [by_col, *left_cols, *right_cols]
+        if not len(lg) or not len(rg):
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        idx = np.searchsorted(rg["ts"].to_numpy(), lg["ts"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        lk = lg[keep]
+        rk = rg.iloc[idx[keep]]
+        out = {by_col: lk["k"].to_numpy()}
+        for c in left_cols:
+            out[c] = lk[f"l_{c}"].to_numpy()
+        for c in right_cols:
+            out[c] = rk[f"r_{c}"].to_numpy()
+        return pd.DataFrame(out)
+
+    return both.groupby("k").map_groups(merge, batch_format="pandas")
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    val_col: str,
+    point_key_col: str,
+    iv_key_col: str,
+    lo_col: str,
+    hi_col: str,
+    cell_width: float,
+):
+    """Distributed RANGE join: each point row joins every interval row
+    with ``lo <= val < hi`` — the 1-D analog of the cell PIP join.
+    Both sides stream: intervals explode to covering value-grid cells
+    inside map_batches, points carry their single home cell, one
+    co-shuffle on the cell, exact filter per group.  A match meets
+    exactly in the point's home cell, so no dedup pass.
+
+    ``cell_width`` trades interval fan-out (hi-lo)/width against group
+    sizes — same contract as cell_res in cell_pip_join."""
+    import pandas as pd
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).to_numpy().astype(np.float64)
+        n = len(v)
+        return pa.table(
+            {
+                "cell": pa.array(np.floor(v / cell_width).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "id": batch.column(point_key_col).cast(pa.int64()),
+                "v": pa.array(v, pa.float64()),
+                "lo": pa.array(np.full(n, np.nan), pa.float64()),
+                "hi": pa.array(np.full(n, np.nan), pa.float64()),
+            }
+        )
+
+    def explode_intervals(batch: pa.Table) -> pa.Table:
+        lo = batch.column(lo_col).to_numpy().astype(np.float64)
+        hi = batch.column(hi_col).to_numpy().astype(np.float64)
+        ids = batch.column(iv_key_col).to_numpy().astype(np.int64)
+        out_c, out_i = [], []
+        for i in range(len(lo)):
+            c0 = int(np.floor(lo[i] / cell_width))
+            c1 = int(np.floor(np.nextafter(hi[i], -np.inf) / cell_width))
+            cc = np.arange(c0, max(c1, c0) + 1, dtype=np.int64)
+            out_c.append(cc)
+            out_i.append(np.full(len(cc), i, np.int64))
+        cells = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        idx = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        n = len(cells)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "id": pa.array(ids[idx] if n else [], pa.int64()),
+                "v": pa.array(np.full(n, np.nan), pa.float64()),
+                "lo": pa.array(lo[idx] if n else [], pa.float64()),
+                "hi": pa.array(hi[idx] if n else [], pa.float64()),
+            }
+        )
+
+    both = points_ds.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals_ds.map_batches(explode_intervals, batch_format="pyarrow")
+    )
+
+    def group_join(g: pd.DataFrame) -> pd.DataFrame:
+        im = g["kind"].to_numpy() == 1
+        pts = g[~im]
+        ivs = g[im]
+        if not len(pts) or not len(ivs):
+            return pd.DataFrame(
+                {point_key_col: pd.Series([], dtype=np.int64), iv_key_col: pd.Series([], dtype=np.int64)}
+            )
+        v = pts["v"].to_numpy()
+        pid = pts["id"].to_numpy()
+        out_p, out_i = [], []
+        for iv in ivs.itertuples(index=False):
+            m = (v >= iv.lo) & (v < iv.hi)
+            out_p.append(pid[m])
+            out_i.append(np.full(int(m.sum()), iv.id, np.int64))
+        return pd.DataFrame(
+            {
+                point_key_col: np.concatenate(out_p).astype(np.int64),
+                iv_key_col: np.concatenate(out_i),
+            }
+        )
+
+    return both.groupby("cell").map_groups(group_join, batch_format="pandas")
+
+
 def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optional[np.ndarray] = None):
     """Brute-force cosine top-k: the query matrix is broadcast once
     (``ray.put``); each batch computes a (batch x queries) matmul and
