@@ -1106,6 +1106,79 @@ def q_simhash(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Near-duplicate documents by SimHash hamming distance <= 3 over
+    the 64-bit fingerprint: LSH banding (4 bands x 16 bits —
+    pigeonhole-EXACT for hamming<=3, as in phash_neardup) + verify.
+    The oracle is the quadratic bit_count(xor) join over the same
+    SQL-replayed simhash, so banding exactness is hash-checked."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import simhash64
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sim_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        sh = np.array([simhash64(t) for t in texts], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids), "sh": pa.array(sh, pa.int64())})
+
+    rows = docs.map_batches(sim_rows, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sh = batch.column("sh").to_numpy().astype(np.uint64)
+        out_i, out_b = [], []
+        for b in range(4):
+            band_val = (sh >> np.uint64(b * 16)) & np.uint64(0xFFFF)
+            out_i.extend(ids.tolist())
+            out_b.extend((band_val.astype(np.int64) + (b << 40)).tolist())
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()), "bucket": pa.array(out_b, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a].astype(np.int64), "doc_b": ids[b].astype(np.int64)})
+
+    cand = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
+        pairs, batch_format="pandas"
+    )
+    dedup = bucketed_aggregate(cand, ["doc_a", "doc_b"], {"n": "count"}).select_columns(["doc_a", "doc_b"])
+
+    from gdal_boots_ray.stages.textstages import attach_doc_column
+
+    withtext = attach_doc_column(
+        attach_doc_column(dedup, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy().astype(np.int64)
+        db = batch.column("doc_b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(da)):
+            h = bin((simhash64(ta[i]) ^ simhash64(tb[i])) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                out_a.append(int(da[i]))
+                out_b.append(int(db[i]))
+                out_h.append(h)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return withtext.map_batches(verify, batch_format="pyarrow")
+
+
 def q_events_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -1822,6 +1895,35 @@ def q_polygonize(sf_dir: str, n_tiles: int = 24):
 # Oracle SQL
 # ---------------------------------------------------------------------------
 
+# simhash replay shared by the 'simhash' and 'simhash_neardup' twins
+_SIMHASH_SQL_CTE = r"""
+        words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        wh AS (
+            SELECT doc_id, CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) AS h FROM words
+        ),
+        bits AS (
+            SELECT doc_id, b.b AS bit,
+                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+            GROUP BY doc_id, b.b
+        ),
+        sh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS us
+            FROM bits GROUP BY doc_id
+        ),
+        sims AS (
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN coalesce(us, 0) >= CAST(1 AS HUGEINT) << 63
+                             THEN coalesce(us, 0) - (CAST(1 AS HUGEINT) << 64)
+                             ELSE coalesce(us, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sh USING (doc_id)
+        )
+"""
+
 ORACLE_SQL: Dict[str, str] = {
     "tile_bounds": f"""
         WITH {TILE_SQL_CTE}
@@ -2143,30 +2245,16 @@ ORACLE_SQL: Dict[str, str] = {
                  ELSE 'es' END AS lang_pred
         FROM scores
     """,
-    "simhash": r"""
-        WITH words AS (
-            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
-            FROM documents
-        ),
-        wh AS (
-            SELECT doc_id, CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) AS h FROM words
-        ),
-        bits AS (
-            SELECT doc_id, b.b AS bit,
-                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-            FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
-            GROUP BY doc_id, b.b
-        ),
-        sh AS (
-            SELECT doc_id,
-                   sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS us
-            FROM bits GROUP BY doc_id
-        )
-        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-               CAST(CASE WHEN coalesce(us, 0) >= CAST(1 AS HUGEINT) << 63
-                         THEN coalesce(us, 0) - (CAST(1 AS HUGEINT) << 64)
-                         ELSE coalesce(us, 0) END AS BIGINT) AS simhash
-        FROM documents d LEFT JOIN sh USING (doc_id)
+    "simhash": rf"""
+        WITH {_SIMHASH_SQL_CTE}
+        SELECT doc_id, simhash FROM sims
+    """,
+    "simhash_neardup": rf"""
+        WITH {_SIMHASH_SQL_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sims a, sims b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "lang_id": r"""
         WITH f AS (
@@ -2397,6 +2485,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "salted_cell_counts": q_salted_cell_counts,
