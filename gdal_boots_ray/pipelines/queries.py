@@ -1388,6 +1388,56 @@ def q_top_orders(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_top_orders_per_nation(sf_dir: str, k: int = 3):
+    """Group-wise top-k (the SQL ``ROW_NUMBER() OVER (PARTITION BY
+    ...) <= k`` window) without a global sort: broadcast
+    customer->nation attach, then ``grouped_top_k`` — per-batch
+    partial top-k so the shuffle moves <= k rows per (nation, batch),
+    bucketed final merge.  Deterministic under price ties via the
+    o_orderkey tie-break."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import grouped_top_k
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation_of = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    name_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    lookup_ref = ray.put((nation_of, name_of))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    class AttachNation:
+        def __init__(self):
+            self.nation_of, self.name_of = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy()
+            names = [self.name_of[self.nation_of[int(c)]] for c in ck]
+            return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    attached = orders.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 4))
+    top = grouped_top_k(
+        attached, ["n_name"], "o_totalprice", k, descending=True, tie_cols=["o_orderkey"]
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_totalprice": batch.column("o_totalprice").cast(pa.float64()),
+            }
+        )
+
+    return top.map_batches(cast, batch_format="pyarrow")
+
+
 def q_embedding_neardup(
     sf_dir: str,
     threshold: float = 0.92,
@@ -2443,6 +2493,22 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC LIMIT 10
     """,
+    "top_orders_per_nation": """
+        WITH j AS (
+            SELECT n.n_name, o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rn
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT n_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM j WHERE rn <= 3
+    """,
 }
 
 QUERIES = {
@@ -2492,5 +2558,6 @@ QUERIES = {
     "q1_pricing": q_q1_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
+    "top_orders_per_nation": q_top_orders_per_nation,
     "embedding_neardup": q_embedding_neardup,
 }

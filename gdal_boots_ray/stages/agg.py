@@ -22,6 +22,31 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _default_n_buckets() -> int:
+    """Scale the final-combine fan-out with the cluster (2x CPUs,
+    floor 32) so the reducer count grows with the cluster instead of
+    silently capping parallelism at a constant."""
+    try:
+        import ray
+
+        return max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        return 32
+
+
+def _key_buckets(batch: pd.DataFrame, keys: Sequence[str], n_buckets: int) -> np.ndarray:
+    """Deterministic hash of the key columns into ``n_buckets``."""
+    h = np.zeros(len(batch), dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if col.dtype == object:
+            vals = pd.util.hash_array(col.to_numpy().astype(str)).astype(np.uint64)
+        else:
+            vals = col.to_numpy().astype(np.uint64, copy=False)
+        h = h * np.uint64(1000003) + vals
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def bucketed_aggregate(
     ds,
     keys: Sequence[str],
@@ -41,12 +66,7 @@ def bucketed_aggregate(
     """
     keys = list(keys)
     if n_buckets is None:
-        try:
-            import ray
-
-            n_buckets = max(32, 2 * int(ray.cluster_resources().get("CPU", 16)))
-        except Exception:
-            n_buckets = 32
+        n_buckets = _default_n_buckets()
 
     spec_items = list(agg.items())
 
@@ -62,16 +82,8 @@ def bucketed_aggregate(
         return out
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for k in keys:
-            col = batch[k]
-            if col.dtype == object:
-                vals = pd.util.hash_array(col.to_numpy().astype(str)).astype(np.uint64)
-            else:
-                vals = col.to_numpy().astype(np.uint64, copy=False)
-            h = h * np.uint64(1000003) + vals
         batch = batch.copy()
-        batch["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        batch["_bucket"] = _key_buckets(batch, keys, n_buckets)
         return batch
 
     second = {"count": "sum"}  # counts combine by summing
@@ -85,3 +97,58 @@ def bucketed_aggregate(
 
     partials = ds.map_batches(partial, batch_format="pandas").map_batches(add_bucket, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+def grouped_top_k(
+    ds,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: Sequence[str] = (),
+    n_buckets: Optional[int] = None,
+):
+    """Per-group top-k without a global sort.
+
+    Two-phase plan (the windowed ``ROW_NUMBER() <= k`` a SQL engine
+    would sort-shuffle for): each batch keeps at most ``k`` rows per
+    group it sees (vectorized stable sort + ``groupby.head``), so the
+    only exchange moves <= k x (groups present in that batch) rows —
+    never raw data — into a bucketed final that re-applies the same
+    top-k per group.  ``tie_cols`` (ascending) make the result
+    deterministic under ties; the shuffle fan-out scales with the
+    cluster via ``_default_n_buckets``.  Semantics follow the
+    reference's ordered-read idiom (gdal.py feature iteration is
+    deterministic) lifted to a distributed setting.
+    """
+    keys = list(keys)
+    if n_buckets is None:
+        n_buckets = _default_n_buckets()
+    by = [order_col] + list(tie_cols)
+    ascending = [not descending] + [True] * len(tie_cols)
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        out = (
+            batch.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+        out = out.copy()
+        out["_bucket"] = _key_buckets(out, keys, n_buckets)
+        return out
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+        return out.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -202,3 +202,42 @@ def test_knn_stage(ray_mod):
     # self is always the top hit
     top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
     assert top["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_grouped_top_k(ray_mod):
+    """grouped_top_k == pandas windowed row_number()<=k, including
+    ties (tie_cols break deterministically), k > group size, and
+    groups split across many blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import grouped_top_k
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 37, n),
+            "v": rng.integers(0, 50, n).astype(float),  # many ties
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # one group with fewer rows than k
+    df = df[~((df.g == 36) & (df.id % 7 != 0))].reset_index(drop=True)
+
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        grouped_top_k(ds, ["g"], "v", 5, descending=True, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
