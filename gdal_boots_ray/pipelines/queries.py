@@ -1438,6 +1438,55 @@ def q_top_orders_per_nation(sf_dir: str, k: int = 3):
     return top.map_batches(cast, batch_format="pyarrow")
 
 
+def q_revenue_by_segment(sf_dir: str):
+    """Two-large-sides relational equi-join with NO broadcast: orders
+    and customer co-shuffle once through the bucketed
+    ``hash_join`` (contrast ``revenue_by_nation``, which broadcasts
+    the dimension), then a partial+bucketed aggregate by market
+    segment.  The shape that survives both sides at 10^9 rows."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def key_o(batch: pa.Table) -> pa.Table:
+        # the price column is pre-named 'revenue' so the aggregate's
+        # output name needs no extra rename pass
+        return pa.table(
+            {"custkey": batch.column("o_custkey").cast(pa.int64()), "revenue": batch.column("o_totalprice")}
+        )
+
+    def key_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": batch.column("c_custkey").cast(pa.int64()), "c_mktsegment": batch.column("c_mktsegment")}
+        )
+
+    joined = hash_join(
+        orders.map_batches(key_o, batch_format="pyarrow"),
+        cust.map_batches(key_c, batch_format="pyarrow"),
+        on="custkey",
+        left_cols=["revenue"],
+        right_cols=["c_mktsegment"],
+    )
+    agg = bucketed_aggregate(
+        joined, ["c_mktsegment"], {"revenue": "sum", "n_orders": "count"}
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "revenue": pc.round(batch.column("revenue").cast(pa.float64()), 2),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_embedding_neardup(
     sf_dir: str,
     threshold: float = 0.92,
@@ -2493,6 +2542,13 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC LIMIT 10
     """,
+    "revenue_by_segment": """
+        SELECT c.c_mktsegment,
+               round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
     "top_orders_per_nation": """
         WITH j AS (
             SELECT n.n_name, o.o_orderkey, o.o_custkey, o.o_totalprice,
@@ -2559,5 +2615,6 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
     "top_orders_per_nation": q_top_orders_per_nation,
+    "revenue_by_segment": q_revenue_by_segment,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -379,6 +379,79 @@ def interval_join(
     return both.groupby("cell").map_groups(group_join, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    n_buckets: Optional[int] = None,
+):
+    """Generic two-large-sides equi-join: bucketed shuffle hash join.
+
+    Neither side is broadcast or driver-materialized: both stream
+    through a key-hash bucketing stage (fan-out scales with the
+    cluster via ``_default_n_buckets``), co-shuffle ONCE on the
+    bucket, and each bucket merges vectorized (``pd.merge``).  This is
+    the partitioned hash join a SQL engine plans for orders ⋈
+    customer — the exchange moves each row exactly once.
+
+    Inner join on ``on`` (present in both sides, integer or string).
+    Output schema: on, *left_cols, *right_cols (disjoint names).
+    Skew: one hot key still lands in one bucket; salt upstream with
+    ``stages.skew`` if a single key's rows exceed a worker.
+    """
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
+
+    if n_buckets is None:
+        n_buckets = _default_n_buckets()
+
+    def _types(ds, cols):
+        try:
+            sch = ds.schema().base_schema
+            return {c: sch.field(c).type for c in cols}
+        except Exception:
+            return {}
+
+    lt = _types(left_ds, left_cols)
+    rt = _types(right_ds, right_cols)
+
+    def tag(batch: pa.Table, kind: int) -> pa.Table:
+        n = batch.num_rows
+        out = {"k": batch.column(on), "kind": pa.array(np.full(n, kind, np.int8))}
+        for c in left_cols:
+            out[f"l_{c}"] = batch.column(c) if kind == 0 else pa.nulls(n, lt.get(c))
+        for c in right_cols:
+            out[f"r_{c}"] = batch.column(c) if kind == 1 else pa.nulls(n, rt.get(c))
+        t = pa.table(out)
+        df = pd.DataFrame({"k": t.column("k").to_pandas()})
+        bucket = _key_buckets(df, ["k"], n_buckets)
+        return t.append_column("_bucket", pa.array(bucket, pa.int64()))
+
+    both = left_ds.map_batches(lambda b: tag(b, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(lambda b: tag(b, 1), batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lm = g["kind"].to_numpy() == 0
+        lg = g.loc[lm, ["k"] + [f"l_{c}" for c in left_cols]]
+        rg = g.loc[~lm, ["k"] + [f"r_{c}" for c in right_cols]]
+        cols = [on, *left_cols, *right_cols]
+        if not len(lg) or not len(rg):
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        m = lg.merge(rg, on="k", how="inner")
+        out = {on: m["k"].to_numpy()}
+        for c in left_cols:
+            out[c] = m[f"l_{c}"].to_numpy()
+        for c in right_cols:
+            out[c] = m[f"r_{c}"].to_numpy()
+        return pd.DataFrame(out)
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
 def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optional[np.ndarray] = None):
     """Brute-force cosine top-k: the query matrix is broadcast once
     (``ray.put``); each batch computes a (batch x queries) matmul and

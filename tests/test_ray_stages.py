@@ -241,3 +241,37 @@ def test_grouped_top_k(ray_mod):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+def test_hash_join(ray_mod):
+    """Bucketed shuffle hash_join == pandas inner merge, with keys
+    split across blocks, one-to-many fan-out, and keys missing on
+    either side."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 200, 3000), "lv": rng.normal(size=3000)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(100, 300, 500), "rv": np.arange(500, dtype=np.int64)}
+    )
+
+    got = hash_join(
+        rd.from_pandas(left).repartition(8),
+        rd.from_pandas(right).repartition(4),
+        on="k",
+        left_cols=["lv"],
+        right_cols=["rv"],
+    ).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+
+    assert len(got) == len(want)
+    key = lambda df: df.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    g, w = key(got), key(want)
+    assert (g["k"].to_numpy() == w["k"].to_numpy()).all()
+    assert np.allclose(g["lv"].astype(float), w["lv"].to_numpy())
+    assert (g["rv"].astype(np.int64).to_numpy() == w["rv"].to_numpy()).all()
