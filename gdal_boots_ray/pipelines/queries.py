@@ -940,6 +940,54 @@ def q_text_tokens(sf_dir: str):
     return docs.map_batches(toks, batch_format="pyarrow")
 
 
+def q_token_quantiles(sf_dir: str):
+    """Exact distributed quantiles of per-doc whitespace token counts
+    via the histogram plan (`exact_quantiles`): per-batch value-count
+    partials -> bucketed count merge -> driver cumulative walk over
+    distinct VALUES (bounded by the token-count domain, not rows).
+    Oracle: DuckDB percentile_disc over the same SQL-replayed count."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import exact_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({"n_tokens_ws": pa.array([len(t.split()) for t in texts], pa.int64())})
+
+    out = exact_quantiles(
+        docs.map_batches(toks, batch_format="pyarrow"),
+        "n_tokens_ws",
+        [0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+    out["n_tokens_ws"] = out["n_tokens_ws"].astype("int64")
+    return out
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample of the documents
+    table (downsample 'en' to 20%, 'de' to 50%, everything else
+    kept): md5-hash membership so the sample is identical across
+    retries/resumes/cluster sizes, replayed exactly by the DuckDB
+    md5 twin."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.sample import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()), "lang": batch.column("lang")}
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 _ALPHA_RE = re.compile(r"[^a-zA-Z]")
 _DIGIT_RE = re.compile(r"[^0-9]")
 
@@ -2542,6 +2590,28 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC LIMIT 10
     """,
+    "stratified_sample": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM documents
+        WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 10000
+              < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 ELSE 10000 END
+    """,
+    "token_quantiles": """
+        WITH t AS (
+            SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+            FROM documents
+        )
+        SELECT CAST(0.25 AS DOUBLE) AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY nt) AS BIGINT) AS n_tokens_ws FROM t
+        UNION ALL
+        SELECT CAST(0.5 AS DOUBLE), CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t
+        UNION ALL
+        SELECT CAST(0.75 AS DOUBLE), CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE), CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t
+    """,
     "revenue_by_segment": """
         SELECT c.c_mktsegment,
                round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue,
@@ -2616,5 +2686,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "top_orders_per_nation": q_top_orders_per_nation,
     "revenue_by_segment": q_revenue_by_segment,
+    "token_quantiles": q_token_quantiles,
+    "stratified_sample": q_stratified_sample,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -152,3 +152,42 @@ def grouped_top_k(
         .groupby("_bucket")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float], n_buckets: Optional[int] = None):
+    """EXACT distributed quantiles for a bounded-domain column
+    (integer measures: token counts, lengths, pixel values).
+
+    Histogram plan — never a global sort: each batch emits
+    (value, count) partials (``np.unique``), a bucketed merge sums
+    counts per distinct value, and the driver walks the cumulative
+    distribution (rows = distinct VALUES, bounded by the domain — a
+    token-count column has ~10^4 distinct values at any row scale, so
+    the driver combine is O(domain), not O(rows)).
+
+    Returns a pandas DataFrame (q, value) using SQL
+    ``percentile_disc`` semantics: the smallest value whose cumulative
+    count fraction is >= q.
+    """
+    qs = list(qs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts = np.unique(batch[col].to_numpy(), return_counts=True)
+        return pd.DataFrame({col: vals, "cnt": cnts.astype(np.int64)})
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), [col], {"cnt": "sum"}, n_buckets
+    ).to_pandas()
+    counts = counts.sort_values(col).reset_index(drop=True)
+    cum = counts["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        # percentile_disc: first value with cum >= q*n (same IEEE
+        # double product DuckDB computes, so ties agree bit-for-bit)
+        idx = int(np.searchsorted(cum, q * n, side="left"))
+        out_q.append(float(q))
+        out_v.append(counts[col].iloc[min(idx, len(counts) - 1)])
+    return pd.DataFrame({"q": out_q, col: out_v})

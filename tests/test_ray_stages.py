@@ -275,3 +275,36 @@ def test_hash_join(ray_mod):
     assert (g["k"].to_numpy() == w["k"].to_numpy()).all()
     assert np.allclose(g["lv"].astype(float), w["lv"].to_numpy())
     assert (g["rv"].astype(np.int64).to_numpy() == w["rv"].to_numpy()).all()
+
+
+def test_exact_quantiles(ray_mod):
+    """Histogram-plan quantiles == numpy inverted-CDF on the full
+    multiset, regardless of partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 40, 2000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(16)
+    got = exact_quantiles(ds, "v", [0.1, 0.5, 0.9, 0.99])
+    s = np.sort(vals)
+    for q, v in zip(got["q"], got["v"]):
+        idx = int(np.ceil(q * len(s))) - 1  # percentile_disc
+        assert v == s[max(idx, 0)], (q, v, s[max(idx, 0)])
+
+
+def test_deterministic_sample_stable(ray_mod):
+    """deterministic_sample keeps the identical id set under any
+    partitioning (the resume/retry-stability contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.sample import deterministic_sample
+
+    df = pd.DataFrame({"id": np.arange(3000, dtype=np.int64)})
+    a = deterministic_sample(rd.from_pandas(df).repartition(2), "id", 0.3).to_pandas()
+    b = deterministic_sample(rd.from_pandas(df).repartition(31), "id", 0.3).to_pandas()
+    assert set(a["id"]) == set(b["id"])
+    assert 0.25 < len(a) / len(df) < 0.35
