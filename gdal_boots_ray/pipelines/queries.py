@@ -988,6 +988,88 @@ def q_stratified_sample(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_top_terms(sf_dir: str, k: int = 10):
+    """Corpus vocabulary analysis: top-k most frequent words per
+    language.  Composition of three scale-safe pieces — tokenize
+    inside map_batches (one (lang, word, n) partial row per distinct
+    word per batch), bucketed count merge, then ``grouped_top_k`` —
+    so the exchanges move word-count partials, never text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def word_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        langs, words = [], []
+        for lang, text in zip(batch["lang"], batch["text"]):
+            ws = _WORD_RE.findall(text.lower())
+            langs.extend([lang] * len(ws))
+            words.extend(ws)
+        df = pd.DataFrame({"lang": langs, "word": words})
+        out = df.groupby(["lang", "word"], sort=False).size().rename("cnt").reset_index()
+        return out
+
+    counts = bucketed_aggregate(
+        docs.map_batches(word_partials, batch_format="pandas"), ["lang", "word"], {"cnt": "sum"}
+    )
+    top = grouped_top_k(counts, ["lang"], "cnt", k, descending=True, tie_cols=["word"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "word": batch.column("word"),
+                "cnt": batch.column("cnt").cast(pa.int64()),
+            }
+        )
+
+    return top.map_batches(cast, batch_format="pyarrow")
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog count-distinct vs the exact distributed count, for
+    an int key (orders.o_custkey) and a string domain (distinct words
+    in documents).  ``exact_distinct`` is hash-checked against
+    DuckDB's count(DISTINCT ..); ``ok`` asserts the HLL estimate
+    within 5% (~3 sigma at p=12) — the sketch's contract, since the
+    estimate itself is implementation-defined."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import approx_count_distinct, bucketed_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    est_cust = approx_count_distinct(orders, "o_custkey")
+    exact_cust = bucketed_aggregate(orders, ["o_custkey"], {"n": "count"}).count()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def words(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in batch["text"]:
+            out.extend(set(_WORD_RE.findall(t.lower())))
+        return pd.DataFrame({"word": pd.Series(out, dtype=str)})
+
+    word_ds = docs.map_batches(words, batch_format="pandas")
+    est_words = approx_count_distinct(word_ds, "word")
+    exact_words = bucketed_aggregate(word_ds, ["word"], {"n": "count"}).count()
+
+    return pd.DataFrame(
+        {
+            "metric": ["o_custkey", "word"],
+            "exact_distinct": np.array([exact_cust, exact_words], dtype=np.int64),
+            "ok": [
+                abs(est_cust / max(exact_cust, 1) - 1.0) < 0.05,
+                abs(est_words / max(exact_words, 1) - 1.0) < 0.05,
+            ],
+        }
+    )
+
+
 _ALPHA_RE = re.compile(r"[^a-zA-Z]")
 _DIGIT_RE = re.compile(r"[^0-9]")
 
@@ -2590,6 +2672,32 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC LIMIT 10
     """,
+    "approx_distinct": """
+        SELECT 'o_custkey' AS metric,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+               CAST(true AS BOOLEAN) AS ok
+        FROM orders
+        UNION ALL
+        SELECT 'word',
+               CAST(count(DISTINCT w) AS BIGINT),
+               CAST(true AS BOOLEAN)
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents)
+    """,
+    "top_terms": """
+        WITH words AS (
+            SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY lang, w
+        ),
+        r AS (
+            SELECT lang, w, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rn
+            FROM c
+        )
+        SELECT lang, w AS word, cnt FROM r WHERE rn <= 10
+    """,
     "stratified_sample": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
         FROM documents
@@ -2688,5 +2796,7 @@ QUERIES = {
     "revenue_by_segment": q_revenue_by_segment,
     "token_quantiles": q_token_quantiles,
     "stratified_sample": q_stratified_sample,
+    "top_terms": q_top_terms,
+    "approx_distinct": q_approx_distinct,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -154,6 +154,35 @@ def grouped_top_k(
     )
 
 
+def approx_count_distinct(ds, col: str, n_buckets: int = 64) -> float:
+    """Distributed HyperLogLog count-distinct: per-batch 4 KB register
+    partials (vectorized, kernels/sketch.py) -> bucketed elementwise-
+    max merge -> driver final estimate.  NO key shuffle at any scale:
+    the exchange moves one 4 KB row per batch, the driver sees
+    ``n_buckets`` rows.  ~1.6% standard error at p=12."""
+    from gdal_boots_ray.kernels import sketch
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        reg = sketch.hll_partial(sketch.hash64(batch[col].to_numpy()))
+        # deterministic bucket from the register content spreads the
+        # merge tree without needing a batch index
+        b = int(reg.view(np.uint32).sum()) % n_buckets
+        return pd.DataFrame({"bucket": [b], "reg": [reg.tobytes()]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.frombuffer(r, dtype=np.uint8) for r in g["reg"]])
+        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])], "reg": [sketch.hll_merge(stack).tobytes()]})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    final = sketch.hll_merge(np.stack([np.frombuffer(r, dtype=np.uint8) for r in rows["reg"]]))
+    return sketch.hll_estimate(final)
+
+
 def exact_quantiles(ds, col: str, qs: Sequence[float], n_buckets: Optional[int] = None):
     """EXACT distributed quantiles for a bounded-domain column
     (integer measures: token counts, lengths, pixel values).

@@ -150,3 +150,25 @@ class TestText:
         fp1 = rolling_fingerprints("a stable document body of reasonable length for hashing")
         fp2 = rolling_fingerprints("a stable document body of reasonable length for hashing")
         assert fp1 == fp2 and len(fp1) >= 1
+
+
+def test_hll_sketch():
+    """HLL: mergeable (split == whole), within 5% over 3 decades,
+    string and int domains."""
+    import numpy as np
+
+    from gdal_boots_ray.kernels import sketch
+
+    for n in (100, 5000, 200000):
+        ids = np.arange(n, dtype=np.int64)
+        est = sketch.hll_estimate(sketch.hll_partial(sketch.hash64(ids)))
+        assert abs(est / n - 1) < 0.05, (n, est)
+    ids = np.arange(50000, dtype=np.int64)
+    whole = sketch.hll_partial(sketch.hash64(ids))
+    parts = np.stack(
+        [sketch.hll_partial(sketch.hash64(c)) for c in np.array_split(ids, 7)]
+    )
+    assert (sketch.hll_merge(parts) == whole).all()
+    words = np.array([f"w{i}" for i in range(30000)])
+    est = sketch.hll_estimate(sketch.hll_partial(sketch.hash64(words)))
+    assert abs(est / 30000 - 1) < 0.05
