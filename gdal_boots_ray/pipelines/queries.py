@@ -485,13 +485,13 @@ def q_image_stats(sf_dir: str):
     zero-copy view end-to-end; SQL twin enumerates the pixel field)."""
     ds = _tiles_dataset(sf_dir, decode=True)
 
-    from gdal_boots_ray.stages.decode import pixels_view
+    from gdal_boots_ray.stages.decode import binary_column_views, pixels_view
 
     def stats(batch: pa.Table) -> pa.Table:
         ws = batch.column("w").to_numpy()
         hs = batch.column("h").to_numpy()
         bands = batch.column("bands").to_numpy()
-        pix = batch.column("pixels")
+        pix = binary_column_views(batch.column("pixels"))
         ids = batch.column("image_id").to_pylist()
         n = len(ids)
         out = {
@@ -502,7 +502,7 @@ def q_image_stats(sf_dir: str):
             "max_v": np.empty(n, np.int64),
         }
         for i in range(n):
-            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            img = pixels_view(pix[i], int(bands[i]), int(hs[i]), int(ws[i]))
             b0 = img if img.ndim == 2 else img[0]
             out["n_px"][i] = b0.size
             out["sum_v"][i] = int(b0.sum(dtype=np.int64))

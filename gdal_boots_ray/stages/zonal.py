@@ -19,7 +19,7 @@ import ray
 
 from gdal_boots_ray.kernels.rasterize import rasterize
 from gdal_boots_ray.kernels.warp import WarpSource, crop_by_geometry
-from gdal_boots_ray.stages.decode import pixels_view
+from gdal_boots_ray.stages.decode import binary_column_views, pixels_view
 
 
 class ZonalStats:
@@ -126,7 +126,7 @@ class CropTiles:
         hs = batch.column("h").to_numpy()
         bands = batch.column("bands").to_numpy()
         epsg = batch.column("epsg").to_numpy()
-        pix = batch.column("pixels")
+        pix = binary_column_views(batch.column("pixels"))
         pids = batch.column("poly_id").to_numpy()
         ids = batch.column("image_id").to_pylist()
         rows = {k: [] for k in ("image_id", "poly_id", "pixels", "w", "h", "bands", "gt")}
@@ -134,7 +134,7 @@ class CropTiles:
             geom = self.geoms.get(int(pids[i]))
             if geom is None:
                 continue
-            img = pixels_view(pix[i].as_py(), int(bands[i]), int(hs[i]), int(ws[i]))
+            img = pixels_view(pix[i], int(bands[i]), int(hs[i]), int(ws[i]))
             src = WarpSource(img if img.ndim == 3 else img[None], gts[i], int(epsg[i]))
             try:
                 out, gi, mask = crop_by_geometry(
