@@ -67,9 +67,12 @@ pt_coords AS (
 """
 
 
-def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4)):
+def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4), pre_decode_filter=None):
     """part keys -> synthesized input_hint images -> (optionally)
-    decoded pixels.  The synth+decode both run distributed."""
+    decoded pixels.  The synth+decode both run distributed.
+    ``pre_decode_filter`` (batch -> batch) runs between synth and
+    decode — the semi-join pushdown hook: dropping rows there skips
+    their decode cost entirely."""
     import ray.data as rd
 
     from gdal_boots_ray.sources.fixtures import synth_images_batch
@@ -81,6 +84,8 @@ def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4)):
         return synth_images_batch(batch.column("p_partkey").to_numpy())
 
     ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    if pre_decode_filter is not None:
+        ds = ds.map_batches(pre_decode_filter, batch_format="pyarrow")
     if decode:
         # stateless tasks fuse with the synth stage (DecodeImages init
         # is trivial; the closure cache keeps one instance per worker
@@ -406,7 +411,42 @@ def q_point_values(sf_dir: str):
     pts = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
         tag_points, batch_format="pyarrow"
     )
-    tiles = _tiles_dataset(sf_dir, decode=True).map_batches(tag_tiles, batch_format="pyarrow")
+
+    # Bloom semi-join pushdown, COST-BASED: a 128 KB superset bitmap
+    # of the point side's tile keys, built distributed (per-batch
+    # partials, OR tree) and broadcast once — tiles no point touches
+    # drop BEFORE decode, so at a low match rate decode cost tracks
+    # matches, not corpus size.  False positives only: results are
+    # bit-identical to the unfiltered join.  Engaged only when the
+    # expected untouched-tile fraction exp(-points/tiles) can prune
+    # meaningfully (sparse points); with points >~ tiles the bitmap
+    # saturates and the extra point pass is pure overhead, so the
+    # planner skips it (parquet row counts are free metadata).
+    tile_filter = None
+    n_points = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_points < n_part:  # expected prune fraction > ~37%
+        from gdal_boots_ray.stages.bloom import bloom_test, build_bloom
+
+        def point_keys(batch: pd.DataFrame) -> np.ndarray:
+            return point_params(batch["c_custkey"].to_numpy(), n_part)["tile_key"]
+
+        bloom_ref = ray.put(
+            build_bloom(
+                rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]), point_keys
+            )
+        )
+
+        def tile_filter(batch: pa.Table, _cache={}) -> pa.Table:
+            words = _cache.get("w")
+            if words is None:
+                words = _cache["w"] = ray.get(bloom_ref)
+            ids = batch.column("image_id").to_pylist()
+            keys = np.array([int(i.split("-")[1]) for i in ids], dtype=np.int64)
+            return batch.filter(pa.array(bloom_test(words, keys)))
+
+    tiles = _tiles_dataset(sf_dir, decode=True, pre_decode_filter=tile_filter).map_batches(
+        tag_tiles, batch_format="pyarrow"
+    )
 
     def sample_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

@@ -1,0 +1,86 @@
+"""Bloom-filter semi-join pushdown (sideways information passing).
+
+In a key-shuffle join where one side carries heavy payloads (decoded
+tiles) and the other side touches only a subset of keys, shipping a
+compact superset of the light side's key set lets the heavy side drop
+non-matching rows BEFORE the expensive work (decode) and before the
+exchange.  The filter is a classic Bloom bitmap: m bits, k probes via
+double hashing — false positives only (a pure superset filter, so
+join results are bit-identical), no false negatives.
+
+Scale shape: the bitmap build is a per-batch partial (one m/8-byte
+row per batch) OR-merged through a bounded bucket tree — the same
+exchange pattern as the HLL sketch, no key shuffle.  The finished
+bitmap (128 KB at m=2^20) broadcasts via ``ray.put`` and each filter
+task tests membership vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+
+from gdal_boots_ray.kernels.sketch import _splitmix64
+
+M_BITS_DEFAULT = 1 << 20  # 128 KB bitmap, <1% FP up to ~10^5 keys at k=4
+K_PROBES = 4
+
+
+def _probe_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, K_PROBES) bit positions by double hashing."""
+    h1 = _splitmix64(np.asarray(keys, dtype=np.uint64))
+    h2 = _splitmix64(h1 ^ np.uint64(0xA5A5A5A5DEADBEEF)) | np.uint64(1)
+    i = np.arange(K_PROBES, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+    return pos
+
+
+def bloom_partial(keys: np.ndarray, m_bits: int = M_BITS_DEFAULT) -> np.ndarray:
+    """Bitmap words (uint64[m_bits/64]) for one batch of int keys."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = _probe_positions(keys, m_bits).ravel()
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_test(words: np.ndarray, keys: np.ndarray, m_bits: int = M_BITS_DEFAULT) -> np.ndarray:
+    """Vectorized membership mask (true = possibly present)."""
+    pos = _probe_positions(keys, m_bits)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def build_bloom(
+    ds,
+    key_fn: Callable[[pd.DataFrame], np.ndarray],
+    m_bits: int = M_BITS_DEFAULT,
+    n_buckets: int = 16,
+) -> np.ndarray:
+    """Distributed bitmap build: per-batch partials -> bucketed OR
+    merge -> driver OR.  ``key_fn`` maps a pandas batch to an int key
+    array."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        words = bloom_partial(key_fn(batch), m_bits)
+        b = int(words[:64].sum()) % n_buckets
+        return pd.DataFrame({"bucket": [b], "words": [words.tobytes()]})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        for w in g["words"]:
+            acc |= np.frombuffer(w, dtype=np.uint64)
+        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])], "words": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    acc = np.zeros(m_bits // 64, dtype=np.uint64)
+    for w in rows["words"]:
+        acc |= np.frombuffer(w, dtype=np.uint64)
+    return acc

@@ -172,3 +172,23 @@ def test_hll_sketch():
     words = np.array([f"w{i}" for i in range(30000)])
     est = sketch.hll_estimate(sketch.hll_partial(sketch.hash64(words)))
     assert abs(est / 30000 - 1) < 0.05
+
+
+def test_bloom_filter():
+    """Bloom bitmap: zero false negatives, low false positives,
+    OR-merge of partials == whole."""
+    import numpy as np
+
+    from gdal_boots_ray.stages.bloom import bloom_partial, bloom_test
+
+    keys = np.arange(0, 50000, 7, dtype=np.int64)  # ~7150 keys
+    words = bloom_partial(keys)
+    assert bloom_test(words, keys).all()  # no false negatives
+    absent = np.arange(1, 50000, 7, dtype=np.int64)
+    fp = bloom_test(words, absent).mean()
+    assert fp < 0.01, fp
+    parts = np.array_split(keys, 5)
+    merged = np.zeros_like(words)
+    for p in parts:
+        merged |= bloom_partial(p)
+    assert (merged == words).all()
