@@ -39,23 +39,39 @@ def put_polygons(polygons: Sequence[dict]):
 
 class BroadcastPIPJoin:
     """map_batches actor: emits one output row per (input row, matching
-    polygon).  Vectorized ray-casting per polygon over the batch's
-    points.  Inputs need x/y columns (tile centers or point coords)."""
+    polygon).  STRtree over polygon envelopes (built ONCE per actor in
+    ``__init__`` — the stateful-setup contract) prunes candidates;
+    vectorized ray-casting decides the survivors.  Inputs need x/y
+    columns (tile centers or point coords)."""
 
     def __init__(self, polygons_ref, x_col: str = "cx", y_col: str = "cy", keep_cols: Optional[List[str]] = None):
+        from gdal_boots_ray.kernels.strtree import STRtree, rings_bbox
+
         self.polygons = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) else polygons_ref
         self.x_col = x_col
         self.y_col = y_col
         self.keep_cols = keep_cols
+        self.tree = STRtree(
+            np.array([rings_bbox(rings) for _, rings in self.polygons]).reshape(-1, 4)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy()
         y = batch.column(self.y_col).to_numpy()
+        cand_pt, cand_poly = self.tree.query_points(x, y)
         take_idx: List[int] = []
         poly_ids: List[int] = []
-        for pid, rings in self.polygons:
-            inside = points_in_rings(x, y, rings)
-            hits = np.nonzero(inside)[0]
+        # iterate polygons in list order (stable output order) but
+        # ray-cast only each polygon's bbox candidates
+        order = np.argsort(cand_poly, kind="stable")
+        cand_pt, cand_poly = cand_pt[order], cand_poly[order]
+        bounds = np.searchsorted(cand_poly, np.arange(len(self.polygons) + 1))
+        for j, (pid, rings) in enumerate(self.polygons):
+            pts = cand_pt[bounds[j] : bounds[j + 1]]
+            if not len(pts):
+                continue
+            inside = points_in_rings(x[pts], y[pts], rings)
+            hits = pts[inside]
             take_idx.extend(hits.tolist())
             poly_ids.extend([pid] * len(hits))
         if self.keep_cols:
@@ -199,14 +215,34 @@ def cell_pip_join(
         px = g["x"].to_numpy()[~pm]
         py = g["y"].to_numpy()[~pm]
         pids = g["id"].to_numpy()[~pm]
+        poly_rows = list(zip(g["id"].to_numpy()[pm], g["geom"].to_numpy()[pm]))
+        all_rings = [polygon_rings(json.loads(gj)) for _, gj in poly_rows]
         out_keys: List[np.ndarray] = []
         out_polys: List[np.ndarray] = []
-        for poly_id, gj in zip(g["id"].to_numpy()[pm], g["geom"].to_numpy()[pm]):
-            rings = polygon_rings(json.loads(gj))
-            inside = points_in_rings(px, py, rings)
-            hits = pids[inside]
-            out_keys.append(hits)
-            out_polys.append(np.full(len(hits), poly_id, np.int64))
+        if len(poly_rows) >= 16:
+            # many polygons share this cell: STRtree over their
+            # envelopes prunes to bbox candidates before ray-casting
+            from gdal_boots_ray.kernels.strtree import STRtree, rings_bbox
+
+            tree = STRtree(np.array([rings_bbox(r) for r in all_rings]).reshape(-1, 4))
+            cand_pt, cand_poly = tree.query_points(px, py)
+            order = np.argsort(cand_poly, kind="stable")
+            cand_pt, cand_poly = cand_pt[order], cand_poly[order]
+            bounds = np.searchsorted(cand_poly, np.arange(len(poly_rows) + 1))
+            for j, (poly_id, _) in enumerate(poly_rows):
+                pts = cand_pt[bounds[j] : bounds[j + 1]]
+                if not len(pts):
+                    continue
+                inside = points_in_rings(px[pts], py[pts], all_rings[j])
+                hits = pids[pts[inside]]
+                out_keys.append(hits)
+                out_polys.append(np.full(len(hits), poly_id, np.int64))
+        else:
+            for (poly_id, _), rings in zip(poly_rows, all_rings):
+                inside = points_in_rings(px, py, rings)
+                hits = pids[inside]
+                out_keys.append(hits)
+                out_polys.append(np.full(len(hits), poly_id, np.int64))
         if not out_keys:
             return empty
         return pd.DataFrame(

@@ -137,3 +137,30 @@ def test_bounds_polygon_helper():
     p = geometry_bounds_polygon([0, 1, 2, 3])
     assert p["coordinates"][0][0] == [0.0, 1.0]
     assert len(p["coordinates"][0]) == 5
+
+
+def test_strtree_matches_bruteforce():
+    """Packed STRtree query_points/query_box == brute-force bbox scan
+    (exact candidate sets, edge-inclusive)."""
+    import numpy as np
+
+    from gdal_boots_ray.kernels.strtree import STRtree
+
+    rng = np.random.default_rng(5)
+    n = 500
+    mins = rng.uniform(0, 100, (n, 2))
+    boxes = np.hstack([mins, mins + rng.uniform(0.1, 5, (n, 2))])
+    t = STRtree(boxes)
+    x = rng.uniform(-5, 110, 800)
+    y = rng.uniform(-5, 110, 800)
+    pi, bi = t.query_points(x, y)
+    got = set(zip(pi.tolist(), bi.tolist()))
+    want = set()
+    for j in range(n):
+        m = (x >= boxes[j, 0]) & (x <= boxes[j, 2]) & (y >= boxes[j, 1]) & (y <= boxes[j, 3])
+        want.update((int(i), j) for i in np.nonzero(m)[0])
+    assert got == want
+    qb = (20.0, 20.0, 40.0, 35.0)
+    m = (boxes[:, 0] <= qb[2]) & (boxes[:, 2] >= qb[0]) & (boxes[:, 1] <= qb[3]) & (boxes[:, 3] >= qb[1])
+    assert set(t.query_box(qb).tolist()) == set(np.nonzero(m)[0].tolist())
+    assert len(STRtree(np.empty((0, 4))).query_points(x, y)[0]) == 0
