@@ -1069,6 +1069,94 @@ def q_top_terms(sf_dir: str, k: int = 10):
     return top.map_batches(cast, batch_format="pyarrow")
 
 
+def q_token_quantiles_by_lang(sf_dir: str):
+    """Per-language token-count quantiles — the distributed form of
+    ``exact_quantiles`` where even the cumulative walk runs inside a
+    groupby (driver only sees langs x quantiles result rows)."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import grouped_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_tokens_ws": pa.array([len(t.split()) for t in texts], pa.int64()),
+            }
+        )
+
+    out = grouped_quantiles(
+        docs.map_batches(toks, batch_format="pyarrow"), "lang", "n_tokens_ws", [0.25, 0.5, 0.9]
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "q": batch.column("q").cast(pa.float64()),
+                "n_tokens_ws": batch.column("n_tokens_ws").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
+    """Per-group embedding centroids (the E-step / class-prototype
+    aggregate of a vector pipeline): per-batch partial sums by group
+    and dimension, bucketed merge, centroid = sum/count.  The
+    exchange moves (groups x dims) partial rows per batch — never a
+    vector table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = batch.column("embedding").combine_chunks()
+        dim = len(emb[0])
+        vecs = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+        grp = ids % n_groups
+        rows = {"grp": [], "dim": [], "s": [], "n": []}
+        for g in np.unique(grp):
+            m = grp == g
+            rows["grp"].extend([int(g)] * dim)
+            rows["dim"].extend(range(dim))
+            rows["s"].extend(vecs[m].sum(axis=0).tolist())
+            rows["n"].extend([int(m.sum())] * dim)
+        return pd.DataFrame(
+            {
+                "grp": np.array(rows["grp"], np.int64),
+                "dim": np.array(rows["dim"], np.int64),
+                "s": np.array(rows["s"], np.float64),
+                "n": np.array(rows["n"], np.int64),
+            }
+        )
+
+    merged = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["grp", "dim"], {"s": "sum", "n": "sum"}
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy()
+        n = batch.column("n").to_numpy()
+        return pa.table(
+            {
+                "grp": batch.column("grp").cast(pa.int64()),
+                "dim": batch.column("dim").cast(pa.int64()),
+                "c": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog count-distinct vs the exact distributed count, for
     an int key (orders.o_custkey) and a string domain (distinct words
@@ -2712,6 +2800,29 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(o_totalprice AS DOUBLE) AS o_totalprice
         FROM orders ORDER BY o_totalprice DESC LIMIT 10
     """,
+    "token_quantiles_by_lang": """
+        WITH t AS (
+            SELECT lang,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+            FROM documents
+        )
+        SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY nt) AS BIGINT) AS n_tokens_ws
+        FROM t GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.5 AS DOUBLE),
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t GROUP BY lang
+        UNION ALL
+        SELECT lang, CAST(0.9 AS DOUBLE),
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t GROUP BY lang
+    """,
+    "embedding_centroids": """
+        SELECT CAST(vec_id % 8 AS BIGINT) AS grp, CAST(i.i AS BIGINT) AS dim,
+               round(CAST(avg(embedding[i.i + 1]) AS DOUBLE), 6) AS c
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
+        GROUP BY grp, i.i
+    """,
     "approx_distinct": """
         SELECT 'o_custkey' AS metric,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
@@ -2838,5 +2949,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
     "approx_distinct": q_approx_distinct,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "embedding_centroids": q_embedding_centroids,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -183,6 +183,39 @@ def approx_count_distinct(ds, col: str, n_buckets: int = 64) -> float:
     return sketch.hll_estimate(final)
 
 
+def grouped_quantiles(
+    ds, group_col: str, col: str, qs: Sequence[float], n_buckets: Optional[int] = None
+):
+    """Per-group exact quantiles, same histogram plan as
+    ``exact_quantiles``: (group, value, count) partials -> bucketed
+    merge keyed on (group, value) -> per-group cumulative walk.  The
+    final walk runs distributed (groupby(group) over count rows), so
+    the driver never sees more than the result."""
+    qs = list(qs)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([group_col, col], sort=False).size().rename("cnt").reset_index()
+        return g
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"), [group_col, col], {"cnt": "sum"}, n_buckets
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g[col].to_numpy()
+        out_q, out_v = [], []
+        for q in qs:
+            idx = int(np.searchsorted(cum, q * n, side="left"))
+            out_q.append(float(q))
+            out_v.append(vals[min(idx, len(vals) - 1)])
+        return pd.DataFrame({group_col: g[group_col].iloc[0], "q": out_q, col: out_v})
+
+    return counts.groupby(group_col).map_groups(walk, batch_format="pandas")
+
+
 def exact_quantiles(ds, col: str, qs: Sequence[float], n_buckets: Optional[int] = None):
     """EXACT distributed quantiles for a bounded-domain column
     (integer measures: token counts, lengths, pixel values).
