@@ -241,6 +241,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from gdal_boots_ray.kernels.gtiff import gtiff_decode
 
         return gtiff_decode(data)[0]
+    if fmt in ("jp2", "j2k"):
+        from gdal_boots_ray.kernels.jp2.codestream import decode_jp2
+
+        return decode_jp2(data)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 
@@ -253,6 +257,10 @@ def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
         from gdal_boots_ray.kernels.gtiff import gtiff_encode
 
         return gtiff_encode(img, **kw)
+    if fmt in ("jp2", "j2k"):
+        from gdal_boots_ray.kernels.jp2.codestream import encode_jp2
+
+        return encode_jp2(img, **kw)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

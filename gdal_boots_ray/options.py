@@ -92,9 +92,10 @@ class RAW(DriverOptions):
 
 @dataclass
 class JP2OpenJPEG(DriverOptions):
-    """reference options.py:95-109 — accepted for option-encoding
-    parity; the wavelet codec itself is a documented seam (no OpenJPEG
-    in this environment): codec_args raises NotImplementedError."""
+    """reference options.py:95-109 — backed by the from-scratch
+    lossless JPEG 2000 codec in kernels/jp2 (5/3 reversible DWT +
+    EBCOT Tier-1 + MQ coder + Tier-2 packets); ``resolutions`` maps
+    to DWT levels.  Lossy rate control is out of scope."""
 
     quality: float = 25
     resolutions: Optional[int] = None
@@ -139,7 +140,17 @@ def codec_args(options: DriverOptions) -> dict:
         return kw
     if isinstance(options, RAW):
         return {"fmt": "raw"}
-    if isinstance(options, (JP2OpenJPEG, ECW)):
+    if isinstance(options, JP2OpenJPEG):
+        # from-scratch lossless JPEG 2000 (kernels/jp2): 5/3
+        # reversible DWT + EBCOT + MQ.  `resolutions` maps to DWT
+        # levels; rate control (quality < 100) is not implemented —
+        # the reference's lossless path (quality=100 / REVERSIBLE)
+        # is, which is what its own tests round-trip.
+        kw = {"fmt": "jp2"}
+        if options.resolutions is not None:
+            kw["levels"] = max(int(options.resolutions) - 1, 0)
+        return kw
+    if isinstance(options, ECW):
         raise NotImplementedError(
             f"{options.driver_name} needs an external wavelet codec (none in this "
             "environment); options encode for parity, the codec is a seam"

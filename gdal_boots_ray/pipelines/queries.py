@@ -1914,6 +1914,60 @@ def q_recode_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_recode_stats_jp2(sf_dir: str, n_tiles: int = 24):
+    """Lossless JPEG 2000 fidelity gate: decode -> re-encode through
+    the from-scratch JP2 codec (kernels/jp2: 5/3 DWT + EBCOT + MQ)
+    -> decode -> per-image stats; equals the closed-form pixel-field
+    oracle iff the wavelet round trip is bit-exact.  Restricted to
+    ``n_tiles`` tiles because EBCOT bit-plane coding is a sequential
+    per-block algorithm (~0.1 s/tile in pure Python) — the Ray-side
+    plumbing (actor-pool encode, zero-copy views) is the same as the
+    full-corpus recode_stats path."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.jp2.codestream import decode_jp2, encode_jp2
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    import pyarrow.compute as _pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"], filter=_pc.field("p_partkey") < n_tiles
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_images_batch(batch.column("p_partkey").to_numpy())
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def jp2_roundtrip_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            rt = decode_jp2(encode_jp2(np.ascontiguousarray(img)))
+            b0 = rt[0]
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(jp2_roundtrip_stats, batch_format="pyarrow", batch_size=8, num_cpus=1)
+
+
 def q_psnr_fidelity(sf_dir: str, quantize_bits: int = 5, min_db: float = 40.0):
     """The BASELINE.json input_hint per-row invariant as a checked
     query: decode -> 5-bit lossy quantize -> PNG re-encode -> decode
@@ -2451,6 +2505,19 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "recode_stats_jp2": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+            WHERE tiles.k < 24
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
     "psnr_fidelity": f"""
         WITH {TILE_SQL_CTE}
         SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS caption_ok
@@ -2951,5 +3018,6 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
+    "recode_stats_jp2": q_recode_stats_jp2,
     "embedding_neardup": q_embedding_neardup,
 }
