@@ -113,12 +113,13 @@ def test_write_geojson_sink(ray_session, minsk_polygon, tmp_path):
     assert read_geojson(path).to_pandas().shape[0] == 1
 
 
-def test_jp2_ecw_option_seams():
+def test_jp2_codec_args_and_ecw_seam():
     from gdal_boots_ray.options import ECW, JP2OpenJPEG, codec_args
 
     enc = JP2OpenJPEG(quality=50).encode()
     assert "QUALITY=50" in enc  # reference options encode parity
-    with pytest.raises(NotImplementedError, match="wavelet"):
-        codec_args(JP2OpenJPEG())
-    with pytest.raises(NotImplementedError):
+    # JP2 is now a real codec (kernels/jp2); resolutions -> DWT levels
+    assert codec_args(JP2OpenJPEG()) == {"fmt": "jp2"}
+    assert codec_args(JP2OpenJPEG(resolutions=6)) == {"fmt": "jp2", "levels": 5}
+    with pytest.raises(NotImplementedError):  # ECW stays a seam
         codec_args(ECW())
