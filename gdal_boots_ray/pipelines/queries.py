@@ -1157,6 +1157,36 @@ def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str, k: int = 8, iters: int = 6):
+    """Distributed Lloyd k-means over the embeddings table
+    (stages/kmeans.py): per-iteration broadcast centroids + per-batch
+    partial sums; vectors never shuffle.  Deterministic md5-ranked
+    seeding.  Oracle is invariant-style (like knn_ivf): ``ok``
+    asserts monotone non-increasing inertia, ``n_assigned`` (the sum
+    of member counts) is hash-checked against DuckDB's row count —
+    proving no vector is lost or duplicated by the iteration."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.kmeans import assign_clusters, kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents, inertias = kmeans(ds, "vec_id", "embedding", k=k, iters=iters)
+    monotone = all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    assigned = assign_clusters(ds, "embedding", cents)
+    counts = (
+        assigned.groupby("cluster").count().to_pandas().rename(columns={"count()": "n"})
+    )
+    n_assigned = int(counts["n"].sum())
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(k, dtype=np.int64),
+            "n_assigned": np.full(k, n_assigned, dtype=np.int64),
+            "ok": [bool(monotone)] * k,
+        }
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog count-distinct vs the exact distributed count, for
     an int key (orders.o_custkey) and a string domain (distinct words
@@ -2890,6 +2920,12 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
         GROUP BY grp, i.i
     """,
+    "kmeans": """
+        SELECT CAST(c.c AS BIGINT) AS cluster,
+               CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_assigned,
+               CAST(true AS BOOLEAN) AS ok
+        FROM (SELECT unnest(generate_series(0, 7)) AS c) c
+    """,
     "approx_distinct": """
         SELECT 'o_custkey' AS metric,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
@@ -3019,5 +3055,6 @@ QUERIES = {
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
     "recode_stats_jp2": q_recode_stats_jp2,
+    "kmeans": q_kmeans,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -73,3 +73,44 @@ def test_knn_ivf_recall(ray_session):
     top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
     assert top["vec_id"].tolist() == [0, 1]
     assert (out.groupby("q_id").size() == 5).all()
+
+
+def test_kmeans_distributed(ray_session):
+    """Distributed Lloyd == single-node Lloyd from the same seeds
+    (same assignments path), inertia monotone, deterministic across
+    partitionings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.kmeans import assign_clusters, init_centroids, kmeans
+
+    rng = np.random.default_rng(4)
+    centers = rng.normal(0, 5, (4, 8))
+    vecs = np.concatenate([c + rng.normal(0, 0.4, (50, 8)) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+
+    ds_a = rd.from_arrow(tbl).repartition(7)
+    ds_b = rd.from_arrow(tbl).repartition(2)
+    cents_a, in_a = kmeans(ds_a, "vec_id", "embedding", k=4, iters=8)
+    cents_b, in_b = kmeans(ds_b, "vec_id", "embedding", k=4, iters=8)
+    assert np.allclose(cents_a, cents_b)  # partitioning-independent
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(in_a, in_a[1:]))
+
+    # single-node Lloyd from the same deterministic seeds
+    c = init_centroids(rd.from_arrow(tbl), "vec_id", "embedding", 4)
+    v = vecs.astype(np.float64)
+    for _ in range(8):
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newc = np.stack([v[a == i].mean(0) if (a == i).any() else c[i] for i in range(4)])
+        if np.allclose(newc, c):
+            c = newc
+            break
+        c = newc
+    assert np.allclose(cents_a, c)
+
+    out = assign_clusters(rd.from_arrow(tbl), "embedding", cents_a).to_pandas()
+    assert out["cluster"].nunique() == 4 and len(out) == len(vecs)
