@@ -409,6 +409,9 @@ def knn_ivf(embeddings_ds, queries: np.ndarray, k: int, n_centroids: int = 16, n
     Partitioning assumption: centroid assignment is sharded per batch
     (no global shuffle); the final merge reduces per-batch candidates,
     so recall depends on nprobe/n_centroids, not on partitioning.
+    When the corpus outgrows a representative driver sample, train the
+    coarse quantizer with stages/kmeans.kmeans (fully distributed
+    Lloyd, same determinism) and pass its centroids here.
     """
     import pandas as pd
 
