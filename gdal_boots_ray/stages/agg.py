@@ -129,7 +129,9 @@ def grouped_top_k(
 
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
-            return batch
+            out = batch.copy()
+            out["_bucket"] = pd.Series([], dtype=np.int64)
+            return out
         out = (
             batch.sort_values(by, ascending=ascending, kind="mergesort")
             .groupby(keys, sort=False)
