@@ -229,7 +229,11 @@ def run_flagship(
         files = sorted(_glob.glob(f"{images_path}/part-*.parquet")) or [images_path]
         ds = rd.read_parquet(files * input_reps)
     else:
-        ds = rd.read_parquet(images_path)
+        # Lance-or-Parquet dispatch (the north star's input is a
+        # Lance image+caption table; the driver's parquet stands in)
+        from gdal_boots_ray.sources.imagetable import read_image_table
+
+        ds = read_image_table(images_path)
     if use_actors:
         stats = ds.map_batches(
             FusedTileWorker,

@@ -1467,6 +1467,34 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     return withtext.map_batches(verify, batch_format="pyarrow")
 
 
+def q_event_gaps(sf_dir: str):
+    """Window navigation functions (LAG + a ROWS-frame moving
+    average) as a distributed composition: co-partition on user_id,
+    per-group ordered diff + rolling mean — one shuffle total, same
+    partitioning contract as sessionize.  First event per user is
+    dropped (its gap is NULL in SQL)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff().dt.total_seconds()
+        mavg = g["value"].rolling(3, min_periods=1).mean()
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": g["user_id"].to_numpy().astype(np.int64),
+                "gap_s": np.round(gap.to_numpy(), 6),
+                "mavg3": np.round(mavg.to_numpy(), 6),
+            }
+        )
+        return out[~np.isnan(out["gap_s"].to_numpy())]
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -2920,6 +2948,19 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
         GROUP BY grp, i.i
     """,
+    "event_gaps": """
+        WITH w AS (
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   round(CAST(date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                         AS DOUBLE) / 1000000, 6) AS gap_s,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+            FROM events
+        )
+        SELECT * FROM w WHERE gap_s IS NOT NULL
+    """,
     "kmeans": """
         SELECT CAST(c.c AS BIGINT) AS cluster,
                CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_assigned,
@@ -3056,5 +3097,6 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "recode_stats_jp2": q_recode_stats_jp2,
     "kmeans": q_kmeans,
+    "event_gaps": q_event_gaps,
     "embedding_neardup": q_embedding_neardup,
 }
