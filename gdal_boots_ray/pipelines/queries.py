@@ -1803,6 +1803,51 @@ def q_revenue_by_segment(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_customers_without_orders(sf_dir: str, min_price: float = 400000.0):
+    """Distributed ANTI join (the NOT EXISTS shape): customers with
+    no order above ``min_price``, via the same bucketed co-shuffle as
+    the inner hash join — neither side broadcast or materialized.
+    The price filter prunes the right side at the read."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=_pc.field("o_totalprice") > min_price,
+    )
+
+    def key_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": batch.column("c_custkey").cast(pa.int64()), "c_mktsegment": batch.column("c_mktsegment")}
+        )
+
+    def key_o(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("o_custkey").cast(pa.int64())})
+
+    out = hash_join(
+        cust.map_batches(key_c, batch_format="pyarrow"),
+        orders.map_batches(key_o, batch_format="pyarrow"),
+        on="custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=[],
+        how="anti",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment").cast(pa.string()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_embedding_neardup(
     sf_dir: str,
     threshold: float = 0.92,
@@ -2948,6 +2993,14 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
         GROUP BY grp, i.i
     """,
+    "customers_without_orders": """
+        SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+    """,
     "event_gaps": """
         WITH w AS (
             SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -3098,5 +3151,6 @@ QUERIES = {
     "recode_stats_jp2": q_recode_stats_jp2,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
+    "customers_without_orders": q_customers_without_orders,
     "embedding_neardup": q_embedding_neardup,
 }

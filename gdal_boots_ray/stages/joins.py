@@ -422,8 +422,13 @@ def hash_join(
     left_cols: Sequence[str],
     right_cols: Sequence[str],
     n_buckets: Optional[int] = None,
+    how: str = "inner",
 ):
     """Generic two-large-sides equi-join: bucketed shuffle hash join.
+
+    ``how``: 'inner' (default), 'semi' (left rows with a match, left
+    columns only), or 'anti' (left rows with NO match) — the
+    EXISTS / NOT EXISTS shapes, same single co-shuffle.
 
     Neither side is broadcast or driver-materialized: both stream
     through a key-hash bucketing stage (fan-out scales with the
@@ -474,9 +479,21 @@ def hash_join(
         lm = g["kind"].to_numpy() == 0
         lg = g.loc[lm, ["k"] + [f"l_{c}" for c in left_cols]]
         rg = g.loc[~lm, ["k"] + [f"r_{c}" for c in right_cols]]
-        cols = [on, *left_cols, *right_cols]
+        cols = [on, *left_cols] + ([*right_cols] if how == "inner" else [])
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64 if c == on else object) for c in cols}
+        )
+        if how in ("semi", "anti"):
+            if not len(lg):
+                return empty
+            has_match = lg["k"].isin(set(rg["k"].to_numpy()))
+            keep = lg[has_match if how == "semi" else ~has_match]
+            out = {on: keep["k"].to_numpy()}
+            for c in left_cols:
+                out[c] = keep[f"l_{c}"].to_numpy()
+            return pd.DataFrame(out)
         if not len(lg) or not len(rg):
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+            return empty
         m = lg.merge(rg, on="k", how="inner")
         out = {on: m["k"].to_numpy()}
         for c in left_cols:

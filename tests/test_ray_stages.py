@@ -308,3 +308,24 @@ def test_deterministic_sample_stable(ray_mod):
     b = deterministic_sample(rd.from_pandas(df).repartition(31), "id", 0.3).to_pandas()
     assert set(a["id"]) == set(b["id"])
     assert 0.25 < len(a) / len(df) < 0.35
+
+
+def test_hash_join_semi_anti(ray_mod):
+    """semi/anti hash_join == pandas isin filters."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 1000), "lv": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.integers(50, 150, 300), "rv": np.arange(300, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    semi = hash_join(lds, rds, on="k", left_cols=["lv"], right_cols=[], how="semi").to_pandas()
+    anti = hash_join(lds, rds, on="k", left_cols=["lv"], right_cols=[], how="anti").to_pandas()
+    in_right = left["k"].isin(set(right["k"]))
+    assert sorted(semi["lv"].astype(np.int64)) == sorted(left.loc[in_right, "lv"])
+    assert sorted(anti["lv"].astype(np.int64)) == sorted(left.loc[~in_right, "lv"])
+    assert len(semi) + len(anti) == len(left)
