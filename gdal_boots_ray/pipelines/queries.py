@@ -1640,6 +1640,24 @@ def q_q1_pricing(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def _custkey_to_nation_name(sf_dir: str) -> np.ndarray:
+    """Dense custkey -> nation-name object array (vectorized fancy-
+    index attach; no per-row dict lookups in the hot stage).  Small
+    side: one entry per customer, broadcast once via ray.put."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
+    nk = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    nid = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    names = np.empty(int(nid.max()) + 1, dtype=object)
+    names[nid] = np.array(nat.column("n_name").to_pylist(), dtype=object)
+    lookup = np.empty(int(ck.max()) + 1, dtype=object)
+    lookup[ck] = names[nk]
+    return lookup
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Broadcast dimension join: customer->nation lookup shipped once
     via ray.put; orders stream through a stateless partial aggregate,
@@ -1649,23 +1667,18 @@ def q_revenue_by_nation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nation_of = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    name_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    lookup_ref = ray.put((nation_of, name_of))
+    lookup_ref = ray.put(_custkey_to_nation_name(sf_dir))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     class AttachNation:
         def __init__(self):
-            self.nation_of, self.name_of = ray.get(lookup_ref)
+            self.lookup = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch.column("o_custkey").to_numpy()
-            names = [self.name_of[self.nation_of[int(c)]] for c in ck]
             return pa.table(
-                {"n_name": pa.array(names, pa.string()), "o_totalprice": batch.column("o_totalprice")}
+                {"n_name": pa.array(self.lookup[ck]), "o_totalprice": batch.column("o_totalprice")}
             )
 
     agg = (
@@ -1717,11 +1730,7 @@ def q_top_orders_per_nation(sf_dir: str, k: int = 3):
 
     from gdal_boots_ray.stages.agg import grouped_top_k
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nation_of = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    name_of = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    lookup_ref = ray.put((nation_of, name_of))
+    lookup_ref = ray.put(_custkey_to_nation_name(sf_dir))
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
@@ -1729,12 +1738,11 @@ def q_top_orders_per_nation(sf_dir: str, k: int = 3):
 
     class AttachNation:
         def __init__(self):
-            self.nation_of, self.name_of = ray.get(lookup_ref)
+            self.lookup = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch.column("o_custkey").to_numpy()
-            names = [self.name_of[self.nation_of[int(c)]] for c in ck]
-            return batch.append_column("n_name", pa.array(names, pa.string()))
+            return batch.append_column("n_name", pa.array(self.lookup[ck]))
 
     attached = orders.map_batches(AttachNation, batch_format="pyarrow", concurrency=(1, 4))
     top = grouped_top_k(
