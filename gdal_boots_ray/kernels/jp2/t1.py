@@ -140,6 +140,22 @@ def _stripes(h: int):
         yield y0, min(4, h - y0)
 
 
+_SCAN_CACHE: dict = {}
+
+
+def _scan_order(h: int, w: int):
+    """(ys, xs) index arrays in stripe-column scan order, cached."""
+    key = (h, w)
+    got = _SCAN_CACHE.get(key)
+    if got is None:
+        ys_l, xs_l = [], []
+        for y0, sh in _stripes(h):
+            xs_l.append(np.repeat(np.arange(w), sh))
+            ys_l.append(y0 + np.tile(np.arange(sh), w))
+        got = _SCAN_CACHE[key] = (np.concatenate(ys_l), np.concatenate(xs_l))
+    return got
+
+
 def encode_block(coefs: np.ndarray, band: str) -> Tuple[bytes, int]:
     """Encode one code-block.  Returns (codeword, n_bitplanes)."""
     coefs = np.asarray(coefs, dtype=np.int64)
@@ -224,19 +240,34 @@ def _spp(mq, st: _BlockState, bits, neg, encode: bool) -> None:
 
 
 def _mrp(mq, st: _BlockState, bits, encode: bool) -> None:
+    """Magnitude refinement, vectorized context formation: the
+    candidate set (significant, not SPP-visited this plane) and every
+    MR context are FIXED for the whole pass — significance never
+    changes in MRP and `refined` only affects the sample itself — so
+    only the sequential MQ symbol loop remains per-sample."""
     h, w = st.h, st.w
-    for y0, sh in _stripes(h):
-        for x in range(w):
-            for dy in range(sh):
-                y = y0 + dy
-                if not st.sig[y + 1, x + 1] or st.visited[y + 1, x + 1]:
-                    continue
-                ctx = st.mr_ctx(y, x)
-                if encode:
-                    mq.encode(int(bits[y, x]), ctx)
-                else:
-                    bits[y, x] = mq.decode(ctx)
-                st.refined[y + 1, x + 1] = 1
+    ys, xs = _scan_order(h, w)
+    s = st.sig
+    cand = (s[ys + 1, xs + 1] == 1) & (st.visited[ys + 1, xs + 1] == 0)
+    if not cand.any():
+        return
+    cy, cx = ys[cand], xs[cand]
+    i, j = cy + 1, cx + 1
+    nb = (
+        s[i, j - 1] + s[i, j + 1] + s[i - 1, j] + s[i + 1, j]
+        + s[i - 1, j - 1] + s[i - 1, j + 1] + s[i + 1, j - 1] + s[i + 1, j + 1]
+    )
+    ctxs = np.where(st.refined[i, j] == 1, 16, np.where(nb > 0, 15, 14))
+    if encode:
+        enc = mq.encode
+        bvals = bits[cy, cx]
+        for b, c in zip(bvals.tolist(), ctxs.tolist()):
+            enc(b, c)
+    else:
+        dec = mq.decode
+        out = np.fromiter((dec(c) for c in ctxs.tolist()), dtype=np.uint8, count=len(ctxs))
+        bits[cy, cx] = out
+    st.refined[i, j] = 1
 
 
 def _cup(mq, st: _BlockState, bits, neg, encode: bool) -> None:
