@@ -1383,6 +1383,97 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
     return withtext.map_batches(verify, batch_format="pyarrow")
 
 
+def q_corpus_clean(sf_dir: str, min_tokens: int = 5, jac_threshold: float = 0.5):
+    """END-TO-END training-corpus cleaning pipeline, one streaming
+    composition of the verified pieces: language-ID + token-count
+    filter (stateless map) -> exact dedup (md5 co-shuffle, min doc_id
+    survives) -> MinHash-LSH near-dup detection with exact-Jaccard
+    verify (count-scaled bucket shuffle) -> ANTI join dropping every
+    verified near-duplicate's doc_b.  The DuckDB twin replays the
+    entire chain (stopword argmax, QUALIFY dedup, quadratic shingle
+    Jaccard, NOT EXISTS), so the whole pipeline is hash-checked —
+    the corpus a 100 TB text job would actually ship."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import lang_id
+    from gdal_boots_ray.stages.joins import hash_join
+    from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def feat_filter(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        langs = [lang_id(t)[0] for t in texts]
+        ntok = np.array([len(t.split()) for t in texts], dtype=np.int64)
+        keep = np.array([l != "und" for l in langs]) & (ntok >= min_tokens)
+        hs = [_hashlib.md5(t.encode()).hexdigest() for t in texts]
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": batch.column("text"),
+                "lang_pred": pa.array(langs, pa.string()),
+                "n_tokens_ws": pa.array(ntok),
+                "h": pa.array(hs, pa.string()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    filtered = docs.map_batches(feat_filter, batch_format="pyarrow")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g["doc_id"].idxmin()]]
+
+    unique = filtered.groupby("h").map_groups(keep_min, batch_format="pandas")
+
+    cand = minhash_candidate_pairs(
+        unique, num_perm=64, bands=32, n_docs=n_docs
+    ).select_columns(["doc_a", "doc_b"])
+    withtext = attach_doc_column(
+        attach_doc_column(cand, unique, "doc_a", "text_a"), unique, "doc_b", "text_b"
+    )
+
+    def verify_drop(batch: pa.Table) -> pa.Table:
+        db = batch.column("doc_b").to_numpy().astype(np.int64)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        out = []
+        for i in range(len(db)):
+            sa = _shingle_set(ta[i])
+            sb = _shingle_set(tb[i])
+            union = len(sa | sb)
+            if union and len(sa & sb) / union >= jac_threshold:
+                out.append(int(db[i]))
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    drops = withtext.map_batches(verify_drop, batch_format="pyarrow")
+
+    clean = hash_join(
+        unique,
+        drops,
+        on="doc_id",
+        left_cols=["lang_pred", "n_tokens_ws"],
+        right_cols=[],
+        how="anti",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang_pred": batch.column("lang_pred").cast(pa.string()),
+                "n_tokens_ws": batch.column("n_tokens_ws").cast(pa.int64()),
+            }
+        )
+
+    return clean.map_batches(cast, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     """Rows-only: 64-bit SimHash per document."""
     import ray.data as rd
@@ -3001,6 +3092,65 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
         GROUP BY grp, i.i
     """,
+    "corpus_clean": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents
+            )
+        ),
+        hits AS (
+            SELECT doc_id,
+                sum(CASE WHEN w IN ('a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with') THEN 1 ELSE 0 END) / 14.0 AS s_en,
+                sum(CASE WHEN w IN ('auf', 'das', 'der', 'die', 'ein', 'eine', 'ist', 'mit', 'und', 'von', 'zu') THEN 1 ELSE 0 END) / 11.0 AS s_de,
+                sum(CASE WHEN w IN ('avec', 'dans', 'est', 'et', 'la', 'le', 'les', 'pour', 'sur', 'un', 'une') THEN 1 ELSE 0 END) / 11.0 AS s_fr,
+                sum(CASE WHEN w IN ('con', 'el', 'en', 'es', 'la', 'las', 'los', 'para', 'por', 'un', 'una', 'y') THEN 1 ELSE 0 END) / 12.0 AS s_es
+            FROM words GROUP BY doc_id
+        ),
+        scores AS (
+            SELECT d.doc_id, coalesce(s_en,0) AS s_en, coalesce(s_de,0) AS s_de,
+                   coalesce(s_fr,0) AS s_fr, coalesce(s_es,0) AS s_es
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        ),
+        lp AS (
+            SELECT doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+            FROM scores
+        ),
+        f AS (
+            SELECT d.doc_id, d.text, lp.lang_pred,
+                   CAST(CASE WHEN trim(d.text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS n_tokens_ws
+            FROM documents d JOIN lp USING (doc_id)
+            WHERE lp.lang_pred != 'und'
+              AND (CASE WHEN trim(d.text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(d.text), '\\s+')) END) >= 5
+        ),
+        u AS (
+            SELECT * FROM f QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        ),
+        norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM u),
+        shg AS (
+            SELECT doc_id,
+                   list(DISTINCT substring(t, i.i, 5)) AS s,
+                   count(DISTINCT substring(t, i.i, 5)) AS n
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) i
+            GROUP BY doc_id
+        ),
+        drops AS (
+            SELECT b.doc_id AS doc_b
+            FROM shg a, shg b
+            WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.5
+        )
+        SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang_pred, u.n_tokens_ws
+        FROM u WHERE NOT EXISTS (SELECT 1 FROM drops p WHERE p.doc_b = u.doc_id)
+    """,
     "customers_without_orders": """
         SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment
         FROM customer c
@@ -3160,5 +3310,6 @@ QUERIES = {
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
+    "corpus_clean": q_corpus_clean,
     "embedding_neardup": q_embedding_neardup,
 }
