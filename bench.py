@@ -127,6 +127,9 @@ def run_bench() -> dict:
         "minhash_pairs",
         "events_window",
         "q1_pricing",
+        "revenue_by_segment",
+        "event_gaps",
+        "top_terms",
     )
     for name in query_names:
         t = time.perf_counter()
