@@ -1043,11 +1043,10 @@ def q_top_terms(sf_dir: str, k: int = 10):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def word_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        langs, words = [], []
-        for lang, text in zip(batch["lang"], batch["text"]):
-            ws = _WORD_RE.findall(text.lower())
-            langs.extend([lang] * len(ws))
-            words.extend(ws)
+        word_lists = [_WORD_RE.findall(t.lower()) for t in batch["text"]]
+        lens = np.array([len(w) for w in word_lists])
+        langs = np.repeat(batch["lang"].to_numpy(), lens)
+        words = np.concatenate([np.asarray(w, dtype=object) for w in word_lists if w]) if lens.sum() else np.array([], dtype=object)
         df = pd.DataFrame({"lang": langs, "word": words})
         out = df.groupby(["lang", "word"], sort=False).size().rename("cnt").reset_index()
         return out
