@@ -130,3 +130,28 @@ def test_jp2_via_codec_registry_and_options():
     data = encode_image(img, **kw)
     assert data[:4] == b"\x00\x00\x00\x0c"  # JP2 signature box length
     assert (decode_image(data, "jp2") == img).all()
+
+
+def test_decode_stage_mixed_formats_including_jp2(ray_session):
+    """A batch mixing png/raw/jp2 rows decodes through the one
+    DecodeImages stage to identical pixels (per-row fmt dispatch)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.png import encode_image, raw_encode
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (3, 40, 40)).astype(np.uint8)
+    rows = {
+        "image_id": ["a", "b", "c"],
+        "bytes": [encode_image(img, "png"), raw_encode(img), encode_image(img, "jp2")],
+        "fmt": ["png", "raw", "jp2"],
+        "w": [40, 40, 40],
+        "h": [40, 40, 40],
+    }
+    ds = rd.from_arrow(pa.table(rows)).map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+    tbl = pa.Table.from_pandas(ds.to_pandas())
+    views = batch_pixel_views(tbl)
+    for v in views:
+        assert (v.reshape(img.shape) == img).all()
