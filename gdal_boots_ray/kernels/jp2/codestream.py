@@ -414,8 +414,17 @@ def encode_j2k(img: np.ndarray, levels: int = 5, mct: Optional[bool] = None) -> 
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
-    pos = 0
-    assert data[0:2] == b"\xff\x4f", "not a J2K codestream"
+    if data[0:2] != b"\xff\x4f":
+        raise ValueError("not a J2K codestream (missing SOC marker)")
+    try:
+        return _decode_j2k_inner(data)
+    except (ValueError, ImportError):
+        raise
+    except Exception as exc:  # truncated/corrupt stream
+        raise ValueError(f"corrupt or truncated J2K codestream: {exc}") from exc
+
+
+def _decode_j2k_inner(data: bytes) -> np.ndarray:
     pos = 2
     w = h = ncomp = depth = levels = 0
     mct = 0

@@ -155,3 +155,15 @@ def test_decode_stage_mixed_formats_including_jp2(ray_session):
     views = batch_pixel_views(tbl)
     for v in views:
         assert (v.reshape(img.shape) == img).all()
+
+
+def test_jp2_error_paths():
+    with pytest.raises(ValueError, match="jp2c"):
+        decode_jp2(b"garbage")
+    with pytest.raises(ValueError, match="SOC"):
+        decode_j2k(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        decode_j2k(b"\xff\x4f\xff\x51\x00\x05abc")
+    good = encode_j2k(np.zeros((16, 16), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_j2k(good[: len(good) // 3])

@@ -153,3 +153,37 @@ def test_sample_points_matches_nearest_warp(seed):
         gi_inv_col = int((x - (x - 5)) // 10)
         gi_inv_row = int(((y + 5) - y) // 10)
         assert out[0, gi_inv_row, gi_inv_col] == v
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(1, 3),
+    st.sampled_from(["uint8", "uint16"]),
+    st.integers(0, 2**31 - 1),
+)
+def test_jp2_roundtrip_property(h, w, bands, dtype, seed):
+    """Lossless JPEG 2000 identity over arbitrary shapes/dtypes/content."""
+    import numpy as np
+
+    from gdal_boots_ray.kernels.jp2.codestream import decode_jp2, encode_jp2
+
+    rng = np.random.default_rng(seed)
+    hi = 256 if dtype == "uint8" else 65536
+    img = rng.integers(0, hi, (bands, h, w)).astype(dtype)
+    out = decode_jp2(encode_jp2(img))
+    assert out.dtype == img.dtype and (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 200), st.integers(0, 2**31 - 1), st.integers(1, 6))
+def test_dwt53_roundtrip_property(n, seed, levels):
+    import numpy as np
+
+    from gdal_boots_ray.kernels.jp2 import dwt53
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-(2**15), 2**15, (n, max(1, (seed % 7) + 1))).astype(np.int32)
+    ll, bands = dwt53.forward(a, levels)
+    assert (dwt53.inverse(ll, bands) == a).all()
