@@ -1425,10 +1425,39 @@ def q_corpus_clean(sf_dir: str, min_tokens: int = 5, jac_threshold: float = 0.5)
 
     filtered = docs.map_batches(feat_filter, batch_format="pyarrow")
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g["doc_id"].idxmin()]]
+    # exact dedup, bucketed: hash buckets bound the shuffle fan-out
+    # and the min-per-h reduce is vectorized per BUCKET (thousands of
+    # h groups each), never per tiny h group (the per-group pandas
+    # overhead trap at 10^9 distinct texts)
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
 
-    unique = filtered.groupby("h").map_groups(keep_min, batch_format="pandas")
+    n_buckets = _default_n_buckets()
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bucket"] = _key_buckets(batch, ["h"], n_buckets)
+        return batch
+
+    def keep_min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values("doc_id", kind="mergesort").groupby("h", sort=False).head(1)
+        return out.drop(columns=["_bucket"])
+
+    unique = (
+        filtered.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(keep_min_per_hash, batch_format="pandas")
+    )
+
+    # checkpoint the cleaned-survivor set once: three downstream
+    # consumers (LSH, two text attaches, anti join) would otherwise
+    # re-execute the whole filter+dedup lineage per consumption —
+    # at corpus scale that is 4 extra reads of the input.  Parquet
+    # checkpoint = bounded by disk, resumable, partition-parallel.
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="corpus_unique_")
+    unique.write_parquet(ckpt)
+    unique = rd.read_parquet(ckpt)
 
     cand = minhash_candidate_pairs(
         unique, num_perm=64, bands=32, n_docs=n_docs
