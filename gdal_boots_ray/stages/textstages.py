@@ -195,70 +195,22 @@ def minhash_candidate_pairs(
 def attach_doc_column(pairs_ds, docs_ds, key_col: str, out_col: str, val_col: str = "text"):
     """Shuffle join: attach ``docs_ds[val_col]`` to each pair row whose
     ``key_col`` equals the doc_id — both sides stream (no broadcast of
-    the document table).  Used twice to attach text_a and text_b to
-    candidate pairs before the exact verify.  Pair rows with no
-    matching doc are dropped; integer pair columns may come back as
-    float (pandas NaN coercion in mixed groups) — cast downstream."""
-    import pandas as pd
+    the document table).  Built on the generic bucketed
+    ``stages.joins.hash_join``, so the shuffle fan-out is a bounded
+    bucket count (scales with the cluster) instead of one group per
+    doc id — the per-tiny-group overhead trap at 10^9 documents.
+    Pair rows with no matching doc are dropped (inner)."""
+    from gdal_boots_ray.stages.joins import hash_join
 
-    pair_schema = pairs_ds.schema()
-    pair_cols = list(pair_schema.names)
-    try:
-        pair_types = {n: pair_schema.base_schema.field(n).type for n in pair_cols}
-    except Exception:  # pandas-backed schema: let arrow infer null types
-        pair_types = {}
-    try:
-        val_type = docs_ds.schema().base_schema.field(val_col).type
-    except Exception:
-        val_type = pa.string()
+    pair_cols = [c for c in pairs_ds.schema().names if c != key_col]
 
-    def tag_pairs(batch: pa.Table) -> pa.Table:
-        out = {
-            "k": batch.column(key_col).cast(pa.int64()),
-            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
-        }
-        for name in pair_cols:
-            out[f"c_{name}"] = batch.column(name)
-        out["v"] = pa.nulls(batch.num_rows, val_type)
-        return pa.table(out)
+    def docs_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column("doc_id").cast(pa.int64()),
+                out_col: batch.column(val_col),
+            }
+        )
 
-    def tag_docs(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        out = {
-            "k": batch.column("doc_id").cast(pa.int64()),
-            "kind": pa.array(np.ones(n, np.int8)),
-        }
-        for name in pair_cols:
-            t = pair_types.get(name)
-            out[f"c_{name}"] = pa.nulls(n, t) if t is not None else pa.nulls(n)
-        out["v"] = batch.column(val_col).cast(val_type)
-        return pa.table(out)
-
-    tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
-    tagged_docs = docs_ds.map_batches(tag_docs, batch_format="pyarrow")
-
-    def join_group(g: pd.DataFrame) -> pa.Table:
-        # emit typed ARROW blocks (not pandas object columns) so
-        # chained attaches see stable list/string types instead of
-        # tensor-extension reinterpretations of object columns
-        dm = g["kind"].to_numpy() == 1
-        pg = g[~dm]
-        if dm.any() and len(pg):
-            val = g["v"].to_numpy()[dm][0]
-            if val is not None and not isinstance(val, (str, bytes)):
-                val = list(val) if np.ndim(val) else val
-        else:
-            pg = pg.iloc[:0]
-            val = None
-        cols = {}
-        for name in pair_cols:
-            t = pair_types.get(name)
-            vals = pg[f"c_{name}"].to_numpy() if len(pg) else []
-            arr = pa.array(vals, type=None if t is None else None)
-            if t is not None and arr.type != t:
-                arr = arr.cast(t)
-            cols[name] = arr
-        cols[out_col] = pa.array([val] * len(pg), val_type)
-        return pa.table(cols)
-
-    return tagged_pairs.union(tagged_docs).groupby("k").map_groups(join_group, batch_format="pandas")
+    right = docs_ds.map_batches(docs_proj, batch_format="pyarrow")
+    return hash_join(pairs_ds, right, on=key_col, left_cols=pair_cols, right_cols=[out_col])
