@@ -1186,6 +1186,20 @@ def q_kmeans(sf_dir: str, k: int = 8, iters: int = 6):
     )
 
 
+def q_price_quantiles(sf_dir: str):
+    """Interpolated percentile_cont over an unbounded float column —
+    the three-pass histogram-refine plan (min/max pass, fixed-range
+    histogram, filtered candidate-bucket collect); no global sort."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import continuous_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    out = continuous_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.95])
+    out["o_totalprice"] = np.round(out["o_totalprice"], 4)
+    return out
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog count-distinct vs the exact distributed count, for
     an int key (orders.o_custkey) and a string domain (distinct words
@@ -3200,6 +3214,20 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT * FROM w WHERE gap_s IS NOT NULL
     """,
+    "price_quantiles": """
+        SELECT CAST(0.25 AS DOUBLE) AS q,
+               round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT CAST(0.5 AS DOUBLE),
+               round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) FROM orders
+        UNION ALL
+        SELECT CAST(0.75 AS DOUBLE),
+               round(CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) FROM orders
+        UNION ALL
+        SELECT CAST(0.95 AS DOUBLE),
+               round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) FROM orders
+    """,
     "kmeans": """
         SELECT CAST(c.c AS BIGINT) AS cluster,
                CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_assigned,
@@ -3339,5 +3367,6 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
     "corpus_clean": q_corpus_clean,
+    "price_quantiles": q_price_quantiles,
     "embedding_neardup": q_embedding_neardup,
 }

@@ -185,6 +185,92 @@ def approx_count_distinct(ds, col: str, n_buckets: int = 64) -> float:
     return sketch.hll_estimate(final)
 
 
+def continuous_quantiles(ds, col: str, qs: Sequence[float], n_hist: int = 8192):
+    """EXACT interpolated quantiles (SQL ``percentile_cont``) for an
+    unbounded float column — three cheap passes, no global sort:
+
+    1. min / max / count (per-batch partials, driver combine of one
+       row per batch);
+    2. fixed-range histogram (``n_hist`` buckets) — locates the
+       bucket holding each needed order statistic;
+    3. one filtered pass collecting ONLY the values inside the needed
+       buckets (~n/n_hist rows per bucket) — the exact order stats
+       resolve locally, then lower + (upper-lower)*frac interpolation.
+
+    Every pass streams the single column; the driver never holds more
+    than the histogram + candidate buckets.
+    """
+    qs = list(qs)
+
+    def mmc(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        if not len(v):
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [len(v)]})
+
+    stats = ds.map_batches(mmc, batch_format="pandas").to_pandas()
+    lo, hi, n = float(stats["lo"].min()), float(stats["hi"].max()), int(stats["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": [], col: []})
+    if hi == lo:
+        return pd.DataFrame({"q": [float(q) for q in qs], col: [lo] * len(qs)})
+    width = (hi - lo) / n_hist
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_hist - 1)
+        cnt = np.bincount(idx, minlength=n_hist)
+        return pd.DataFrame({"reg": [cnt.astype(np.int64).tobytes()]})
+
+    rows = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = np.zeros(n_hist, dtype=np.int64)
+    for r in rows["reg"]:
+        counts += np.frombuffer(r, dtype=np.int64)
+    cum = np.cumsum(counts)
+
+    # ranks needed (0-indexed order statistics)
+    ranks = sorted({int(np.floor(q * (n - 1))) for q in qs} | {int(np.ceil(q * (n - 1))) for q in qs})
+    need_buckets = sorted({int(np.searchsorted(cum, r + 1, side="left")) for r in ranks})
+
+    lows = np.array([lo + b * width for b in need_buckets])
+    highs = np.array([hi if b == n_hist - 1 else lo + (b + 1) * width for b in need_buckets])
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy()
+        m = np.zeros(len(v), dtype=bool)
+        for blo, bhi, b in zip(lows, highs, need_buckets):
+            if b == n_hist - 1:
+                m |= (v >= blo) & (v <= bhi)
+            else:
+                m |= (v >= blo) & (v < bhi)
+        return pd.DataFrame({col: v[m]})
+
+    cand = np.sort(ds.map_batches(collect, batch_format="pandas").to_pandas()[col].to_numpy())
+    base = int(cum[need_buckets[0] - 1]) if need_buckets[0] > 0 else 0
+
+    def order_stat(r: int) -> float:
+        b = int(np.searchsorted(cum, r + 1, side="left"))
+        before = int(cum[b - 1]) if b > 0 else 0
+        # candidates are the union of needed buckets, globally sorted;
+        # offset of this bucket inside cand:
+        off = 0
+        for bb in need_buckets:
+            if bb == b:
+                break
+            off += int(counts[bb])
+        return float(cand[off + (r - before)])
+
+    out_q, out_v = [], []
+    for q in qs:
+        pos = q * (n - 1)
+        lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
+        a = order_stat(lo_r)
+        b = order_stat(hi_r)
+        out_q.append(float(q))
+        out_v.append(a + (b - a) * (pos - lo_r))
+    return pd.DataFrame({"q": out_q, col: out_v})
+
+
 def grouped_quantiles(
     ds, group_col: str, col: str, qs: Sequence[float], n_buckets: Optional[int] = None
 ):

@@ -329,3 +329,24 @@ def test_hash_join_semi_anti(ray_mod):
     assert sorted(semi["lv"].astype(np.int64)) == sorted(left.loc[in_right, "lv"])
     assert sorted(anti["lv"].astype(np.int64)) == sorted(left.loc[~in_right, "lv"])
     assert len(semi) + len(anti) == len(left)
+
+
+def test_continuous_quantiles(ray_mod):
+    """Histogram-refine percentile_cont == numpy linear interpolation
+    over several distributions + degenerate cases."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import continuous_quantiles
+
+    rng = np.random.default_rng(5)
+    for vals in (rng.normal(100, 25, 5000), rng.exponential(5, 999), np.full(50, 7.0)):
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+        got = continuous_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0])
+        s = np.sort(vals)
+        n = len(s)
+        for q, v in zip(got["q"], got["v"]):
+            pos = q * (n - 1)
+            lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
+            want = s[lo_r] + (s[hi_r] - s[lo_r]) * (pos - lo_r)
+            assert abs(v - want) < 1e-9
