@@ -2078,11 +2078,12 @@ def q_embedding_neardup(
 
     vecs = ds.map_batches(to_vec_rows, batch_format="pyarrow")
     withvec = attach_doc_column(
-        attach_doc_column(cand, vecs, "vec_a", "vec_va", val_col="v"),
+        attach_doc_column(cand, vecs, "vec_a", "vec_va", val_col="v", pair_cols=["vec_a", "vec_b"]),
         vecs,
         "vec_b",
         "vec_vb",
         val_col="v",
+        pair_cols=["vec_a", "vec_b", "vec_va"],
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -458,10 +458,30 @@ def hash_join(
 
     lt = _types(left_ds, left_cols)
     rt = _types(right_ds, right_cols)
+    kt = _types(left_ds, [on]).get(on)
+    if kt is not None and (pa.types.is_integer(kt) or pa.types.is_floating(kt)):
+        kt = pa.int64()
+
+    def _col(vals, t):
+        """Typed arrow column from a python list; object payloads
+        (np arrays from pandas round trips) coerce to lists for list
+        types; unknown types fall back to inference."""
+        if t is not None and pa.types.is_list(t):
+            vals = [None if v is None else (v.tolist() if hasattr(v, "tolist") else list(v)) for v in vals]
+        try:
+            return pa.array(vals, type=t)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            return pa.array(vals)
 
     def tag(batch: pa.Table, kind: int) -> pa.Table:
         n = batch.num_rows
-        out = {"k": batch.column(on), "kind": pa.array(np.full(n, kind, np.int8))}
+        k = batch.column(on)
+        # normalize numeric keys: empty upstream blocks can promote
+        # int64 to float64 (pandas empty-frame artifacts) and the
+        # groupby sort refuses to concat mismatched key types
+        if pa.types.is_floating(k.type) or pa.types.is_integer(k.type):
+            k = k.cast(pa.int64())
+        out = {"k": k, "kind": pa.array(np.full(n, kind, np.int8))}
         for c in left_cols:
             out[f"l_{c}"] = batch.column(c) if kind == 0 else pa.nulls(n, lt.get(c))
         for c in right_cols:
@@ -475,32 +495,29 @@ def hash_join(
         right_ds.map_batches(lambda b: tag(b, 1), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
+        # emits typed ARROW blocks so chained joins and the final sort
+        # see stable key/list/string types — never the per-group
+        # tensor-extension / null flip-flop of empty pandas frames
         lm = g["kind"].to_numpy() == 0
         lg = g.loc[lm, ["k"] + [f"l_{c}" for c in left_cols]]
         rg = g.loc[~lm, ["k"] + [f"r_{c}" for c in right_cols]]
-        cols = [on, *left_cols] + ([*right_cols] if how == "inner" else [])
-        empty = pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64 if c == on else object) for c in cols}
-        )
+
+        def emit(frame) -> pa.Table:
+            cols = {on: _col(frame["k"].tolist(), kt)}
+            for c in left_cols:
+                cols[c] = _col(frame[f"l_{c}"].tolist(), lt.get(c))
+            if how == "inner":
+                for c in right_cols:
+                    cols[c] = _col(frame[f"r_{c}"].tolist(), rt.get(c))
+            return pa.table(cols)
+
         if how in ("semi", "anti"):
             if not len(lg):
-                return empty
+                return emit(lg)
             has_match = lg["k"].isin(set(rg["k"].to_numpy()))
-            keep = lg[has_match if how == "semi" else ~has_match]
-            out = {on: keep["k"].to_numpy()}
-            for c in left_cols:
-                out[c] = keep[f"l_{c}"].to_numpy()
-            return pd.DataFrame(out)
-        if not len(lg) or not len(rg):
-            return empty
-        m = lg.merge(rg, on="k", how="inner")
-        out = {on: m["k"].to_numpy()}
-        for c in left_cols:
-            out[c] = m[f"l_{c}"].to_numpy()
-        for c in right_cols:
-            out[c] = m[f"r_{c}"].to_numpy()
-        return pd.DataFrame(out)
+            return emit(lg[has_match if how == "semi" else ~has_match])
+        return emit(lg.merge(rg, on="k", how="inner"))
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
 

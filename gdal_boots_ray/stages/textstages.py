@@ -192,7 +192,9 @@ def minhash_candidate_pairs(
     return out.select_columns(["doc_a", "doc_b", "n_bands"])
 
 
-def attach_doc_column(pairs_ds, docs_ds, key_col: str, out_col: str, val_col: str = "text"):
+def attach_doc_column(
+    pairs_ds, docs_ds, key_col: str, out_col: str, val_col: str = "text", pair_cols=None
+):
     """Shuffle join: attach ``docs_ds[val_col]`` to each pair row whose
     ``key_col`` equals the doc_id — both sides stream (no broadcast of
     the document table).  Built on the generic bucketed
@@ -202,7 +204,16 @@ def attach_doc_column(pairs_ds, docs_ds, key_col: str, out_col: str, val_col: st
     Pair rows with no matching doc are dropped (inner)."""
     from gdal_boots_ray.stages.joins import hash_join
 
-    pair_cols = [c for c in pairs_ds.schema().names if c != key_col]
+    if pair_cols is None:
+        schema = pairs_ds.schema()
+        if schema is None:
+            raise ValueError(
+                "pairs dataset schema unknown (fully empty upstream) — pass "
+                "pair_cols=[...] explicitly"
+            )
+        pair_cols = [c for c in schema.names if c != key_col]
+    else:
+        pair_cols = [c for c in pair_cols if c != key_col]
 
     def docs_proj(batch: pa.Table) -> pa.Table:
         return pa.table(
