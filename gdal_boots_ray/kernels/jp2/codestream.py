@@ -152,7 +152,6 @@ class TagTree:
                 else:
                     low += 1
                     self.low[lvl][yy, xx] = low
-        lvl0 = len(self.dims) - 1  # unused; leaf is level 0
         return int(self.value[0][y, x]) if self.known[0][y, x] else low
 
     def leaf_known(self, x: int, y: int) -> bool:
