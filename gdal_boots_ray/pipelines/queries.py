@@ -1989,6 +1989,50 @@ def q_customers_without_orders(sf_dir: str, min_price: float = 400000.0):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_customers_with_big_orders(sf_dir: str, min_price: float = 420000.0):
+    """Distributed SEMI join (the EXISTS shape): customers having at
+    least one order above ``min_price`` — left rows pass at most
+    once regardless of match multiplicity."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=_pc.field("o_totalprice") > min_price,
+    )
+
+    def key_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": batch.column("c_custkey").cast(pa.int64()), "c_mktsegment": batch.column("c_mktsegment")}
+        )
+
+    def key_o(batch: pa.Table) -> pa.Table:
+        return pa.table({"custkey": batch.column("o_custkey").cast(pa.int64())})
+
+    out = hash_join(
+        cust.map_batches(key_c, batch_format="pyarrow"),
+        orders.map_batches(key_o, batch_format="pyarrow"),
+        on="custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=[],
+        how="semi",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment").cast(pa.string()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_embedding_neardup(
     sf_dir: str,
     threshold: float = 0.92,
@@ -3194,6 +3238,14 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(u.doc_id AS BIGINT) AS doc_id, u.lang_pred, u.n_tokens_ws
         FROM u WHERE NOT EXISTS (SELECT 1 FROM drops p WHERE p.doc_b = u.doc_id)
     """,
+    "customers_with_big_orders": """
+        SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000.0
+        )
+    """,
     "customers_without_orders": """
         SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment
         FROM customer c
@@ -3367,6 +3419,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
+    "customers_with_big_orders": q_customers_with_big_orders,
     "corpus_clean": q_corpus_clean,
     "price_quantiles": q_price_quantiles,
     "embedding_neardup": q_embedding_neardup,
