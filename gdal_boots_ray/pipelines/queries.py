@@ -1200,6 +1200,43 @@ def q_price_quantiles(sf_dir: str):
     return out
 
 
+def q_capped_sample(sf_dir: str, cap: int = 50):
+    """Per-group capped downsampling (at most ``cap`` docs per
+    language, chosen by md5 rank): deterministic across
+    retries/resumes/cluster sizes AND order-free — the "cap per
+    domain" step of a corpus pipeline, as grouped_top_k over the
+    hash rank (partial top-k per batch, bucketed merge)."""
+    import hashlib as _hashlib
+
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import grouped_top_k
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        r = [_hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang": batch.column("lang"),
+                "r": pa.array(r, pa.string()),
+            }
+        )
+
+    top = grouped_top_k(
+        docs.map_batches(rank, batch_format="pyarrow"), ["lang"], "r", cap, descending=False
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()), "lang": batch.column("lang")}
+        )
+
+    return top.map_batches(cast, batch_format="pyarrow")
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog count-distinct vs the exact distributed count, for
     an int key (orders.o_custkey) and a string domain (distinct words
@@ -3267,6 +3304,16 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT * FROM w WHERE gap_s IS NOT NULL
     """,
+    "capped_sample": """
+        WITH r AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, lang FROM r WHERE rn <= 50
+    """,
     "price_quantiles": """
         SELECT CAST(0.25 AS DOUBLE) AS q,
                round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 4) AS o_totalprice
@@ -3422,5 +3469,6 @@ QUERIES = {
     "customers_with_big_orders": q_customers_with_big_orders,
     "corpus_clean": q_corpus_clean,
     "price_quantiles": q_price_quantiles,
+    "capped_sample": q_capped_sample,
     "embedding_neardup": q_embedding_neardup,
 }
