@@ -286,6 +286,14 @@ def h3x_cell(lon_deg, lat_deg, res: int) -> np.ndarray:
     fq = _SQRT3_3 * gx - gy / 3.0
     fr = (2.0 / 3.0) * gy
     qi, ri = _cube_round(fq, fr)
+    # the 21-bit q/r fields hold axials in [-2^20, 2^20); beyond that
+    # (res >= ~13 near face edges) packing would silently alias into
+    # the neighbouring bit fields — refuse rather than corrupt
+    if np.any((np.abs(qi) >= _H3X_OFF) | (np.abs(ri) >= _H3X_OFF)):
+        raise ValueError(
+            f"h3x res {res}: axial coordinates overflow the 21-bit cell packing "
+            "(use res <= 12 for global coverage)"
+        )
     return (
         ((face * np.int64(16) + res) << np.int64(42))
         | ((qi + _H3X_OFF) << np.int64(21))

@@ -538,7 +538,14 @@ def decode_jp2(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         btype = data[pos + 4 : pos + 8]
+        if ln == 1:
+            # XLBox: 64-bit extended length follows the box type
+            # (ISO/IEC 15444-1 I.4); payload starts at pos+16
+            (xl,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            payload_off, box_len = 16, xl
+        else:
+            payload_off, box_len = 8, ln
         if btype == b"jp2c":
-            return decode_j2k(data[pos + 8 : pos + ln if ln else len(data)])
-        pos += ln if ln else len(data)
+            return decode_j2k(data[pos + payload_off : pos + box_len if box_len else len(data)])
+        pos += box_len if box_len else len(data)
     raise ValueError("no jp2c codestream box found")

@@ -126,6 +126,8 @@ def warp(
             minx, miny, maxx, maxy = env
     elif bbox is not None:
         b = np.asarray(bbox, dtype=np.float64).reshape(-1)
+        if b.shape[0] != 4 or not np.isfinite(b).all() or b[0] >= b[2] or b[1] >= b[3]:
+            raise ValueError(f"bbox must be finite (xmin, ymin, xmax, ymax) with min < max, got {bbox!r}")
         if not _same_crs(bbox_crs, out_crs):
             b = _bounds_to(out_crs, bbox_crs, b)
         minx, miny, maxx, maxy = b
@@ -281,21 +283,31 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
 
         wx = kweights(tx)
         wy = kweights(ty)
+        any_valid = np.zeros_like(valid)
         for b in range(out.shape[0]):
             sb = s.img[min(b, s.img.shape[0] - 1)].astype(np.float64)
             acc = np.zeros(PX.shape)
+            bad = np.zeros(PX.shape, dtype=bool)
             for j in range(4):
                 yj = np.clip(y0 + j - 1, 0, sh - 1)
                 rowacc = np.zeros(PX.shape)
                 for i in range(4):
                     xi = np.clip(x0 + i - 1, 0, sw - 1)
-                    rowacc += wx[i] * sb[yj, xi]
+                    tap = sb[yj, xi]
+                    if s.nodata is not None:
+                        bad |= tap == s.nodata
+                    rowacc += wx[i] * tap
                 acc += wy[j] * rowacc
             if np.issubdtype(out.dtype, np.integer):
                 info = np.iinfo(out.dtype)
                 acc = np.clip(np.rint(acc), info.min, info.max)
-            out[b][valid] = acc[valid].astype(out.dtype)
-        painted |= valid
+            # per-band validity over every gathered tap (mirrors the
+            # bilinear 4-corner nodata mask): a nodata tap must not
+            # blend into the blended value nor mark the pixel painted
+            bvalid = valid & ~bad
+            out[b][bvalid] = acc[bvalid].astype(out.dtype)
+            any_valid |= bvalid
+        painted |= any_valid
         return
 
     if resampling in ("cubicspline", "lanczos"):
@@ -319,21 +331,31 @@ def _paint(out, painted, s: WarpSource, cols, rows, out_crs, resampling, res_x, 
 
         wx = kweights(tx)
         wy = kweights(ty)
+        any_valid = np.zeros_like(valid)
         for b in range(out.shape[0]):
             sb = s.img[min(b, s.img.shape[0] - 1)].astype(np.float64)
             acc = np.zeros(PX.shape)
+            bad = np.zeros(PX.shape, dtype=bool)
             for j in range(taps):
                 yj = np.clip(y0 + j + start, 0, sh - 1)
                 rowacc = np.zeros(PX.shape)
                 for i in range(taps):
                     xi = np.clip(x0 + i + start, 0, sw - 1)
-                    rowacc += wx[i] * sb[yj, xi]
+                    tap = sb[yj, xi]
+                    if s.nodata is not None:
+                        bad |= tap == s.nodata
+                    rowacc += wx[i] * tap
                 acc += wy[j] * rowacc
             if np.issubdtype(out.dtype, np.integer):
                 info = np.iinfo(out.dtype)
                 acc = np.clip(np.rint(acc), info.min, info.max)
-            out[b][valid] = acc[valid].astype(out.dtype)
-        painted |= valid
+            # per-band validity over every gathered tap (mirrors the
+            # bilinear 4-corner nodata mask): a nodata tap must not
+            # blend into the blended value nor mark the pixel painted
+            bvalid = valid & ~bad
+            out[b][bvalid] = acc[bvalid].astype(out.dtype)
+            any_valid |= bvalid
+        painted |= any_valid
         return
 
     if resampling == "bilinear":

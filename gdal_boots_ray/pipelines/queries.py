@@ -1666,8 +1666,14 @@ def q_event_gaps(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
+    """Tumbling 5-min windows per event type.  Window count is
+    unbounded over time (one group per window per type), so this uses
+    the partial-per-batch + bucketed-final combine from
+    ``stages.agg`` — a bare ``groupby.aggregate`` sort-reduces per
+    tiny group, which is pathological at stream scale."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
@@ -1677,12 +1683,16 @@ def q_events_window(sf_dir: str):
             {
                 "event_type": batch.column("event_type"),
                 "win": pa.array(us // 300_000_000, pa.int64()),
-                "value": batch.column("value"),
+                # named for the aggregate output (bucketed_aggregate
+                # aggregates a column into itself)
+                "sum_value": batch.column("value").cast(pa.float64()),
             }
         )
 
-    agg = ev.map_batches(win, batch_format="pyarrow").groupby(["event_type", "win"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    agg = bucketed_aggregate(
+        ev.map_batches(win, batch_format="pyarrow"),
+        ["event_type", "win"],
+        {"n_events": "count", "sum_value": "sum"},
     )
 
     def cast(batch: pa.Table) -> pa.Table:
@@ -2076,6 +2086,7 @@ def q_embedding_neardup(
     n_tables: int = 8,
     n_planes: int = 8,
     hot_cap: int = 4096,
+    plant: bool = False,
 ):
     """ORACLE-CHECKED near-duplicate embedding pairs: banded
     multi-table random-hyperplane LSH (``n_tables`` independent
@@ -2095,6 +2106,36 @@ def q_embedding_neardup(
     planes_ref = ray.put(planes)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    if plant:
+        # non-vacuous variant: union with a scaled copy of every
+        # vector (id + 1e9, embedding * 2) — cosine exactly 1.0, so
+        # every planted pair MUST survive both LSH (identical sign
+        # pattern => identical bucket in every table) and the exact
+        # verify; SQL twin plants the same rows via list_transform
+        def plant_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").cast(pa.int64()).to_numpy()
+            mat = (
+                b.column("embedding")
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(len(b), -1)
+                .astype(np.float64)
+            )
+            d = mat.shape[1]
+            both = np.concatenate([mat, mat * 2.0])
+            ids2 = np.concatenate([ids, ids + 1_000_000_000])
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids2, pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(both.ravel(), pa.float64()), d
+                    ),
+                }
+            )
+
+        ds = ds.map_batches(plant_rows, batch_format="pyarrow")
 
     class Bucket:
         def __init__(self):
@@ -3069,6 +3110,21 @@ ORACLE_SQL: Dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
     """,
+    "embedding_neardup_planted": """
+        WITH allv AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS embedding
+            FROM embeddings
+            UNION ALL
+            SELECT CAST(vec_id + 1000000000 AS BIGINT),
+                   list_transform(embedding::DOUBLE[], x -> x * 2.0)
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        FROM allv a, allv b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+    """,
     "minhash_neardup": """
         WITH norm AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -3471,4 +3527,5 @@ QUERIES = {
     "price_quantiles": q_price_quantiles,
     "capped_sample": q_capped_sample,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
 }

@@ -108,3 +108,21 @@ class TestNeighbors:
         parents = h3x_parent(np.append(nb, c))
         # a cell and its 6 neighbors span at most a few res-8 parents
         assert len(np.unique(parents)) <= 3
+
+
+class TestPackingBounds:
+    def test_high_res_overflow_raises_not_aliases(self):
+        # at res >= ~13 axials near face edges exceed the 21-bit q/r
+        # fields; packing must refuse instead of silently aliasing
+        import pytest
+
+        lon, lat = _sample(2000, seed=5)
+        with pytest.raises(ValueError, match="overflow"):
+            h3x_cell(lon, lat, 15)
+
+    def test_res12_still_packs(self):
+        lon, lat = _sample(2000, seed=6)
+        c = h3x_cell(lon, lat, 12)
+        assert (h3x_res(c) == 12).all()
+        _, _, q, r = h3x_decode(c)
+        assert (np.abs(q) < (1 << 20)).all() and (np.abs(r) < (1 << 20)).all()

@@ -111,6 +111,27 @@ def test_jp2_lossless_roundtrip():
     assert out.dtype == np.uint16 and (out == u16).all()
 
 
+def test_jp2_xlbox_codestream():
+    # spec-valid JP2 may carry the jp2c payload in an XLBox (length
+    # field == 1, 64-bit XL length after the type; ISO 15444-1 I.4)
+    import struct
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (1, 16, 16)).astype(np.uint8)
+    data = encode_jp2(img)
+    # locate the standard jp2c box and rewrap it as an XLBox
+    pos = 0
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        if data[pos + 4 : pos + 8] == b"jp2c":
+            payload = data[pos + 8 : pos + ln]
+            xl = struct.pack(">I", 1) + b"jp2c" + struct.pack(">Q", 16 + len(payload)) + payload
+            data = data[:pos] + xl + data[pos + ln :]
+            break
+        pos += ln
+    assert (decode_jp2(data) == img).all()
+
+
 def test_jp2_compresses_smooth_content():
     x, y = np.meshgrid(np.arange(128), np.arange(128))
     smooth = ((np.sin(x / 9) + np.cos(y / 13)) * 60 + 128).astype(np.uint8)[None]

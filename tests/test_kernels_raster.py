@@ -396,6 +396,31 @@ class TestWindowedResamplers:
         expect = np.tile(np.arange(16) * 2 + 0.5, (16, 1))
         assert np.abs(out[0][4:-4, 4:-4] - expect[4:-4, 4:-4]).max() < 1e-9
 
+    def test_windowed_resamplers_mask_nodata(self):
+        # a nodata tap must neither blend into the output nor mark the
+        # pixel painted (same contract as the bilinear 4-corner mask)
+        import numpy as np
+
+        from gdal_boots_ray.kernels.warp import WarpSource, warp
+
+        img = np.full((16, 16), 80.0)
+        img[:, 8:] = 255.0  # nodata half
+        gt = np.array([10.0, 0, 0, 0, -10.0, 160.0])
+        for rs in ("cubic", "cubicspline", "lanczos"):
+            out, _ = warp(
+                [WarpSource(img[None], gt, 3857, nodata=255.0)],
+                resolution=(10.0, 10.0),
+                resampling=rs,
+                dtype=np.float64,
+                dst_nodata=255.0,
+            )
+            vals = np.unique(out[0])
+            # every pixel is either clean 80 or untouched fill 255 —
+            # no blended values in between
+            assert set(np.round(vals, 6)) <= {80.0, 255.0}, (rs, vals)
+            assert (out[0] == 255.0).any(), rs
+            assert np.isclose(out[0], 80.0).any(), rs
+
     def test_cubicspline_smooths_impulse(self):
         import numpy as np
 
