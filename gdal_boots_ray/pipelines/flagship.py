@@ -95,7 +95,7 @@ class FusedTileWorker:
         per row — the decode path is memory-bandwidth bound)."""
         from gdal_boots_ray.kernels.png import _RAW_HEADER_LEN, decode_image, raw_header
         from gdal_boots_ray.stages.decode import binary_column_views
-        from gdal_boots_ray.stages.zonal import _rings_mask
+        from gdal_boots_ray.stages.zonal import _rings_cover_tile, _rings_mask
 
         has_shard = "shard" in matched.column_names
         n = matched.num_rows
@@ -135,8 +135,11 @@ class FusedTileWorker:
             else:
                 img = decode_image(bytes(blobs[i]), fmts[i])
             band0 = img if img.ndim == 2 else img[0]
-            mask = _rings_mask(rings, (int(hs[i]), int(ws[i])), gts[i])
-            sel = band0[mask]
+            shape = (int(hs[i]), int(ws[i]))
+            if _rings_cover_tile(rings, shape, gts[i]):
+                sel = band0.reshape(-1)  # interior tile: no mask/gather
+            else:
+                sel = band0[_rings_mask(rings, shape, gts[i])]
             n_px[i] = sel.size
             if sel.size:
                 sum_v[i] = float(sel.sum(dtype=np.float64))
@@ -220,20 +223,21 @@ def run_flagship(
         polygons = nation_polygons(np.arange(25))
     poly_ref = put_polygons(polygons)
 
-    # input_reps > 1 re-lists the same files N times in ONE read op —
-    # clean streaming fan-out (a Dataset.union chain of reads measured
-    # pathologically slow under the streaming executor here)
-    if input_reps > 1:
-        import glob as _glob
+    from gdal_boots_ray.sources.imagetable import is_lance_dataset, read_image_table
 
-        files = sorted(_glob.glob(f"{images_path}/part-*.parquet")) or [images_path]
-        ds = rd.read_parquet(files * input_reps)
-    else:
-        # Lance-or-Parquet dispatch (the north star's input is a
-        # Lance image+caption table; the driver's parquet stands in)
-        from gdal_boots_ray.sources.imagetable import read_image_table
+    if use_actors or is_lance_dataset(images_path):
+        # Dataset-read plan (actor pools can't read in-task; Lance
+        # fragments go through ray.data.read_lance).  input_reps > 1
+        # re-lists the same files N times in ONE read op — clean
+        # streaming fan-out (a Dataset.union chain of reads measured
+        # pathologically slow under the streaming executor here).
+        if input_reps > 1:
+            import glob as _glob
 
-        ds = read_image_table(images_path)
+            files = sorted(_glob.glob(f"{images_path}/part-*.parquet")) or [images_path]
+            ds = rd.read_parquet(files * input_reps)
+        else:
+            ds = read_image_table(images_path)
     if use_actors:
         stats = ds.map_batches(
             FusedTileWorker,
@@ -249,13 +253,9 @@ def run_flagship(
                 "decode_all": decode_all,
             },
         )
-    else:
-        # stateless tasks fuse with the parquet read (one task reads a
-        # file AND runs the whole tile chain -> raw bytes never cross
-        # the object store, which halves memory traffic and removes an
-        # exchange).  Worker state still amortizes: Ray reuses worker
-        # processes across tasks and the closure cache keeps one
-        # FusedTileWorker per process.
+    elif is_lance_dataset(images_path):
+        # Lance path: stateless tasks over the Dataset read (the
+        # read-in-task plan below is parquet-specific)
         def fused(batch, _cache={}):
             worker = _cache.get("w")
             if worker is None:
@@ -265,6 +265,51 @@ def run_flagship(
             return worker(batch)
 
         stats = ds.map_batches(fused, batch_format="pyarrow", batch_size=batch_size)
+    else:
+        # read-in-task physical plan: Ray's executor keeps ReadParquet
+        # and downstream maps as SEPARATE operators (no read->map
+        # fusion in 2.49), so a read_parquet plan ships every encoded
+        # payload through the object store twice (write + fetch) just
+        # to decode it in the next operator.  Instead the work list is
+        # a tiny Dataset of file paths (one block per fragment) and
+        # ONE task reads its fragment AND runs the whole tile chain —
+        # only the kB-sized zonal partials ever leave the task.  On a
+        # multi-node cluster this is also the locality-optimal plan:
+        # the read and the compute are the same task by construction.
+        # Worker state amortizes: Ray reuses worker processes across
+        # tasks and the closure cache keeps one FusedTileWorker each.
+        import glob as _glob
+
+        frag_files = sorted(_glob.glob(f"{images_path}/part-*.parquet")) or [images_path]
+        frag_files = frag_files * max(1, input_reps)
+        COLS = ["image_id", "bytes", "w", "h", "fmt", "gt", "epsg"]
+
+        def fused_file(batch, _cache={}):
+            import pyarrow.parquet as _pq
+
+            worker = _cache.get("w")
+            if worker is None:
+                worker = _cache["w"] = FusedTileWorker(
+                    poly_ref, cell_res, s2_level, with_s2, decode_all=decode_all
+                )
+            outs = []
+            for p in batch.column("path").to_pylist():
+                t = _pq.read_table(p, columns=COLS)
+                for s in range(0, t.num_rows, batch_size):
+                    outs.append(worker(t.slice(s, batch_size)))
+            return pa.concat_tables(outs)
+
+        # task granularity: ~4 fragments per CPU wave, floor 64 tasks,
+        # so scheduling overhead amortizes while the tail stays short
+        per_task = max(1, len(frag_files) // max(64, 4 * num_cpus_hint))
+        n_blocks = (len(frag_files) + per_task - 1) // per_task
+        # the executor's default operator reservation withholds ~35%
+        # of CPUs from a single-operator plan; this plan IS the job
+        from ray.data import DataContext
+
+        DataContext.get_current().op_resource_reservation_enabled = False
+        paths = rd.from_items([{"path": p} for p in frag_files], override_num_blocks=n_blocks)
+        stats = paths.map_batches(fused_file, batch_format="pyarrow", batch_size=per_task)
     return stats
 
 

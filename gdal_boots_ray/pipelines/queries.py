@@ -17,7 +17,7 @@ rounded identically on both sides.
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -1433,7 +1433,12 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
     return withtext.map_batches(verify, batch_format="pyarrow")
 
 
-def q_corpus_clean(sf_dir: str, min_tokens: int = 5, jac_threshold: float = 0.5):
+def q_corpus_clean(
+    sf_dir: str,
+    min_tokens: int = 5,
+    jac_threshold: float = 0.5,
+    checkpoint_dir: Optional[str] = None,
+):
     """END-TO-END training-corpus cleaning pipeline, one streaming
     composition of the verified pieces: language-ID + token-count
     filter (stateless map) -> exact dedup (md5 co-shuffle, min doc_id
@@ -1504,11 +1509,31 @@ def q_corpus_clean(sf_dir: str, min_tokens: int = 5, jac_threshold: float = 0.5)
     # re-execute the whole filter+dedup lineage per consumption —
     # at corpus scale that is 4 extra reads of the input.  Parquet
     # checkpoint = bounded by disk, resumable, partition-parallel.
-    import tempfile
+    #
+    # The checkpoint path must be CLUSTER-SHARED (every node reads
+    # it back): callers pass an explicit dir under the job's output
+    # root, or set GDAL_BOOTS_RAY_CKPT to the shared scratch root.
+    # Publication is atomic (write to .tmp, rename), so a finished
+    # checkpoint is the resume unit: a rerun with the same params
+    # skips the whole filter+dedup lineage and streams from parquet.
+    import atexit
+    import os
+    import shutil
 
-    ckpt = tempfile.mkdtemp(prefix="corpus_unique_")
-    unique.write_parquet(ckpt)
-    unique = rd.read_parquet(ckpt)
+    if checkpoint_dir is None:
+        root = os.environ.get("GDAL_BOOTS_RAY_CKPT", "/tmp/gdal_boots_ray_ckpt")
+        sf_tag = os.path.basename(os.path.normpath(sf_dir))
+        checkpoint_dir = os.path.join(root, f"corpus_unique_{sf_tag}_mt{min_tokens}")
+        # default-owned cache: drop it at interpreter exit so repeated
+        # gate runs don't leak one parquet dir per invocation
+        atexit.register(shutil.rmtree, checkpoint_dir, True)
+    if not os.path.isdir(checkpoint_dir):
+        tmp = checkpoint_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        unique.write_parquet(tmp)
+        os.makedirs(os.path.dirname(checkpoint_dir), exist_ok=True)
+        os.rename(tmp, checkpoint_dir)  # atomic publish = completion marker
+    unique = rd.read_parquet(checkpoint_dir)
 
     cand = minhash_candidate_pairs(
         unique, num_perm=64, bands=32, n_docs=n_docs

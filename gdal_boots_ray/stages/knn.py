@@ -260,38 +260,79 @@ def spatial_knn_dataset(
         return pd.concat(parts, ignore_index=True)
 
     def make_merge(ring: int, accept_all: bool):
+        """Vectorized per-BUCKET merge: every qid hashed into this
+        bucket is ranked/terminated in one pandas pass (C-level
+        groupby.head/cumcount) — never one Ray group per query, which
+        at 10^7 queries is the per-tiny-group trap the agg layer
+        documents."""
+
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            g_qid = int(g["qid"].iloc[0])
-            g = g[np.isfinite(g["d2"].to_numpy())]
-            n_cand = len(g)
-            g = g.sort_values(["d2", "nid"], kind="mergesort").head(k).copy()
-            kth = float(np.sqrt(g["d2"].iloc[-1])) if len(g) else np.inf
-            done = accept_all or n_cand >= n_data or (n_cand >= k and kth <= ring * cell_res)
-            if not done and not n_cand:
-                # keep one sentinel row so the unresolved qid survives
-                # the filter/split into the retry set
-                return pd.DataFrame(
+            uq = np.unique(g["qid"].to_numpy())
+            gf = g.loc[np.isfinite(g["d2"].to_numpy()), ["qid", "nid", "d2"]]
+            n_cand = gf.groupby("qid").size().reindex(uq, fill_value=0).to_numpy()
+            top = (
+                gf.sort_values(["qid", "d2", "nid"], kind="mergesort")
+                .groupby("qid", sort=False)
+                .head(k)
+                .copy()
+            )
+            grp = top.groupby("qid", sort=False)
+            top["rank"] = (grp.cumcount() + 1).astype(np.int64)
+            # kth distance = max kept d2 per qid (rows are sorted)
+            kth = np.sqrt(grp["d2"].max()).reindex(uq, fill_value=np.inf).to_numpy()
+            done = accept_all | (n_cand >= n_data) | ((n_cand >= k) & (kth <= ring * cell_res))
+            done_map = pd.Series(done, index=uq)
+            top["dist"] = np.round(np.sqrt(top["d2"].to_numpy()), 6)
+            top["resolved"] = done_map.reindex(top["qid"].to_numpy()).to_numpy()
+            out = top[["qid", "rank", "nid", "dist", "d2", "resolved"]]
+            # sentinel rows keep candidate-less unresolved qids alive
+            # through the filter/split into the retry set
+            empty_unresolved = uq[(n_cand == 0) & ~done]
+            if len(empty_unresolved):
+                sent = pd.DataFrame(
                     {
-                        "qid": [np.int64(g_qid)],
-                        "rank": [np.int64(0)],
-                        "nid": [np.int64(-1)],
-                        "dist": [np.nan],
-                        "d2": [np.nan],
-                        "resolved": [False],
+                        "qid": empty_unresolved.astype(np.int64),
+                        "rank": np.zeros(len(empty_unresolved), np.int64),
+                        "nid": np.full(len(empty_unresolved), -1, np.int64),
+                        "dist": np.full(len(empty_unresolved), np.nan),
+                        "d2": np.full(len(empty_unresolved), np.nan),
+                        "resolved": np.zeros(len(empty_unresolved), bool),
                     }
                 )
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            g["dist"] = np.round(np.sqrt(g["d2"].to_numpy()), 6)
-            g["resolved"] = done
-            return g[["qid", "rank", "nid", "dist", "d2", "resolved"]]
+                out = pd.concat([out, sent], ignore_index=True)
+            return out
 
         return merge
+
+    def merge_by_bucket(cand, ring: int, accept_all: bool):
+        """Hash qid into a bounded number of buckets (same shape as
+        stages.agg.grouped_top_k) so merge fan-out scales with the
+        cluster, not the query count."""
+        from gdal_boots_ray.stages.agg import _default_n_buckets
+
+        nb = _default_n_buckets()
+
+        def add_qb(batch: pa.Table) -> pa.Table:
+            q = batch.column("qid").to_numpy().astype(np.uint64)
+            qb = ((q * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(nb)
+            return batch.append_column("_qb", pa.array(qb.astype(np.int64), pa.int64()))
+
+        fn = make_merge(ring, accept_all)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return fn(g)
+
+        return (
+            cand.map_batches(add_qb, batch_format="pyarrow")
+            .groupby("_qb")
+            .map_groups(merge, batch_format="pandas")
+        )
 
     def probe(remaining_ds, ring: int):
         exploded = remaining_ds.map_batches(make_explode(ring), batch_format="pyarrow")
         both = tagged_data.union(exploded)
         cand = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
-        return cand.groupby("qid").map_groups(make_merge(ring, False), batch_format="pandas")
+        return merge_by_bucket(cand, ring, False)
 
     def fallback(remaining_ds):
         """Full-scan tail: queries still unresolved at the ring cap
@@ -340,7 +381,7 @@ def spatial_knn_dataset(
                 )
 
         cand = data_ds.map_batches(BlockTopK, batch_format="pyarrow", concurrency=(1, 8))
-        return cand.groupby("qid").map_groups(make_merge(0, True), batch_format="pandas")
+        return merge_by_bucket(cand, 0, True)
 
     def split_resolved(batch: pa.Table) -> pa.Table:
         return batch.filter(batch.column("resolved")).select(["qid", "rank", "nid", "dist", "d2"])
@@ -363,9 +404,9 @@ def spatial_knn_dataset(
         if not bad_qids:
             break
 
-        def keep_bad(batch: pa.Table, bq=frozenset(bad_qids)) -> pa.Table:
+        def keep_bad(batch: pa.Table, bq=np.fromiter(bad_qids, np.int64, len(bad_qids))) -> pa.Table:
             qids = batch.column("qid").to_numpy()
-            return batch.filter(pa.array([int(q) in bq for q in qids]))
+            return batch.filter(pa.array(np.isin(qids, bq)))
 
         remaining = remaining.map_batches(keep_bad, batch_format="pyarrow")
         if ring >= max_ring:

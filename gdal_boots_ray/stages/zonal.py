@@ -59,8 +59,11 @@ class ZonalStats:
                 continue
             img = views[i]
             band0 = img if img.ndim == 2 else img[0]
-            mask = _rings_mask(rings, (int(hs[i]), int(ws[i])), gts[i])
-            sel = band0[mask]
+            shape = (int(hs[i]), int(ws[i]))
+            if _rings_cover_tile(rings, shape, gts[i]):
+                sel = band0.reshape(-1)  # interior tile: no mask/gather
+            else:
+                sel = band0[_rings_mask(rings, shape, gts[i])]
             out["n_px"][i] = sel.size
             if sel.size:
                 out["sum_v"][i] = float(sel.sum(dtype=np.float64))
@@ -77,6 +80,52 @@ class ZonalStats:
                 "max_v": pa.array(out["max_v"][keep]),
             }
         )
+
+
+def _rings_cover_tile(rings, shape, gt) -> bool:
+    """True iff the polygon fully covers the tile: all 4 tile corners
+    inside (even-odd parity) AND no ring edge's bbox overlaps the tile
+    bbox.  Corners-inside + no-boundary-crossing means the whole tile
+    boundary (hence interior) lies inside the polygon.  The edge test
+    is conservative (bbox overlap may false-bail to the mask path) but
+    never false-covers.
+
+    At scale this is the dominant zonal fast path: for any AOI much
+    larger than a tile, almost every matched tile is interior — the
+    O(edges·h + area) scanline fill collapses to an O(edges) check and
+    whole-array stats (no mask allocation, no gather)."""
+    from gdal_boots_ray.kernels.geometry import points_in_rings
+
+    h, w = shape
+    gt = np.asarray(gt, np.float64)
+    cw = np.array([0.0, w, 0.0, w])
+    ch = np.array([0.0, 0.0, h, h])
+    xs = gt[0] * cw + gt[1] * ch + gt[2]
+    ys = gt[3] * cw + gt[4] * ch + gt[5]
+    bx0, bx1 = xs.min(), xs.max()
+    by0, by1 = ys.min(), ys.max()
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        ex0 = np.minimum(x0, x1)
+        ex1 = np.maximum(x0, x1)
+        ey0 = np.minimum(y0, y1)
+        ey1 = np.maximum(y0, y1)
+        cand = (ex0 <= bx1) & (ex1 >= bx0) & (ey0 <= by1) & (ey1 >= by0)
+        if cand.any():
+            # exact segment-vs-rectangle: a bbox-overlapping segment
+            # misses the rect iff all 4 rect corners lie strictly on
+            # one side of the segment's line (diagonal edges have huge
+            # bboxes — diamond/rotated AOIs would false-bail on every
+            # interior tile under a bbox-only test)
+            dx = (x1 - x0)[cand]
+            dy = (y1 - y0)[cand]
+            sx = x0[cand]
+            sy = y0[cand]
+            s = dx[:, None] * (ys[None, :] - sy[:, None]) - dy[:, None] * (xs[None, :] - sx[:, None])
+            if (~((s > 0).all(axis=1) | (s < 0).all(axis=1))).any():
+                return False
+    return bool(points_in_rings(xs, ys, rings).all())
 
 
 def _rings_mask(rings, shape, gt) -> np.ndarray:
