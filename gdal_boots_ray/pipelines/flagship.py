@@ -304,12 +304,19 @@ def run_flagship(
         per_task = max(1, len(frag_files) // max(64, 4 * num_cpus_hint))
         n_blocks = (len(frag_files) + per_task - 1) // per_task
         # the executor's default operator reservation withholds ~35%
-        # of CPUs from a single-operator plan; this plan IS the job
+        # of CPUs from a single-operator plan; this plan IS the job.
+        # Datasets snapshot DataContext at creation, so flipping the
+        # flag around construction scopes it to THIS dataset only.
         from ray.data import DataContext
 
-        DataContext.get_current().op_resource_reservation_enabled = False
-        paths = rd.from_items([{"path": p} for p in frag_files], override_num_blocks=n_blocks)
-        stats = paths.map_batches(fused_file, batch_format="pyarrow", batch_size=per_task)
+        ctx = DataContext.get_current()
+        saved = ctx.op_resource_reservation_enabled
+        ctx.op_resource_reservation_enabled = False
+        try:
+            paths = rd.from_items([{"path": p} for p in frag_files], override_num_blocks=n_blocks)
+            stats = paths.map_batches(fused_file, batch_format="pyarrow", batch_size=per_task)
+        finally:
+            ctx.op_resource_reservation_enabled = saved
     return stats
 
 

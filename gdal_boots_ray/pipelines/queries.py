@@ -1366,15 +1366,41 @@ def q_lang_id_pred(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """Rows-only: near-dup candidate pairs via MinHash-LSH."""
+    """ORACLE-CHECKED MinHash-LSH band construction: md5-based shingle
+    hash + mod-(2^31-1) permutations (exact 64-bit integer arithmetic
+    on both sides), 32 bands x 2 rows, pairs = docs sharing >= 1 band
+    bucket with the shared-band count.  The DuckDB twin replays the
+    ENTIRE construction — shingling, md5 hash, permutations, band
+    keys, pair join — so the LSH machinery itself is hash-checked
+    (the production rolling-hash MinHash is exercised by
+    minhash_neardup whose oracle is the exact quadratic Jaccard).
+    hot_cap is effectively off so star-linking (a physical-plan skew
+    control, not SQL-expressible) can't perturb the set."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from gdal_boots_ray.stages.textstages import minhash_candidate_pairs
+    from gdal_boots_ray.stages.textstages import MD5MinHashStage, band_pairs_from_rows
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_candidate_pairs(docs, n_docs=n_docs)
+    band_rows = docs.map_batches(
+        MD5MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": 64, "bands": 32},
+        concurrency=(1, 8),
+    )
+    out = band_pairs_from_rows(band_rows, int(n_docs), 32, hot_cap=1 << 40)
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "n_bands": batch.column("n_bands").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 def _shingle_set(text: str, n: int = 5):
@@ -2663,35 +2689,57 @@ def _resize_kernel_sql(resampling: str) -> str:
 
 
 def q_polygonize(sf_dir: str, n_tiles: int = 24):
-    """Rows-only: vectorize the >=128 threshold mask of the first
-    ``n_tiles`` tiles (connected components + ring tracing,
-    reference to_vector/gdal.Polygonize)."""
+    """ORACLE-CHECKED ring detail of polygonize (connected components
+    + boundary ring tracing, reference to_vector/gdal.Polygonize):
+    per image, region count, total ring CORNER count and total ring
+    perimeter — all computed from the traced rings (exterior + holes,
+    collinear points collapsed).  The DuckDB twin derives the same
+    quantities from the mask by independent combinatorics: corners
+    from 2x2 lattice-vertex patterns (1 or 3 masked -> 1 corner,
+    diagonal pair -> 2), perimeter as 4*cells - shared sides, regions
+    via recursive-CTE min-label propagation — no ring tracing in SQL,
+    so the identities check the tracer, not a re-implementation."""
     from gdal_boots_ray.kernels.polygonize import polygonize
     from gdal_boots_ray.stages.decode import batch_pixel_views
 
-    ds = _tiles_dataset(sf_dir, decode=True).limit(n_tiles)
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
 
     def vectorize(batch: pa.Table) -> pa.Table:
         views = batch_pixel_views(batch)
-        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
         ids = batch.column("image_id").to_pylist()
-        out_id, out_n, out_pts = [], [], []
+        out_id, out_n, out_c, out_p = [], [], [], []
         for i, iid in enumerate(ids):
             b0 = views[i] if views[i].ndim == 2 else views[i][0]
-            feats = polygonize((b0 >= 128).astype(np.uint8), gt=gts[i])
+            feats = polygonize((b0 >= 128).astype(np.uint8))  # pixel-space rings
             pos = [f for f in feats if f["value"] == 1]
+            ncorn = 0
+            nperim = 0
+            for f in pos:
+                for ring in f["geometry"]["coordinates"]:
+                    arr = np.asarray(ring, np.float64)
+                    ncorn += len(arr) - 1  # closed ring, start duplicated
+                    nperim += int(np.abs(np.diff(arr, axis=0)).sum())  # axis-aligned
             out_id.append(iid)
             out_n.append(len(pos))
-            out_pts.append(sum(len(r) for f in pos for r in f["geometry"]["coordinates"]))
+            out_c.append(ncorn)
+            out_p.append(nperim)
         return pa.table(
             {
                 "image_id": pa.array(out_id, pa.string()),
                 "n_regions": pa.array(out_n, pa.int64()),
-                "n_ring_points": pa.array(out_pts, pa.int64()),
+                "n_corners": pa.array(out_c, pa.int64()),
+                "n_perimeter": pa.array(out_p, pa.int64()),
             }
         )
 
-    return ds.map_batches(vectorize, batch_format="pyarrow")
+    return ds.map_batches(first_keys, batch_format="pyarrow").map_batches(
+        vectorize, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2726,6 +2774,43 @@ _SIMHASH_SQL_CTE = r"""
             FROM documents d LEFT JOIN sh USING (doc_id)
         )
 """
+
+def _md5_minhash_sql_cte() -> str:
+    """DuckDB replay of MD5MinHashStage: same shingles, same md5-based
+    hash, same mod-(2^31-1) permutations (constants embedded from the
+    shared deterministic generator), same band-key mix."""
+    from gdal_boots_ray.stages.textstages import _MD5MH_M, _MD5MH_MIX, md5_minhash_params
+
+    a, b = md5_minhash_params(64)
+    vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    return rf"""
+        norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents
+        ),
+        shg AS (
+            SELECT DISTINCT doc_id, substring(t, i.i, 5) AS s
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) i
+        ),
+        hs AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substring(md5(s), 1, 16) AS UBIGINT) % {_MD5MH_M} AS BIGINT) AS h
+            FROM shg
+        ),
+        perms(i, a, b) AS (VALUES {vals}),
+        sigs AS (
+            SELECT doc_id, p.i AS i, min((p.a * h + p.b) % {_MD5MH_M}) AS sig
+            FROM hs, perms p GROUP BY doc_id, p.i
+        ),
+        bkeys AS (
+            SELECT s0.doc_id,
+                   ((s0.sig * {_MD5MH_MIX} + s1.sig) % 2147483648) + (s0.i // 2) * 4294967296 AS band_key
+            FROM sigs s0 JOIN sigs s1 ON s1.doc_id = s0.doc_id AND s1.i = s0.i + 1
+            WHERE s0.i % 2 = 0
+        )
+    """
+
 
 ORACLE_SQL: Dict[str, str] = {
     "tile_bounds": f"""
@@ -3007,6 +3092,56 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_v
         FROM px GROUP BY image_id
     """,
+    "polygonize": """
+        WITH RECURSIVE px AS (
+            SELECT p_partkey AS k, gx.x AS x, gy.y AS y,
+                   CASE WHEN (gx.x * 31 + gy.y * 17 + p_partkey) % 256 >= 128 THEN 1 ELSE 0 END AS cls
+            FROM part,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 3) * 16 - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 5) * 8 - 1 AS INT))) AS y) gy
+            WHERE p_partkey < 24
+        ),
+        pos AS (SELECT k, x, y, (y * 100 + x) AS node FROM px WHERE cls = 1),
+        edges AS (
+            SELECT a.k, a.node AS na, b.node AS nb
+            FROM pos a JOIN pos b
+              ON a.k = b.k AND ((abs(a.x - b.x) = 1 AND a.y = b.y) OR (abs(a.y - b.y) = 1 AND a.x = b.x))
+        ),
+        lab AS (
+            SELECT k, node, node AS label FROM pos
+            UNION
+            SELECT e.k, e.na AS node, l.label
+            FROM edges e JOIN lab l ON e.k = l.k AND e.nb = l.node
+            WHERE l.label < e.na
+        ),
+        regions AS (
+            SELECT k, CAST(count(DISTINCT minlab) AS BIGINT) AS n_regions
+            FROM (SELECT k, node, min(label) AS minlab FROM lab GROUP BY k, node)
+            GROUP BY k
+        ),
+        -- lattice-vertex 2x2 patterns: NW=1, NE=2, SW=4, SE=8
+        quads AS (
+            SELECT k, x + 1 AS vx, y + 1 AS vy, 1 AS b FROM pos
+            UNION ALL SELECT k, x, y + 1, 2 FROM pos
+            UNION ALL SELECT k, x + 1, y, 4 FROM pos
+            UNION ALL SELECT k, x, y, 8 FROM pos
+        ),
+        vpat AS (SELECT k, vx, vy, sum(b) AS pat, count(*) AS cnt FROM quads GROUP BY k, vx, vy),
+        corners AS (
+            SELECT k, CAST(sum(CASE WHEN cnt IN (1, 3) THEN 1
+                                    WHEN pat IN (9, 6) THEN 2
+                                    ELSE 0 END) AS BIGINT) AS n_corners
+            FROM vpat GROUP BY k
+        ),
+        cellcnt AS (SELECT k, count(*) AS nc FROM pos GROUP BY k),
+        adjcnt AS (SELECT k, count(*) AS na FROM edges GROUP BY k)
+        SELECT printf('img-%08d', r.k) AS image_id, r.n_regions, c.n_corners,
+               CAST(4 * cc.nc - coalesce(a.na, 0) AS BIGINT) AS n_perimeter
+        FROM regions r
+        JOIN corners c ON c.k = r.k
+        JOIN cellcnt cc ON cc.k = r.k
+        LEFT JOIN adjcnt a ON a.k = r.k
+    """,
     "polygonize_regions": """
         WITH RECURSIVE px AS (
             SELECT p_partkey AS k, gx.x AS x, gy.y AS y,
@@ -3149,6 +3284,12 @@ ORACLE_SQL: Dict[str, str] = {
         FROM allv a, allv b
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+    """,
+    "minhash_pairs": rf"""
+        WITH {_md5_minhash_sql_cte()}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+        FROM bkeys a JOIN bkeys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """,
     "minhash_neardup": """
         WITH norm AS (

@@ -29,6 +29,17 @@ from gdal_boots_ray.kernels.geometry import points_in_rings, polygon_rings
 from gdal_boots_ray.stages.decode import pixels_view
 
 
+def _concat_ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(c)`` for every c in counts, vectorized:
+    [2,0,3] -> [0,1, 0,1,2]."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if not total:
+        return np.empty(0, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+
+
 def put_polygons(polygons: Sequence[dict]):
     """Parse + pack polygon rings once on the driver; broadcast via
     ray.put (read by every actor, shipped once per node — not per
@@ -94,21 +105,27 @@ class SampleTilesAtPoints:
         self.y_col = y_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from gdal_boots_ray.kernels.sampling import sample_points
+        from gdal_boots_ray.kernels.affine import invert_gt
         from gdal_boots_ray.stages.decode import batch_pixel_views
 
         n = batch.num_rows
-        xs = batch.column(self.x_col).to_numpy()
-        ys = batch.column(self.y_col).to_numpy()
+        xs = batch.column(self.x_col).to_numpy().astype(np.float64)
+        ys = batch.column(self.y_col).to_numpy().astype(np.float64)
         gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
         views = batch_pixel_views(batch)  # zero-copy, dtype-aware
-        values = np.zeros(n, dtype=np.float64)
-        valid = np.zeros(n, dtype=bool)
-        for i in range(n):
+        # row-wise inverse affine, fully vectorized (one (n,6) invert,
+        # no per-row 1-element sample_points calls)
+        inv = invert_gt(gts)
+        px = np.floor(inv[:, 0] * xs + inv[:, 1] * ys + inv[:, 2]).astype(np.int64)
+        py = np.floor(inv[:, 3] * xs + inv[:, 4] * ys + inv[:, 5]).astype(np.int64)
+        ws = batch.column("w").to_numpy().astype(np.int64)
+        hs = batch.column("h").to_numpy().astype(np.int64)
+        valid = (px >= 0) & (px < ws) & (py >= 0) & (py < hs)
+        values = np.full(n, np.nan, dtype=np.float64)
+        for i in np.nonzero(valid)[0]:  # thin gather: one indexed load per hit
             img = views[i]
-            v, ok = sample_points(img if img.ndim == 2 else img[0], gts[i], xs[i : i + 1], ys[i : i + 1])
-            valid[i] = ok[0]
-            values[i] = float(v[0]) if ok[0] else np.nan
+            band0 = img if img.ndim == 2 else img[0]
+            values[i] = float(band0[py[i], px[i]])
         batch = batch.append_column("value", pa.array(values, pa.float64()))
         batch = batch.append_column("in_bounds", pa.array(valid, pa.bool_()))
         return batch
@@ -365,15 +382,13 @@ def interval_join(
         lo = batch.column(lo_col).to_numpy().astype(np.float64)
         hi = batch.column(hi_col).to_numpy().astype(np.float64)
         ids = batch.column(iv_key_col).to_numpy().astype(np.int64)
-        out_c, out_i = [], []
-        for i in range(len(lo)):
-            c0 = int(np.floor(lo[i] / cell_width))
-            c1 = int(np.floor(np.nextafter(hi[i], -np.inf) / cell_width))
-            cc = np.arange(c0, max(c1, c0) + 1, dtype=np.int64)
-            out_c.append(cc)
-            out_i.append(np.full(len(cc), i, np.int64))
-        cells = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
-        idx = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        # vectorized cell fan-out: concatenated aranges via the
+        # repeat-offset trick (no Python loop over intervals)
+        c0 = np.floor(lo / cell_width).astype(np.int64)
+        c1 = np.floor(np.nextafter(hi, -np.inf) / cell_width).astype(np.int64)
+        cnt = np.maximum(c1, c0) - c0 + 1
+        cells = np.repeat(c0, cnt) + _concat_ranges(cnt)
+        idx = np.repeat(np.arange(len(lo), dtype=np.int64), cnt)
         n = len(cells)
         return pa.table(
             {
@@ -398,17 +413,21 @@ def interval_join(
             return pd.DataFrame(
                 {point_key_col: pd.Series([], dtype=np.int64), iv_key_col: pd.Series([], dtype=np.int64)}
             )
+        # sort points once, then each interval [lo, hi) is a
+        # searchsorted slice — O((n+m) log n), no loop over intervals
         v = pts["v"].to_numpy()
         pid = pts["id"].to_numpy()
-        out_p, out_i = [], []
-        for iv in ivs.itertuples(index=False):
-            m = (v >= iv.lo) & (v < iv.hi)
-            out_p.append(pid[m])
-            out_i.append(np.full(int(m.sum()), iv.id, np.int64))
+        order = np.argsort(v, kind="mergesort")
+        vs = v[order]
+        pids = pid[order]
+        start = np.searchsorted(vs, ivs["lo"].to_numpy(), side="left")
+        end = np.searchsorted(vs, ivs["hi"].to_numpy(), side="left")
+        cnt = np.maximum(end - start, 0)
+        idx = np.repeat(start, cnt) + _concat_ranges(cnt)
         return pd.DataFrame(
             {
-                point_key_col: np.concatenate(out_p).astype(np.int64),
-                iv_key_col: np.concatenate(out_i),
+                point_key_col: pids[idx].astype(np.int64),
+                iv_key_col: np.repeat(ivs["id"].to_numpy(), cnt).astype(np.int64),
             }
         )
 
@@ -462,12 +481,27 @@ def hash_join(
     if kt is not None and (pa.types.is_integer(kt) or pa.types.is_floating(kt)):
         kt = pa.int64()
 
-    def _col(vals, t):
-        """Typed arrow column from a python list; object payloads
-        (np arrays from pandas round trips) coerce to lists for list
-        types; unknown types fall back to inference."""
+    def _col(series, t):
+        """Typed arrow column from a pandas series.  Non-object dtypes
+        convert zero-copy-ish through numpy; list types and object
+        payloads (np arrays from pandas round trips) go through the
+        python-list path; unknown types fall back to inference."""
         if t is not None and pa.types.is_list(t):
-            vals = [None if v is None else (v.tolist() if hasattr(v, "tolist") else list(v)) for v in vals]
+            vals = [
+                None if v is None else (v.tolist() if hasattr(v, "tolist") else list(v))
+                for v in series.tolist()
+            ]
+            try:
+                return pa.array(vals, type=t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                return pa.array(vals)
+        arr = series.to_numpy()
+        if arr.dtype != object:
+            try:
+                return pa.array(arr, type=t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                pass
+        vals = series.tolist()
         try:
             return pa.array(vals, type=t)
         except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
@@ -504,12 +538,12 @@ def hash_join(
         rg = g.loc[~lm, ["k"] + [f"r_{c}" for c in right_cols]]
 
         def emit(frame) -> pa.Table:
-            cols = {on: _col(frame["k"].tolist(), kt)}
+            cols = {on: _col(frame["k"], kt)}
             for c in left_cols:
-                cols[c] = _col(frame[f"l_{c}"].tolist(), lt.get(c))
+                cols[c] = _col(frame[f"l_{c}"], lt.get(c))
             if how == "inner":
                 for c in right_cols:
-                    cols[c] = _col(frame[f"r_{c}"].tolist(), rt.get(c))
+                    cols[c] = _col(frame[f"r_{c}"], rt.get(c))
             return pa.table(cols)
 
         if how in ("semi", "anti"):

@@ -83,6 +83,70 @@ class MinHashStage:
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()), "band_key": pa.array(out_keys, pa.int64())})
 
 
+_MD5MH_M = 2147483647  # 2^31 - 1: products stay < 2^62 (BIGINT-safe in SQL)
+_MD5MH_MIX = 2654435761  # Knuth multiplicative constant for the band key
+
+
+def md5_minhash_params(num_perm: int = 64, seed: int = 31415926):
+    """Deterministic permutation params shared by the engine stage and
+    the DuckDB oracle (embedded as a VALUES list)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MD5MH_M, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MD5MH_M, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+class MD5MinHashStage:
+    """Oracle-replayable MinHash bands: shingle hash = high 8 bytes of
+    md5 (the simhash precedent — DuckDB replays it verbatim as
+    CAST('0x' || substring(md5(s),1,16) AS UBIGINT)), permutations are
+    (a*h + b) mod 2^31-1 so both numpy and SQL stay in exact 64-bit
+    integer arithmetic.  Slower than MinHashStage's rolling hash —
+    use that for production pipelines; this one exists so the LSH
+    band construction itself is hash-checked against SQL."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 32, ngram: int = 5, seed: int = 31415926):
+        a, b = md5_minhash_params(num_perm, seed)
+        self.a = a.astype(np.uint64)
+        self.b = b.astype(np.uint64)
+        self.bands = bands
+        self.rows = num_perm // bands
+        assert self.rows == 2, "band key mix is defined for 2 rows per band"
+        self.ngram = ngram
+
+    def band_keys(self, text: str) -> np.ndarray:
+        import hashlib as _hashlib
+
+        t = " ".join(text.lower().split())
+        n = self.ngram
+        shingles = {t[i : i + n] for i in range(len(t) - n + 1)}
+        if not shingles:
+            return np.empty(0, np.int64)
+        hs = np.fromiter(
+            (int(_hashlib.md5(s.encode()).hexdigest()[:16], 16) % _MD5MH_M for s in shingles),
+            np.uint64,
+            len(shingles),
+        )
+        sigs = (self.a[:, None] * hs[None, :] + self.b[:, None]) % np.uint64(_MD5MH_M)
+        sig = sigs.min(axis=1)
+        key = (sig[0::2] * np.uint64(_MD5MH_MIX) + sig[1::2]) % np.uint64(1 << 31)
+        return (key + (np.arange(self.bands, dtype=np.uint64) << np.uint64(32))).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        out_ids: List[int] = []
+        out_keys: List[np.ndarray] = []
+        for i, t in enumerate(texts):
+            keys = self.band_keys(t)
+            out_ids.extend([int(ids[i])] * len(keys))
+            out_keys.append(keys)
+        keys_all = np.concatenate(out_keys) if out_keys else np.empty(0, np.int64)
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "band_key": pa.array(keys_all, pa.int64())}
+        )
+
+
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -132,11 +196,8 @@ def minhash_candidate_pairs(
       connected component survives for clustering while the emitted
       pair count is capped at B-1 per hot bucket.
     """
-    import pandas as pd
-
     if n_docs is None:
         n_docs = docs_ds.count()
-    n_buckets = max(32, (int(n_docs) * bands) // max(rows_per_bucket, 1))
 
     band_rows = docs_ds.map_batches(
         MinHashStage,
@@ -144,6 +205,26 @@ def minhash_candidate_pairs(
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
         concurrency=(1, 8),
     )
+    return band_pairs_from_rows(
+        band_rows, int(n_docs), bands, rows_per_bucket=rows_per_bucket, hot_cap=hot_cap
+    )
+
+
+def band_pairs_from_rows(
+    band_rows,
+    n_docs: int,
+    bands: int,
+    rows_per_bucket: int = 512,
+    hot_cap: int = 4096,
+):
+    """(doc_id, band_key) rows -> deduped candidate pairs (doc_a <
+    doc_b, n_bands).  Shared tail of every LSH family (minhash, md5
+    minhash, hyperplane): count-scaled bucket shuffle, vectorized
+    per-bucket pair generation, hot-bucket star-linking, bucketed
+    pair dedup."""
+    import pandas as pd
+
+    n_buckets = max(32, (int(n_docs) * bands) // max(rows_per_bucket, 1))
 
     # coarse-bucket band keys so the shuffle runs over a bounded group
     # count; pair generation inside each bucket iterates its actual
