@@ -227,6 +227,150 @@ def _aea_inverse(c: _AeaConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Lambert conformal conic, 2SP (Snyder 15-1..15-11), ellipsoidal
+# ---------------------------------------------------------------------------
+
+
+class _LccConsts:
+    __slots__ = ("a", "e", "n", "F", "rho0", "lon0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, lat1, lat2, x0, y0):
+        self.a = a
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi0, phi1, phi2 = (math.radians(v) for v in (lat0, lat1, lat2))
+
+        def _m(phi):
+            return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+        def _t(phi):
+            s = math.sin(phi)
+            es = self.e * s
+            return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+        m1, m2 = _m(phi1), _m(phi2)
+        t0, t1, t2 = _t(phi0), _t(phi1), _t(phi2)
+        if abs(phi1 - phi2) < 1e-12:
+            self.n = math.sin(phi1)
+        else:
+            self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1**self.n)
+        self.rho0 = a * self.F * t0**self.n
+
+    def t_arr(self, phi):
+        s = np.sin(phi)
+        es = self.e * s
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+
+def _lcc_forward(c: _LccConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    rho = c.a * c.F * c.t_arr(lat) ** c.n
+    theta = c.n * (lon - c.lon0)
+    return c.x0 + rho * np.sin(theta), c.y0 + c.rho0 - rho * np.cos(theta)
+
+
+def _lcc_inverse(c: _LccConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    dy = c.rho0 - y
+    rho = np.sign(c.n) * np.sqrt(x * x + dy * dy)
+    theta = np.arctan2(np.sign(c.n) * x, np.sign(c.n) * dy)
+    t = (rho / (c.a * c.F)) ** (1.0 / c.n)
+    lon = c.lon0 + theta / c.n
+    # Snyder 7-9 fixed point for phi from t
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        es = c.e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (c.e / 2))
+    return np.degrees(lon), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Lambert azimuthal equal-area, oblique (Snyder 24-2..24-10 / 3-11..3-18)
+# ---------------------------------------------------------------------------
+
+
+class _LaeaConsts:
+    __slots__ = ("a", "e", "e2", "qp", "Rq", "beta1", "sb1", "cb1", "D", "lon0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, x0, y0):
+        self.a = a
+        e2 = f * (2 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi1 = math.radians(lat0)
+
+        def _q(phi):
+            s = math.sin(phi)
+            if e2 == 0:
+                return 2 * s
+            return (1 - e2) * (
+                s / (1 - e2 * s * s) - (1 / (2 * self.e)) * math.log((1 - self.e * s) / (1 + self.e * s))
+            )
+
+        self.qp = _q(math.pi / 2)
+        self.Rq = a * math.sqrt(self.qp / 2)
+        self.beta1 = math.asin(min(1.0, max(-1.0, _q(phi1) / self.qp)))
+        self.sb1 = math.sin(self.beta1)
+        self.cb1 = math.cos(self.beta1)
+        m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+        self.D = (a * m1) / (self.Rq * self.cb1) if self.cb1 != 0 else 1.0
+
+    def q_arr(self, phi):
+        s = np.sin(phi)
+        if self.e2 == 0:
+            return 2 * s
+        return (1 - self.e2) * (
+            s / (1 - self.e2 * s * s) - (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+        )
+
+    def phi_from_q(self, q):
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        if self.e2 > 0:
+            for _ in range(8):
+                s = np.sin(phi)
+                one = 1 - self.e2 * s * s
+                phi = phi + (one**2 / (2 * np.cos(phi))) * (
+                    q / (1 - self.e2) - s / one + (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+                )
+        return phi
+
+
+def _laea_forward(c: _LaeaConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    beta = np.arcsin(np.clip(c.q_arr(lat) / c.qp, -1, 1))
+    dl = lon - c.lon0
+    denom = 1 + c.sb1 * np.sin(beta) + c.cb1 * np.cos(beta) * np.cos(dl)
+    B = c.Rq * np.sqrt(2.0 / denom)
+    x = c.x0 + B * c.D * np.cos(beta) * np.sin(dl)
+    y = c.y0 + (B / c.D) * (c.cb1 * np.sin(beta) - c.sb1 * np.cos(beta) * np.cos(dl))
+    return x, y
+
+
+def _laea_inverse(c: _LaeaConsts, x, y):
+    xp = (np.asarray(x, dtype=np.float64) - c.x0) / c.D
+    yp = (np.asarray(y, dtype=np.float64) - c.y0) * c.D
+    rho = np.sqrt(xp * xp + yp * yp)
+    ce = 2 * np.arcsin(np.clip(rho / (2 * c.Rq), -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q = c.qp * (np.cos(ce) * c.sb1 + yp * np.sin(ce) * c.cb1 / rho)
+        lon = c.lon0 + np.arctan2(
+            xp * np.sin(ce), rho * c.cb1 * np.cos(ce) - yp * c.sb1 * np.sin(ce)
+        )
+    # center point: rho == 0
+    q = np.where(rho == 0, c.qp * c.sb1, q)
+    lon = np.where(rho == 0, c.lon0, lon)
+    return np.degrees(lon), np.degrees(c.phi_from_q(q))
+
+
+# ---------------------------------------------------------------------------
 # CRS registry / dispatch
 # ---------------------------------------------------------------------------
 
@@ -284,10 +428,43 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _tm_forward(c, lon, lat),
             lambda x, y, c=consts: _tm_inverse(c, x, y),
         )
+    elif epsg in _EPSG_LCC:
+        a, rf = _ELLIPSOIDS["GRS80"]
+        consts = _LccConsts(a, 1.0 / rf, *_EPSG_LCC[epsg])
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _lcc_forward(c, lon, lat),
+            lambda x, y, c=consts: _lcc_inverse(c, x, y),
+        )
+    elif epsg in _EPSG_LAEA:
+        a, rf = _ELLIPSOIDS["GRS80"]
+        consts = _LaeaConsts(a, 1.0 / rf, *_EPSG_LAEA[epsg])
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _laea_forward(c, lon, lat),
+            lambda x, y, c=consts: _laea_inverse(c, x, y),
+        )
     else:
-        raise ValueError(f"unsupported EPSG:{epsg} (supported: 4326, 3857, UTM 326xx/327xx)")
+        raise ValueError(
+            f"unsupported EPSG:{epsg} (supported: 4326, 3857, UTM 326xx/327xx, "
+            f"LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)})"
+        )
     _CRS_CACHE[epsg] = crs
     return crs
+
+
+# (lat0, lon0, lat1, lat2, x0, y0) — GRS80 datum (ETRS89/RGF93 ~ WGS84)
+_EPSG_LCC = {
+    2154: (46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),  # RGF93 / Lambert-93
+    3034: (52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),  # ETRS89 / LCC Europe
+    3978: (49.0, -95.0, 49.0, 77.0, 0.0, 0.0),  # NAD83 / Canada Atlas Lambert
+}
+# (lat0, lon0, x0, y0)
+_EPSG_LAEA = {
+    3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89 / LAEA Europe
+}
 
 
 _P4_FLOAT = re.compile(r"\+([a-zA-Z_0-9]+)=([^\s]+)")
@@ -324,6 +501,46 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _aea_forward(c, lon, lat),
             lambda x, y, c=consts: _aea_inverse(c, x, y),
+        )
+    elif proj == "lcc":
+        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
+        if "a" in params:
+            a = float(params["a"])
+        f = 0.0 if rf == 0 else 1.0 / rf
+        consts = _LccConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("lat_1", 0)),
+            float(params.get("lat_2", params.get("lat_1", 0))),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _lcc_forward(c, lon, lat),
+            lambda x, y, c=consts: _lcc_inverse(c, x, y),
+        )
+    elif proj == "laea":
+        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
+        if "a" in params:
+            a = float(params["a"])
+        f = 0.0 if rf == 0 else 1.0 / rf
+        consts = _LaeaConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _laea_forward(c, lon, lat),
+            lambda x, y, c=consts: _laea_inverse(c, x, y),
         )
     elif proj == "merc":
         crs = CRS("projected", proj4, webmercator_forward, webmercator_inverse)

@@ -318,8 +318,49 @@ def _marker(code: int, payload: bytes) -> bytes:
     return struct.pack(">HH", code, len(payload) + 2) + payload
 
 
-def encode_j2k(img: np.ndarray, levels: int = 5, mct: Optional[bool] = None) -> bytes:
-    """Lossless J2K codestream for (h, w) or (bands, h, w) uint8/16."""
+def _quality_shifts(quality: float, levels: int) -> dict:
+    """quality (0..100] -> per-(res, band) quantization SHIFTS for the
+    lossy mode: the finest resolution's HH band drops the most bits,
+    coarser resolutions progressively fewer, LL none.  The mapping is
+    calibrated so quality=50 keeps PSNR comfortably above the 40 dB
+    input_hint gate on 8-bit imagery (HH synthesis gain of the 5/3 is
+    < 1, so s bits in HH cost well under s bits of output error)."""
+    shifts = {}
+    if quality >= 100:
+        return shifts
+    base = int(min(7, max(1, round((100.0 - float(quality)) / 15.0))))
+    for res in range(1, levels + 1):
+        s = max(0, base - (levels - res))  # res == levels is finest
+        shifts[(res, "HH")] = s
+        shifts[(res, "HL")] = max(0, s - 1)
+        shifts[(res, "LH")] = max(0, s - 1)
+    return shifts
+
+
+def _quantize_band(arr: np.ndarray, s: int) -> np.ndarray:
+    if s <= 0:
+        return arr
+    return np.sign(arr) * (np.abs(arr) >> s)
+
+
+def _dequantize_band(arr: np.ndarray, s: int) -> np.ndarray:
+    if s <= 0:
+        return arr
+    mag = np.abs(arr)
+    rec = (mag << s) + np.where(mag > 0, 1 << (s - 1), 0)  # midpoint
+    return np.sign(arr) * rec
+
+
+def encode_j2k(
+    img: np.ndarray, levels: int = 5, mct: Optional[bool] = None, quality: float = 100
+) -> bytes:
+    """J2K codestream for (h, w) or (bands, h, w) uint8/16.
+
+    quality=100 (default) is the lossless 5/3 reversible path;
+    quality<100 scalar-quantizes detail subbands by power-of-two steps
+    (shift recorded in the low 3 bits of each QCD eps byte — the
+    reversible path writes 0 there, so lossless streams are
+    unchanged).  The reference's JP2OpenJPEG(quality=50) maps here."""
     if img.ndim == 2:
         img = img[None]
     ncomp, h, w = img.shape
@@ -335,8 +376,20 @@ def encode_j2k(img: np.ndarray, levels: int = 5, mct: Optional[bool] = None) -> 
         v = r - g
         planes = np.stack([yy, u, v])
 
-    # wavelet per component
-    comps = [dwt53.forward(planes[c], levels) for c in range(ncomp)]
+    # wavelet per component (+ optional lossy subband quantization)
+    shifts = _quality_shifts(quality, levels)
+    comps = []
+    for c in range(ncomp):
+        ll, bands = dwt53.forward(planes[c], levels)
+        if shifts:
+            bands = [
+                tuple(
+                    _quantize_band(b_, shifts.get((levels - i, nm), 0))
+                    for nm, b_ in zip(("HL", "LH", "HH"), lvl)
+                )
+                for i, lvl in enumerate(bands)
+            ]
+        comps.append((ll, bands))
 
     (llh, llw), band_shapes = _band_shapes(h, w, levels)
 
@@ -369,11 +422,14 @@ def encode_j2k(img: np.ndarray, levels: int = 5, mct: Optional[bool] = None) -> 
                 _encode_band_packet_part(bw, shape, results, band_mbs[(res, name)], body)
             packets.append(bw.flush() + bytes(body))
 
-    # QCD eps per band: LL then per-res HL, LH, HH
-    eps_list = [max(band_mbs[(0, "LL")] + 1 - GUARD, 0)]
+    # QCD eps per band: LL then per-res HL, LH, HH; the low 3 bits of
+    # each eps byte carry the lossy quantization shift (0 = lossless)
+    eps_list = [(max(band_mbs[(0, "LL")] + 1 - GUARD, 0), 0)]
     for res in range(1, levels + 1):
         for name in ("HL", "LH", "HH"):
-            eps_list.append(max(band_mbs[(res, name)] + 1 - GUARD, 0))
+            eps_list.append(
+                (max(band_mbs[(res, name)] + 1 - GUARD, 0), shifts.get((res, name), 0))
+            )
 
     # markers
     siz = struct.pack(
@@ -393,7 +449,7 @@ def encode_j2k(img: np.ndarray, levels: int = 5, mct: Optional[bool] = None) -> 
         0,  # (pad? no) -- see note below
     )[:-1]
     # struct above packs one extra byte; slice keeps the 9 real bytes
-    qcd = bytes([(GUARD << 5) | 0]) + bytes((e << 3) & 0xFF for e in eps_list)
+    qcd = bytes([(GUARD << 5) | 0]) + bytes(((e << 3) & 0xFF) | (s & 0x7) for e, s in eps_list)
 
     tile_body = b"".join(packets)
     sot = struct.pack(">HIBB", 0, 12 + len(tile_body) + 2, 0, 1)
@@ -428,6 +484,7 @@ def _decode_j2k_inner(data: bytes) -> np.ndarray:
     w = h = ncomp = depth = levels = 0
     mct = 0
     eps_list: List[int] = []
+    shift_list: List[int] = []
     tile_body = b""
     while pos < len(data):
         code = struct.unpack(">H", data[pos : pos + 2])[0]
@@ -448,6 +505,7 @@ def _decode_j2k_inner(data: bytes) -> np.ndarray:
             levels = payload[5]
         elif code == 0xFF5C:  # QCD
             eps_list = [b >> 3 for b in payload[1:]]
+            shift_list = [b & 0x7 for b in payload[1:]]  # lossy shifts (0 = lossless)
         pos += 2 + ln
     dtype = np.uint8 if depth <= 8 else np.uint16
 
@@ -494,6 +552,18 @@ def _decode_j2k_inner(data: bytes) -> np.ndarray:
                 bpos += ln
         bi += 1 if res == 0 else 3
 
+    if any(shift_list):
+        # dequantize lossy subbands (QCD order: LL, then per-res HL/LH/HH;
+        # bands[lvl_idx] holds res = levels - lvl_idx)
+        for ll, bands in comps_bands:
+            si = 1
+            for res in range(1, levels + 1):
+                lvl_idx = levels - res
+                bands[lvl_idx] = tuple(
+                    _dequantize_band(b_, shift_list[si + k] if si + k < len(shift_list) else 0)
+                    for k, b_ in enumerate(bands[lvl_idx])
+                )
+                si += 3
     planes = np.stack(
         [dwt53.inverse(ll, [tuple(b) for b in bands]) for ll, bands in comps_bands]
     )
@@ -514,13 +584,15 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload) + 8) + btype + payload
 
 
-def encode_jp2(img: np.ndarray, levels: int = 5) -> bytes:
-    """Full JP2 file: signature + ftyp + jp2h(ihdr, colr) + jp2c."""
+def encode_jp2(img: np.ndarray, levels: int = 5, quality: float = 100) -> bytes:
+    """Full JP2 file: signature + ftyp + jp2h(ihdr, colr) + jp2c.
+    quality < 100 selects the lossy quantized-subband path (reference
+    JP2OpenJPEG(quality=...), options.py:124-130, readme.md:46)."""
     if img.ndim == 2:
         img = img[None]
     ncomp, h, w = img.shape
     depth = 8 if img.dtype == np.uint8 else 16
-    codestream = encode_j2k(img, levels=levels)
+    codestream = encode_j2k(img, levels=levels, quality=quality)
     sig = _box(b"jP  ", b"\x0d\x0a\x87\x0a")
     ftyp = _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
     ihdr = _box(b"ihdr", struct.pack(">IIHBBBB", h, w, ncomp, depth - 1, 7, 0, 0))

@@ -141,14 +141,16 @@ def codec_args(options: DriverOptions) -> dict:
     if isinstance(options, RAW):
         return {"fmt": "raw"}
     if isinstance(options, JP2OpenJPEG):
-        # from-scratch lossless JPEG 2000 (kernels/jp2): 5/3
-        # reversible DWT + EBCOT + MQ.  `resolutions` maps to DWT
-        # levels; rate control (quality < 100) is not implemented —
-        # the reference's lossless path (quality=100 / REVERSIBLE)
-        # is, which is what its own tests round-trip.
+        # from-scratch JPEG 2000 (kernels/jp2): 5/3 DWT + EBCOT + MQ.
+        # `resolutions` maps to DWT levels; quality < 100 selects the
+        # lossy quantized-subband path (quality=50 keeps PSNR >= 40 dB,
+        # the input_hint fidelity gate; reference readme.md:46 /
+        # options.py:124-130), quality >= 100 is lossless/REVERSIBLE.
         kw = {"fmt": "jp2"}
         if options.resolutions is not None:
             kw["levels"] = max(int(options.resolutions) - 1, 0)
+        if options.quality is not None and float(options.quality) < 100:
+            kw["quality"] = float(options.quality)
         return kw
     if isinstance(options, ECW):
         raise NotImplementedError(

@@ -2386,6 +2386,56 @@ def q_recode_stats_jp2(sf_dir: str, n_tiles: int = 24):
     return ds.map_batches(jp2_roundtrip_stats, batch_format="pyarrow", batch_size=8, num_cpus=1)
 
 
+def q_recode_stats_jp2_lossy(sf_dir: str, n_tiles: int = 24, quality: float = 50, min_db: float = 40.0):
+    """Lossy JPEG 2000 rate control under the PSNR gate: decode ->
+    JP2 encode at quality=50 (quantized-subband path, the reference's
+    JP2OpenJPEG(quality=50) readme example, options.py:124-130) ->
+    decode -> per-image PSNR vs the original must clear the 40 dB
+    input_hint bound AND the lossy stream must be strictly smaller
+    than the lossless one (rate control actually engaged).  The
+    oracle emits one all-true row per image."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.jp2.codestream import decode_jp2, encode_jp2
+    from gdal_boots_ray.kernels.png import psnr
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    import pyarrow.compute as _pc
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"], filter=_pc.field("p_partkey") < n_tiles
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_images_batch(batch.column("p_partkey").to_numpy())
+
+    ds = ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    def lossy_gate(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        ok_psnr, ok_rate = [], []
+        for i in range(len(ids)):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            img = np.ascontiguousarray(img)
+            lossy = encode_jp2(img, quality=quality)
+            back = decode_jp2(lossy)
+            db = psnr(img.reshape(back.shape), back)
+            ok_psnr.append(bool(db >= min_db))
+            ok_rate.append(len(lossy) < len(encode_jp2(img)))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "psnr_ok": pa.array(ok_psnr, pa.bool_()),
+                "rate_ok": pa.array(ok_rate, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(lossy_gate, batch_format="pyarrow", batch_size=8, num_cpus=1)
+
+
 def q_psnr_fidelity(sf_dir: str, quantize_bits: int = 5, min_db: float = 40.0):
     """The BASELINE.json input_hint per-row invariant as a checked
     query: decode -> 5-bit lossy quantize -> PNG re-encode -> decode
@@ -2999,6 +3049,11 @@ ORACLE_SQL: Dict[str, str] = {
         WITH {TILE_SQL_CTE}
         SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS caption_ok
         FROM tiles
+    """,
+    "recode_stats_jp2_lossy": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS rate_ok
+        FROM tiles WHERE k < 24
     """,
     "vector_reproject": f"""
         WITH {POLY_SQL_CTE}
@@ -3685,6 +3740,7 @@ QUERIES = {
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
     "recode_stats_jp2": q_recode_stats_jp2,
+    "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,

@@ -442,24 +442,53 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 31
 
 
 def knn_ivf(embeddings_ds, queries: np.ndarray, k: int, n_centroids: int = 16, nprobe: int = 4,
-            query_ids: Optional[np.ndarray] = None, sample_size: int = 2048):
-    """Approximate cosine top-k: train coarse centroids on a driver-side
-    sample (small, deterministic), build per-batch inverted lists, and
-    search only the ``nprobe`` nearest lists per query.
+            query_ids: Optional[np.ndarray] = None, sample_size: int = 2048,
+            distributed_train_threshold: int = 100_000):
+    """Approximate cosine top-k: train a coarse quantizer, build
+    per-batch inverted lists, and search only the ``nprobe`` nearest
+    lists per query.
+
+    Quantizer training is size-dispatched: corpora up to
+    ``distributed_train_threshold`` rows fit a driver-side sample
+    (deterministic ``limit(sample_size)``); beyond it the coarse
+    centroids come from stages/kmeans.kmeans — fully distributed
+    Lloyd over the NORMALIZED vectors (the table is read per
+    iteration, vectors never shuffle, only kB-sized per-cluster
+    partials move) with the same md5-rank deterministic seeding.
 
     Partitioning assumption: centroid assignment is sharded per batch
     (no global shuffle); the final merge reduces per-batch candidates,
     so recall depends on nprobe/n_centroids, not on partitioning.
-    When the corpus outgrows a representative driver sample, train the
-    coarse quantizer with stages/kmeans.kmeans (fully distributed
-    Lloyd, same determinism) and pass its centroids here.
     """
     import pandas as pd
 
-    sample = embeddings_ds.limit(sample_size).to_pandas()
-    smat = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
-    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
-    centroids = _kmeans(smat, n_centroids)
+    n_corpus = embeddings_ds.count()
+    if n_corpus > distributed_train_threshold:
+        from gdal_boots_ray.stages.kmeans import kmeans as dist_kmeans
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            mat = (
+                batch.column("embedding").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(len(batch), -1).astype(np.float64)
+            )
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            d = mat.shape[1]
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id").cast(pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.ravel(), pa.float64()), d
+                    ),
+                }
+            )
+
+        normed = embeddings_ds.map_batches(normalize, batch_format="pyarrow")
+        centroids, _ = dist_kmeans(normed, "vec_id", "embedding", n_centroids)
+    else:
+        sample = embeddings_ds.limit(sample_size).to_pandas()
+        smat = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+        smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+        centroids = _kmeans(smat, n_centroids)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
     q = np.asarray(queries, dtype=np.float64)

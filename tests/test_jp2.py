@@ -146,11 +146,30 @@ def test_jp2_via_codec_registry_and_options():
 
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, (3, 32, 32)).astype(np.uint8)
-    kw = codec_args(JP2OpenJPEG(resolutions=4))
-    assert kw["fmt"] == "jp2" and kw["levels"] == 3
+    # quality >= 100 = REVERSIBLE: bit-exact round trip
+    kw = codec_args(JP2OpenJPEG(resolutions=4, quality=100))
+    assert kw["fmt"] == "jp2" and kw["levels"] == 3 and "quality" not in kw
     data = encode_image(img, **kw)
     assert data[:4] == b"\x00\x00\x00\x0c"  # JP2 signature box length
     assert (decode_image(data, "jp2") == img).all()
+
+    # the reference's default (quality=25) is LOSSY: rate control must
+    # engage (smaller stream) and the reconstruction must stay close
+    kw_lossy = codec_args(JP2OpenJPEG(resolutions=4))
+    assert kw_lossy["quality"] == 25
+    lossy = encode_image(img, **kw_lossy)
+    assert len(lossy) < len(data)
+    from gdal_boots_ray.kernels.png import psnr
+
+    assert psnr(img, decode_image(lossy, "jp2")) > 30  # random noise, q=25
+
+    # quality=50 (the readme example) clears the 40 dB input_hint gate
+    # on representative (non-pure-noise) content
+    x, y = np.meshgrid(np.arange(64), np.arange(64))
+    smooth = ((np.sin(x / 9) + np.cos(y / 13)) * 60 + 128).astype(np.uint8)[None]
+    q50 = encode_image(smooth, **codec_args(JP2OpenJPEG(quality=50)))
+    assert psnr(smooth, decode_image(q50, "jp2")) >= 40.0
+    assert len(q50) < len(encode_image(smooth, **codec_args(JP2OpenJPEG(quality=100))))
 
 
 def test_decode_stage_mixed_formats_including_jp2(ray_session):

@@ -136,8 +136,90 @@ def test_proj4_aea_roundtrip():
 
 
 def test_unsupported_epsg():
+    # 27700 (OSGB) needs a datum shift the WGS84-pivot engine refuses
     with pytest.raises(ValueError):
-        resolve_crs(2154)
+        resolve_crs(27700)
+
+
+class TestLccLaea:
+    """Structural goldens for the LCC/LAEA registry entries: exact
+    center mapping, conformal unit scale on the standard parallels
+    (LCC), unit-area Jacobian everywhere (LAEA), tight roundtrips."""
+
+    def test_lcc_center_exact(self):
+        # projection center maps to the false origin by construction
+        x, y = transform_points(4326, 2154, np.array([3.0]), np.array([46.5]))
+        assert abs(x[0] - 700000.0) < 1e-6 and abs(y[0] - 6600000.0) < 1e-6
+        x, y = transform_points(4326, 3034, np.array([10.0]), np.array([52.0]))
+        assert abs(x[0] - 4000000.0) < 1e-6 and abs(y[0] - 2800000.0) < 1e-6
+
+    def test_lcc_unit_scale_on_standard_parallels(self):
+        # conformal 2SP: point scale is exactly 1 on lat_1 and lat_2
+        from gdal_boots_ray.kernels.crs import resolve_crs
+
+        crs = resolve_crs(2154)
+        for lat in (49.0, 44.0):
+            lon = np.array([1.0, 3.0, 6.2])
+            la = np.full_like(lon, lat)
+            d = 1e-6  # degrees along the parallel
+            x0, y0 = crs.from_lonlat(lon, la)
+            x1, y1 = crs.from_lonlat(lon + d, la)
+            ground = np.radians(d) * np.cos(np.radians(lat)) * 6378137.0 / np.sqrt(
+                1 - 0.0066943800229 * np.sin(np.radians(lat)) ** 2
+            )
+            k = np.hypot(x1 - x0, y1 - y0) / ground
+            assert np.allclose(k, 1.0, atol=5e-7), (lat, k)
+
+    def test_lcc_roundtrip(self):
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-4.5, 9.5, 200)
+        lat = rng.uniform(41.0, 51.0, 200)
+        x, y = transform_points(4326, 2154, lon, lat)
+        lon2, lat2 = transform_points(2154, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+
+    def test_laea_center_exact_and_roundtrip(self):
+        x, y = transform_points(4326, 3035, np.array([10.0]), np.array([52.0]))
+        assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+        rng = np.random.default_rng(4)
+        lon = rng.uniform(-10.0, 30.0, 200)
+        lat = rng.uniform(35.0, 70.0, 200)
+        x, y = transform_points(4326, 3035, lon, lat)
+        lon2, lat2 = transform_points(3035, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+
+    def test_laea_equal_area_jacobian(self):
+        # the defining property: the forward Jacobian determinant equals
+        # the ellipsoidal area element everywhere (distortion == 1)
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F, resolve_crs
+
+        crs = resolve_crs(3035)
+        e2 = WGS84_F * (2 - WGS84_F)  # GRS80 f differs in the 12th digit; fine at 1e-6
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-8.0, 28.0, 64)
+        lat = rng.uniform(38.0, 68.0, 64)
+        d = 1e-6
+        x0, y0 = crs.from_lonlat(lon, lat)
+        xl, yl = crs.from_lonlat(lon + d, lat)
+        xp, yp = crs.from_lonlat(lon, lat + d)
+        det = np.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+        s2 = np.sin(np.radians(lat)) ** 2
+        # ellipsoidal area of the d x d patch (Snyder 3-? area element)
+        m = WGS84_A * (1 - e2) / (1 - e2 * s2) ** 1.5  # meridional radius
+        n = WGS84_A / np.sqrt(1 - e2 * s2)  # prime vertical radius
+        truth = np.radians(d) ** 2 * m * n * np.cos(np.radians(lat))
+        assert np.allclose(det / truth, 1.0, atol=1e-4)
+
+    def test_proj4_lcc_laea_roundtrip(self):
+        for p4 in (
+            "+proj=lcc +lat_0=40 +lon_0=-96 +lat_1=33 +lat_2=45 +x_0=0 +y_0=0 +ellps=WGS84",
+            "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=sphere",
+        ):
+            lon = np.array([-104.0, -96.0, -89.5])
+            lat = np.array([35.0, 40.0, 44.2])
+            x, y = transform_points(4326, p4, lon, lat)
+            lon2, lat2 = transform_points(p4, 4326, x, y)
+            assert np.allclose(lon, lon2, atol=1e-8) and np.allclose(lat, lat2, atol=1e-8)
 
 
 def test_gt_vector_ops():

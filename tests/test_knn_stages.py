@@ -74,6 +74,16 @@ def test_knn_ivf_recall(ray_session):
     assert top["vec_id"].tolist() == [0, 1]
     assert (out.groupby("q_id").size() == 5).all()
 
+    # the distributed-kmeans training path (forced via threshold=0)
+    # must uphold the same invariants on the same clustered corpus
+    out2 = knn_ivf(
+        ds, mat[:2], k=5, n_centroids=4, nprobe=2, query_ids=np.arange(2),
+        distributed_train_threshold=0,
+    )
+    top2 = out2.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top2["vec_id"].tolist() == [0, 1]
+    assert (out2.groupby("q_id").size() == 5).all()
+
 
 def test_kmeans_distributed(ray_session):
     """Distributed Lloyd == single-node Lloyd from the same seeds
