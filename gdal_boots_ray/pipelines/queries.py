@@ -2436,6 +2436,103 @@ def q_recode_stats_jp2_lossy(sf_dir: str, n_tiles: int = 24, quality: float = 50
     return ds.map_batches(lossy_gate, batch_format="pyarrow", batch_size=8, num_cpus=1)
 
 
+def q_audio_rms(sf_dir: str, n_media: int = 200):
+    """REAL audio decode in the gate: per customer key, synthesize a
+    float32 RIFF/WAVE square wave of amplitude (k%31+1)/64 and
+    duration 1+(k%3) s, run it through the AudioFeatures actor stage
+    (the real kernels/media.py WAV parser — not the fake), and emit
+    per-window RMS.  A square wave's RMS equals its amplitude exactly,
+    so the DuckDB twin is closed-form over the key grid."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.multimodal import AudioFeatures
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def synth_wav(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.media import wav_encode
+
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        keys = keys[keys < n_media]
+        ids, blobs, srs = [], [], []
+        for k in keys:
+            amp = ((int(k) % 31) + 1) / 64.0
+            dur = 1 + int(k) % 3
+            n = 8000 * dur
+            sig = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(np.float32)
+            ids.append(f"aud-{int(k):08d}")
+            blobs.append(wav_encode(sig, 8000, bits=32))
+            srs.append(8000)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["wav"] * len(ids), pa.string()),
+                "sample_rate": pa.array(srs, pa.int32()),
+            }
+        )
+
+    ds = cust.map_batches(synth_wav, batch_format="pyarrow")
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def q_video_frames(sf_dir: str, n_media: int = 100):
+    """REAL video decode in the gate: per customer key, synthesize a
+    2 s / 4 fps mono Y4M stream whose frame f is the constant value
+    (7k + 13f) % 256, sample one frame every 0.5 s through the
+    VideoFrameSampler actor stage (the real kernels/media.py
+    YUV4MPEG2 parser), and emit each sampled frame's mean pixel value
+    — closed-form for the DuckDB twin."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+    from gdal_boots_ray.stages.multimodal import VideoFrameSampler
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def synth_y4m(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.media import y4m_encode
+
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        keys = keys[keys < n_media]
+        ids, blobs = [], []
+        for k in keys:
+            frames = [np.full((8, 8), (7 * int(k) + 13 * f) % 256, np.uint8) for f in range(8)]
+            ids.append(f"vid-{int(k):08d}")
+            blobs.append(y4m_encode(frames, fps=4.0))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["y4m"] * len(ids), pa.string()),
+                "duration_s": pa.array([2.0] * len(ids), pa.float64()),
+                "fps": pa.array([4.0] * len(ids), pa.float64()),
+            }
+        )
+
+    sampled = cust.map_batches(synth_y4m, batch_format="pyarrow").map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"every_s": 0.5},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def frame_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        means = np.array([float(v.mean()) for v in views], np.float64)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx").cast(pa.int64()),
+                "t_s": batch.column("t_s").cast(pa.float64()),
+                "mean_v": pa.array(np.round(means, 6), pa.float64()),
+            }
+        )
+
+    return sampled.map_batches(frame_stats, batch_format="pyarrow")
+
+
 def q_psnr_fidelity(sf_dir: str, quantize_bits: int = 5, min_db: float = 40.0):
     """The BASELINE.json input_hint per-row invariant as a checked
     query: decode -> 5-bit lossy quantize -> PNG re-encode -> decode
@@ -3054,6 +3151,19 @@ ORACLE_SQL: Dict[str, str] = {
         WITH {TILE_SQL_CTE}
         SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS rate_ok
         FROM tiles WHERE k < 24
+    """,
+    "audio_rms": """
+        SELECT printf('aud-%08d', k) AS media_id, CAST(wi.w AS BIGINT) AS win,
+               round(((k % 31) + 1) / 64.0, 6) AS rms
+        FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 200) keys,
+             LATERAL (SELECT unnest(generate_series(0, CAST(k % 3 AS INT))) AS w) wi
+    """,
+    "video_frames": """
+        SELECT printf('vid-%08d', k) AS media_id, CAST(j AS BIGINT) AS frame_idx,
+               j * 0.5 AS t_s,
+               round(CAST((7 * k + 26 * j) % 256 AS DOUBLE), 6) AS mean_v
+        FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 100) keys,
+             LATERAL (SELECT unnest(generate_series(0, 3)) AS j) s
     """,
     "vector_reproject": f"""
         WITH {POLY_SQL_CTE}
@@ -3741,6 +3851,8 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "recode_stats_jp2": q_recode_stats_jp2,
     "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
+    "audio_rms": q_audio_rms,
+    "video_frames": q_video_frames,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,

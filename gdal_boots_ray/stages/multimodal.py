@@ -86,11 +86,13 @@ def make_resize_images(out_px: int, resampling: str = "average"):
 
 
 class VideoFrameSampler:
-    """STUB decode seam with real plumbing: rows carry
-    (media_id, bytes, fmt, duration_s, fps); output is one row per
-    sampled frame (media_id, frame_idx, t_s, pixels, w, h, bands).
+    """Frame-sampling stage: rows carry (media_id, bytes, fmt,
+    duration_s, fps); output is one row per sampled frame (media_id,
+    frame_idx, t_s, pixels, w, h, bands).
 
-    The container has no video codecs — ``decode_frames`` raises
+    ``fmt == 'y4m'`` (YUV4MPEG2, the uncompressed interchange format)
+    decodes for REAL via kernels/media.py — no external codec.
+    Compressed containers (mp4/webm/...) remain a documented seam:
     NotImplementedError unless ``fake_decoder`` synthesizes
     deterministic frames (used by the plumbing tests)."""
 
@@ -100,10 +102,16 @@ class VideoFrameSampler:
         self.frame_px = frame_px
 
     def decode_frames(self, data, fmt: str, times: np.ndarray, media_id: str):
+        if fmt == "y4m":
+            from gdal_boots_ray.kernels.media import y4m_info, y4m_decode_frames
+
+            info = y4m_info(bytes(data))
+            idx = np.minimum((times * info["fps"]).astype(np.int64), info["n_frames"] - 1)
+            return y4m_decode_frames(bytes(data), idx)
         if not self.fake_decoder:
             raise NotImplementedError(
-                "video decoding requires an external codec (e.g. PyAV); "
-                "this environment ships none — plumbing is real, decoder is a seam"
+                "compressed video needs an external codec (e.g. PyAV); this "
+                "environment ships none — y4m decodes for real, the rest is a seam"
             )
         rng = np.random.default_rng(abs(hash(media_id)) % (2**32))
         return [rng.integers(0, 255, (3, self.frame_px, self.frame_px)).astype(np.uint8) for _ in times]
@@ -137,18 +145,28 @@ class VideoFrameSampler:
 
 
 class AudioFeatures:
-    """STUB decode seam with real plumbing: (media_id, bytes, fmt,
-    sample_rate) -> per-window RMS energy rows.  ``decode_samples`` is
-    the codec seam (NotImplementedError / deterministic fake)."""
+    """Audio feature stage: (media_id, bytes, fmt, sample_rate) ->
+    per-window RMS energy rows.
+
+    ``fmt == 'wav'`` (RIFF PCM u8/s16/s24/s32 + float32) decodes for
+    REAL via kernels/media.py — no external codec.  Compressed audio
+    (mp3/ogg/flac) remains a documented seam (NotImplementedError /
+    deterministic fake for plumbing tests)."""
 
     def __init__(self, window_s: float = 1.0, fake_decoder: bool = False):
         self.window_s = window_s
         self.fake_decoder = fake_decoder
 
     def decode_samples(self, data, fmt: str, media_id: str, sr: int) -> np.ndarray:
+        if fmt == "wav":
+            from gdal_boots_ray.kernels.media import wav_decode
+
+            samples, _rate = wav_decode(bytes(data))
+            return samples if samples.ndim == 1 else samples.mean(axis=0)  # downmix
         if not self.fake_decoder:
             raise NotImplementedError(
-                "audio decoding requires an external codec (e.g. soundfile); decoder seam only"
+                "compressed audio needs an external codec (e.g. soundfile); "
+                "wav decodes for real, the rest is a seam"
             )
         rng = np.random.default_rng(abs(hash(media_id)) % (2**32))
         return rng.normal(size=sr * 3).astype(np.float32)
