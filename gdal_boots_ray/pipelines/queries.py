@@ -1365,7 +1365,7 @@ def q_lang_id_pred(sf_dir: str):
     return docs.map_batches(pred, batch_format="pyarrow")
 
 
-def q_minhash_pairs(sf_dir: str):
+def q_minhash_pairs(sf_dir: str, doc_cap: int = 1500):
     """ORACLE-CHECKED MinHash-LSH band construction: md5-based shingle
     hash + mod-(2^31-1) permutations (exact 64-bit integer arithmetic
     on both sides), 32 bands x 2 rows, pairs = docs sharing >= 1 band
@@ -1375,14 +1375,21 @@ def q_minhash_pairs(sf_dir: str):
     (the production rolling-hash MinHash is exercised by
     minhash_neardup whose oracle is the exact quadratic Jaccard).
     hot_cap is effectively off so star-linking (a physical-plan skew
-    control, not SQL-expressible) can't perturb the set."""
+    control, not SQL-expressible) can't perturb the set; doc_id <
+    ``doc_cap`` bounds the quadratic twin (and this construction
+    check) at larger SFs — the full-corpus production path is
+    minhash_neardup / corpus_clean."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from gdal_boots_ray.stages.textstages import MD5MinHashStage, band_pairs_from_rows
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = min(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows, doc_cap)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < doc_cap,
+    )
     band_rows = docs.map_batches(
         MD5MinHashStage,
         batch_format="pyarrow",
@@ -2933,7 +2940,7 @@ def _md5_minhash_sql_cte() -> str:
     return rf"""
         norm AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-            FROM documents
+            FROM documents WHERE doc_id < 1500
         ),
         shg AS (
             SELECT DISTINCT doc_id, substring(t, i.i, 5) AS s
@@ -3454,6 +3461,7 @@ ORACLE_SQL: Dict[str, str] = {
         WITH {_md5_minhash_sql_cte()}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
         FROM bkeys a JOIN bkeys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 1500 AND b.doc_id < 1500
         GROUP BY 1, 2
     """,
     "minhash_neardup": """

@@ -113,20 +113,33 @@ class MD5MinHashStage:
         self.rows = num_perm // bands
         assert self.rows == 2, "band key mix is defined for 2 rows per band"
         self.ngram = ngram
+        # per-ACTOR shingle->hash cache: natural-language 5-grams
+        # repeat massively across documents, so md5 cost amortizes to
+        # near zero after warmup (bounded; stage is in an actor pool)
+        self._cache: dict = {}
 
-    def band_keys(self, text: str) -> np.ndarray:
+    def _shingle_hashes(self, text: str) -> np.ndarray:
         import hashlib as _hashlib
 
         t = " ".join(text.lower().split())
         n = self.ngram
         shingles = {t[i : i + n] for i in range(len(t) - n + 1)}
-        if not shingles:
+        hs = np.empty(len(shingles), np.uint64)
+        cache = self._cache
+        bounded = len(cache) < 4_000_000
+        for j, s in enumerate(shingles):
+            v = cache.get(s)
+            if v is None:
+                v = int(_hashlib.md5(s.encode()).hexdigest()[:16], 16) % _MD5MH_M
+                if bounded:
+                    cache[s] = v
+            hs[j] = v
+        return hs
+
+    def band_keys(self, text: str) -> np.ndarray:
+        hs = self._shingle_hashes(text)
+        if not len(hs):
             return np.empty(0, np.int64)
-        hs = np.fromiter(
-            (int(_hashlib.md5(s.encode()).hexdigest()[:16], 16) % _MD5MH_M for s in shingles),
-            np.uint64,
-            len(shingles),
-        )
         sigs = (self.a[:, None] * hs[None, :] + self.b[:, None]) % np.uint64(_MD5MH_M)
         sig = sigs.min(axis=1)
         key = (sig[0::2] * np.uint64(_MD5MH_MIX) + sig[1::2]) % np.uint64(1 << 31)
@@ -135,15 +148,27 @@ class MD5MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy()
-        out_ids: List[int] = []
-        out_keys: List[np.ndarray] = []
-        for i, t in enumerate(texts):
-            keys = self.band_keys(t)
-            out_ids.extend([int(ids[i])] * len(keys))
-            out_keys.append(keys)
-        keys_all = np.concatenate(out_keys) if out_keys else np.empty(0, np.int64)
+        # batch-vectorized signatures: one (perms x total-shingles)
+        # modmul + segmented min (reduceat) instead of per-doc matmuls
+        per_doc = [self._shingle_hashes(t) for t in texts]
+        keep = [i for i, h in enumerate(per_doc) if len(h)]
+        if not keep:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "band_key": pa.array([], pa.int64())}
+            )
+        hs = np.concatenate([per_doc[i] for i in keep])
+        counts = np.array([len(per_doc[i]) for i in keep], np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        vals = (self.a[:, None] * hs[None, :] + self.b[:, None]) % np.uint64(_MD5MH_M)
+        sig = np.minimum.reduceat(vals, starts, axis=1)  # (perms, ndocs)
+        key = (sig[0::2] * np.uint64(_MD5MH_MIX) + sig[1::2]) % np.uint64(1 << 31)
+        key = key + (np.arange(self.bands, dtype=np.uint64) << np.uint64(32))[:, None]
+        doc_ids = np.repeat(ids[keep].astype(np.int64), self.bands)
         return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()), "band_key": pa.array(keys_all, pa.int64())}
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_key": pa.array(key.T.ravel().astype(np.int64), pa.int64()),
+            }
         )
 
 
@@ -165,12 +190,30 @@ class FingerprintStage:
 
 
 def exact_dedup(docs_ds):
-    """Exact dedup: hash -> groupby(h) -> keep min doc_id.
-    Column names match the SQL oracle: h, keep_id, n_dups."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup: hash -> bucketed min/count per hash -> keep min
+    doc_id.  Column names match the SQL oracle: h, keep_id, n_dups.
+
+    Uses the partial-per-batch + bucketed-final combine: a bare
+    ``groupby(h)`` sort-reduces one group per DISTINCT TEXT — at 10^9
+    documents that is ~10^9 tiny groups, the per-group overhead trap
+    the agg layer exists to avoid."""
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
 
     hashed = docs_ds.map_batches(HashDocuments, batch_format="pyarrow", concurrency=(1, 4))
-    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": batch.column("h"),
+                "keep_id": batch.column("doc_id").cast(pa.int64()),
+            }
+        )
+
+    return bucketed_aggregate(
+        hashed.map_batches(rename, batch_format="pyarrow"),
+        ["h"],
+        {"keep_id": "min", "n_dups": "count"},
+    )
 
 
 def minhash_candidate_pairs(
