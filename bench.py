@@ -100,9 +100,16 @@ def run_bench() -> dict:
     )
     from gdal_boots_ray.state.metrics import run_with_report
 
+    # scaling subprocesses must not clobber the committed headline
+    # report (their config is 16-cpu/131k-row, not the headline)
+    report_path = (
+        "/tmp/graft_bench_report_scaling.json"
+        if scaling
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPORT.json")
+    )
     result = run_with_report(
         stats_ds,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REPORT.json"),
+        report_path,
         consume=combine_zonal_partials,
         extra={"sf": sf_name, "num_cpus": NUM_CPUS, "images": n_images * reps},
     )

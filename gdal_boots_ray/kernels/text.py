@@ -212,6 +212,25 @@ def quality_score(text: str) -> float:
 _FP_BASE = np.uint64(1000003)
 
 
+def md5_fingerprints(text: str, ngram: int = 8, keep: int = 4) -> List[int]:
+    """Winnowing-style fingerprint with SQL-replayable hashes: the
+    ``keep`` smallest distinct md5-based n-gram hashes (mod 2^31-1)
+    of the whitespace-normalized lowercase text.  The production
+    fingerprint is ``rolling_fingerprints`` (Rabin-Karp, faster);
+    this variant exists so the winnowing construction itself is
+    hash-checked against the DuckDB twin (simhash/md5-minhash
+    precedent)."""
+    import hashlib as _hashlib
+
+    t = " ".join(text.lower().split())
+    grams = {t[i : i + ngram] for i in range(len(t) - ngram + 1)}
+    if not grams:
+        return []
+    m = 2147483647
+    hs = sorted({int(_hashlib.md5(g.encode()).hexdigest()[:16], 16) % m for g in grams})
+    return hs[:keep]
+
+
 def rolling_fingerprints(text: str, window: int = 16, keep: int = 4) -> List[int]:
     """Rabin-Karp rolling-hash windows; keeps the ``keep`` smallest
     hashes (winnowing-style document fingerprint)."""

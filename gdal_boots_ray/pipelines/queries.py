@@ -2443,6 +2443,37 @@ def q_recode_stats_jp2_lossy(sf_dir: str, n_tiles: int = 24, quality: float = 50
     return ds.map_batches(lossy_gate, batch_format="pyarrow", batch_size=8, num_cpus=1)
 
 
+def q_doc_fingerprints(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
+    """ORACLE-CHECKED document fingerprinting: the winnowing
+    construction (smallest ``keep`` distinct n-gram hashes) with
+    md5-based hashes so the DuckDB twin replays it verbatim; the
+    production Rabin-Karp variant (kernels/text.rolling_fingerprints)
+    is kernel-tested.  One output row per kept fingerprint."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import md5_fingerprints
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < doc_cap,
+    )
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_fp = [], []
+        for i, t in enumerate(texts):
+            for h in md5_fingerprints(t, keep=keep):
+                out_id.append(int(ids[i]))
+                out_fp.append(h)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "fp": pa.array(out_fp, pa.int64())}
+        )
+
+    return docs.map_batches(fps, batch_format="pyarrow")
+
+
 def q_audio_rms(sf_dir: str, n_media: int = 200):
     """REAL audio decode in the gate: per customer key, synthesize a
     float32 RIFF/WAVE square wave of amplitude (k%31+1)/64 and
@@ -3159,6 +3190,22 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, CAST(true AS BOOLEAN) AS psnr_ok, CAST(true AS BOOLEAN) AS rate_ok
         FROM tiles WHERE k < 24
     """,
+    "doc_fingerprints": r"""
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents WHERE doc_id < 1500
+        ),
+        kg AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substring(md5(substring(t, i.i, 8)), 1, 16) AS UBIGINT)
+                        % 2147483647 AS BIGINT) AS h
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i) i
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, h AS fp
+        FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM kg)
+        WHERE rn <= 4
+    """,
     "audio_rms": """
         SELECT printf('aud-%08d', k) AS media_id, CAST(wi.w AS BIGINT) AS win,
                round(((k % 31) + 1) / 64.0, 6) AS rms
@@ -3861,6 +3908,7 @@ QUERIES = {
     "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
     "audio_rms": q_audio_rms,
     "video_frames": q_video_frames,
+    "doc_fingerprints": q_doc_fingerprints,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,

@@ -118,9 +118,10 @@ def test_jp2_codec_args_and_ecw_seam():
 
     enc = JP2OpenJPEG(quality=50).encode()
     assert "QUALITY=50" in enc  # reference options encode parity
-    # JP2 is now a real codec (kernels/jp2); resolutions -> DWT levels
-    assert codec_args(JP2OpenJPEG()) == {"fmt": "jp2"}
-    assert codec_args(JP2OpenJPEG(resolutions=6)) == {"fmt": "jp2", "levels": 5}
+    # JP2 is a real codec (kernels/jp2); resolutions -> DWT levels and
+    # the reference's default quality=25 selects the lossy path
+    assert codec_args(JP2OpenJPEG()) == {"fmt": "jp2", "quality": 25.0}
+    assert codec_args(JP2OpenJPEG(resolutions=6, quality=100)) == {"fmt": "jp2", "levels": 5}
     with pytest.raises(NotImplementedError):  # ECW stays a seam
         codec_args(ECW())
 
