@@ -290,6 +290,67 @@ def _lcc_inverse(c: _LccConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Polar stereographic, variant B (Snyder 21-33..21-35 / 15-11), ellipsoidal
+# ---------------------------------------------------------------------------
+
+
+class _PsConsts:
+    __slots__ = ("a", "e", "north", "rho_f", "lon0", "x0", "y0")
+
+    def __init__(self, a, f, lat_ts, lon0, x0, y0, north: bool):
+        self.a = a
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        self.north = north
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi_c = math.radians(abs(lat_ts))
+        s = math.sin(phi_c)
+        es = self.e * s
+        t_c = math.tan(math.pi / 4 - phi_c / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+        m_c = math.cos(phi_c) / math.sqrt(1 - e2 * s * s)
+        # rho = a * m_c / t_c * t(phi): scale true at lat_ts
+        self.rho_f = a * m_c / t_c
+
+    def t_arr(self, phi):
+        s = np.sin(phi)
+        es = self.e * s
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+
+def _ps_forward(c: _PsConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    if not c.north:
+        lon, lat = -lon, -lat  # south pole = mirrored north form
+    rho = c.rho_f * c.t_arr(lat)
+    dl = lon - (c.lon0 if c.north else -c.lon0)
+    x = rho * np.sin(dl)
+    y = -rho * np.cos(dl)
+    if not c.north:
+        x, y = -x, -y
+    return c.x0 + x, c.y0 + y
+
+
+def _ps_inverse(c: _PsConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    if not c.north:
+        x, y = -x, -y
+    rho = np.sqrt(x * x + y * y)
+    t = rho / c.rho_f
+    dl = np.arctan2(x, -y)
+    lon = dl + (c.lon0 if c.north else -c.lon0)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        es = c.e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (c.e / 2))
+    if not c.north:
+        lon, phi = -lon, -phi
+    return np.degrees(lon), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Lambert azimuthal equal-area, oblique (Snyder 24-2..24-10 / 3-11..3-18)
 # ---------------------------------------------------------------------------
 
@@ -446,10 +507,19 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _laea_forward(c, lon, lat),
             lambda x, y, c=consts: _laea_inverse(c, x, y),
         )
+    elif epsg in _EPSG_PS:
+        consts = _PsConsts(WGS84_A, WGS84_F, *_EPSG_PS[epsg])
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
+            lambda x, y, c=consts: _ps_inverse(c, x, y),
+        )
     else:
         raise ValueError(
             f"unsupported EPSG:{epsg} (supported: 4326, 3857, UTM 326xx/327xx, "
-            f"LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)})"
+            f"LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
+            f"polar stereo {sorted(_EPSG_PS)})"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -464,6 +534,12 @@ _EPSG_LCC = {
 # (lat0, lon0, x0, y0)
 _EPSG_LAEA = {
     3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89 / LAEA Europe
+}
+# (lat_ts, lon0, x0, y0, north)
+_EPSG_PS = {
+    3413: (70.0, -45.0, 0.0, 0.0, True),  # WGS84 / NSIDC Sea Ice Polar North
+    3976: (-70.0, 0.0, 0.0, 0.0, False),  # WGS84 / NSIDC Sea Ice Polar South
+    3031: (-71.0, 0.0, 0.0, 0.0, False),  # WGS84 / Antarctic Polar Stereographic
 }
 
 
@@ -541,6 +617,27 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _laea_forward(c, lon, lat),
             lambda x, y, c=consts: _laea_inverse(c, x, y),
+        )
+    elif proj == "stere" and abs(float(params.get("lat_0", 0))) == 90.0:
+        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
+        if "a" in params:
+            a = float(params["a"])
+        f = 0.0 if rf == 0 else 1.0 / rf
+        north = float(params["lat_0"]) > 0
+        consts = _PsConsts(
+            a,
+            f,
+            float(params.get("lat_ts", params["lat_0"])),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+            north,
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
+            lambda x, y, c=consts: _ps_inverse(c, x, y),
         )
     elif proj == "merc":
         crs = CRS("projected", proj4, webmercator_forward, webmercator_inverse)

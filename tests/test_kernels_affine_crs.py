@@ -210,6 +210,47 @@ class TestLccLaea:
         truth = np.radians(d) ** 2 * m * n * np.cos(np.radians(lat))
         assert np.allclose(det / truth, 1.0, atol=1e-4)
 
+    def test_polar_stereo_pole_exact_and_roundtrip(self):
+        # the pole maps to the false origin exactly, both hemispheres
+        x, y = transform_points(4326, 3413, np.array([12.3]), np.array([90.0]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+        x, y = transform_points(4326, 3031, np.array([45.0]), np.array([-90.0]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(60.0, 89.5, 200)
+        x, y = transform_points(4326, 3413, lon, lat)
+        lon2, lat2 = transform_points(3413, 4326, x, y)
+        dl = (lon - lon2 + 180) % 360 - 180
+        assert np.abs(dl).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+        lat_s = rng.uniform(-89.5, -60.0, 200)
+        x, y = transform_points(4326, 3031, lon, lat_s)
+        lon2, lat2 = transform_points(3031, 4326, x, y)
+        dl = (lon - lon2 + 180) % 360 - 180
+        assert np.abs(dl).max() < 1e-9 and np.abs(lat_s - lat2).max() < 1e-9
+
+    def test_polar_stereo_unit_scale_on_lat_ts(self):
+        # variant B: point scale is exactly 1 on the latitude of true
+        # scale (70N for 3413, 71S for 3031)
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F, resolve_crs
+
+        e2 = WGS84_F * (2 - WGS84_F)
+        for epsg, lat in ((3413, 70.0), (3031, -71.0), (3976, -70.0)):
+            crs = resolve_crs(epsg)
+            lon = np.array([-120.0, -45.0, 0.0, 60.0])
+            la = np.full_like(lon, lat)
+            d = 1e-6
+            x0, y0 = crs.from_lonlat(lon, la)
+            x1, y1 = crs.from_lonlat(lon + d, la)
+            ground = (
+                np.radians(d)
+                * np.cos(np.radians(lat))
+                * WGS84_A
+                / np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+            )
+            k = np.hypot(x1 - x0, y1 - y0) / ground
+            assert np.allclose(k, 1.0, atol=5e-7), (epsg, k)
+
     def test_proj4_lcc_laea_roundtrip(self):
         for p4 in (
             "+proj=lcc +lat_0=40 +lon_0=-96 +lat_1=33 +lat_2=45 +x_0=0 +y_0=0 +ellps=WGS84",
