@@ -66,17 +66,17 @@ def main(argv=None) -> int:
         result.to_parquet(os.path.join(args.out, "zonal_agg.parquet"), index=False)
         summary = {"mode": "streaming", "out": args.out}
     wall = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "job": "flagship",
-                "rows": int(len(result)),
-                "n_tiles": int(result["n_tiles"].sum()) if len(result) else 0,
-                "wall_s": round(wall, 3),
-                **{k: v for k, v in summary.items() if isinstance(v, (int, float, str, bool))},
-            }
-        )
+    out = {
+        "job": "flagship",
+        "rows": int(len(result)),
+        "n_tiles": int(result["n_tiles"].sum()) if len(result) else 0,
+        "wall_s": round(wall, 3),
+    }
+    # summary extras must not shadow the result fields above
+    out.update(
+        {k: v for k, v in summary.items() if k not in out and isinstance(v, (int, float, str, bool))}
     )
+    print(json.dumps(out))
     return 0
 
 
