@@ -1439,6 +1439,13 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
     withtext = attach_doc_column(
         attach_doc_column(cand, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
     )
+    return _exact_jaccard_verify(withtext, threshold)
+
+
+def _exact_jaccard_verify(withtext_ds, threshold: float):
+    """Shared verify tail of every near-dup candidate generator:
+    exact 5-gram Jaccard >= threshold over attached pair texts ->
+    (doc_a, doc_b, jac) rows."""
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -1463,7 +1470,39 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    return withtext.map_batches(verify, batch_format="pyarrow")
+    return withtext_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def q_jaccard_neardup(sf_dir: str, threshold: float = 0.6):
+    """EXACT n-gram Jaccard near-duplicate pairs (jac >= 0.6) via
+    prefix filtering (AllPairs, Bayardo et al. WWW'07): each doc
+    emits only its first ``n - ceil(t*n) + 1`` hash-sorted 5-gram
+    shingles; any pair at Jaccard >= t provably shares a prefix
+    token, so the blocking has recall EXACTLY 1 — this is the
+    deterministic sibling of minhash_neardup (P[miss] < 1e-6).
+    Candidates shuffle through count-scaled buckets with the exact
+    length filter (min(sz) >= t*max(sz)); texts attach via streaming
+    shuffle joins; the exact Jaccard verify makes precision 1.  The
+    oracle is the quadratic DuckDB shingle-Jaccard twin at the same
+    threshold, so recall=1 of the prefix blocking is hash-checked
+    end to end."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import (
+        attach_doc_column,
+        prefix_jaccard_candidate_pairs,
+    )
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = prefix_jaccard_candidate_pairs(docs, threshold=threshold, n_docs=n_docs).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    withtext = attach_doc_column(
+        attach_doc_column(cand, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
+    )
+    return _exact_jaccard_verify(withtext, threshold)
 
 
 def q_corpus_clean(
@@ -3534,6 +3573,29 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT doc_a, doc_b, round(inter / uni, 6) AS jac
         FROM pairs WHERE inter / uni >= 0.5
     """,
+    "jaccard_neardup": """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list(DISTINCT substring(t, i.i, 5)) AS s,
+                   count(DISTINCT substring(t, i.i, 5)) AS n
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) i
+            GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+                   CAST(a.n + b.n - len(list_intersect(a.s, b.s)) AS DOUBLE) AS uni
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(inter / uni, 6) AS jac
+        FROM pairs WHERE inter / uni >= 0.6
+    """,
     "spatial_knn": f"""
         WITH {POINT_SQL_CTE}
         SELECT q.pid AS qid,
@@ -3888,6 +3950,7 @@ QUERIES = {
     "lang_id_pred": q_lang_id_pred,
     "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
+    "jaccard_neardup": q_jaccard_neardup,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "events_window": q_events_window,

