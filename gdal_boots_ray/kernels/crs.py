@@ -15,6 +15,14 @@ series implementations from public literature:
 - proj4 ``+proj=aea`` Albers equal-area conic (Snyder, "Map
   Projections — A Working Manual", USGS PP 1395, eqs. 14-19..14-21),
   with the ellipsoids needed by the reference tests (aust_SA).
+- Lambert conformal conic 2SP (EPSG 2154/3034/3978, +proj=lcc),
+  Lambert azimuthal equal-area (EPSG 3035, +proj=laea), polar
+  stereographic variant B (EPSG 3413/3976/3031, +proj=stere).
+- Ellipsoidal Mercator (EPSG 3395, +proj=merc; Snyder 7-7..7-10),
+  equidistant cylindrical (EPSG 4087 ellipsoidal / 32662 spherical,
+  +proj=eqc; Snyder 3-21/3-26 meridian arc + Newton polish), and
+  sinusoidal (+proj=sinu, Snyder 30-8..30-11) including the MODIS
+  authalic sphere ``+R=6371007.181``.
 
 All transforms are vectorized over ``(n,)`` float64 coordinate arrays.
 """
@@ -432,6 +440,157 @@ def _laea_inverse(c: _LaeaConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (Snyder 7-7..7-10, EPSG method 9804/9805) and the
+# meridian-arc cylindricals: equidistant cylindrical (EPSG method 1028,
+# Snyder 3-21/3-26) and sinusoidal (Snyder 30-8..30-11, the MODIS grid)
+# ---------------------------------------------------------------------------
+
+
+class _MeridArc:
+    """Meridional arc M(phi) and its inverse footpoint latitude
+    (Snyder, USGS PP 1395, eqs. 3-21 and 3-26)."""
+
+    __slots__ = ("a", "e2", "c0", "c2", "c4", "c6", "e1")
+
+    def __init__(self, a: float, f: float):
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e2 = e2
+        e4, e6 = e2 * e2, e2**3
+        self.c0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+        self.c2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+        self.c4 = 15 * e4 / 256 + 45 * e6 / 1024
+        self.c6 = 35 * e6 / 3072
+        se = math.sqrt(1 - e2)
+        self.e1 = (1 - se) / (1 + se)
+
+    def m(self, phi: np.ndarray) -> np.ndarray:
+        return self.a * (
+            self.c0 * phi
+            - self.c2 * np.sin(2 * phi)
+            + self.c4 * np.sin(4 * phi)
+            - self.c6 * np.sin(6 * phi)
+        )
+
+    def phi(self, m: np.ndarray) -> np.ndarray:
+        mu = m / (self.a * self.c0)
+        e1 = self.e1
+        p = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        )
+        # the 3-26 series truncates at ~1e-8 deg; two Newton steps with
+        # the exact meridional radius dM/dphi reach machine precision
+        for _ in range(2):
+            rho = self.a * (1 - self.e2) / (1 - self.e2 * np.sin(p) ** 2) ** 1.5
+            p = p - (self.m(p) - m) / rho
+        return p
+
+
+class _MercConsts:
+    __slots__ = ("a", "e", "k0", "lon0", "x0", "y0")
+
+    def __init__(self, a, f, lat_ts, lon0, x0, y0):
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e = math.sqrt(e2)
+        phi_ts = math.radians(lat_ts)
+        s = math.sin(phi_ts)
+        # scale true at lat_ts (EPSG 9805 "2SP" form; lat_ts=0 -> k0=1)
+        self.k0 = math.cos(phi_ts) / math.sqrt(1 - e2 * s * s)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+    def t_arr(self, phi: np.ndarray) -> np.ndarray:
+        s = np.sin(phi)
+        es = self.e * s
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+
+
+def _merc_forward(c: _MercConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    x = c.a * c.k0 * (lon - c.lon0)
+    y = -c.a * c.k0 * np.log(c.t_arr(lat))
+    return c.x0 + x, c.y0 + y
+
+
+def _merc_inverse(c: _MercConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    lon = c.lon0 + x / (c.a * c.k0)
+    t = np.exp(-y / (c.a * c.k0))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        es = c.e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (c.e / 2))
+    lon_out = (np.degrees(lon) + 180.0) % 360.0 - 180.0
+    return lon_out, np.degrees(phi)
+
+
+class _EqcConsts:
+    __slots__ = ("nu1cos", "lon0", "x0", "y0", "arc")
+
+    def __init__(self, a, f, lat_ts, lon0, x0, y0):
+        e2 = f * (2.0 - f)
+        phi1 = math.radians(lat_ts)
+        self.nu1cos = a * math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.arc = _MeridArc(a, f)
+
+
+def _eqc_forward(c: _EqcConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    return c.x0 + c.nu1cos * (lon - c.lon0), c.y0 + c.arc.m(lat)
+
+
+def _eqc_inverse(c: _EqcConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    lon_out = (np.degrees(c.lon0 + x / c.nu1cos) + 180.0) % 360.0 - 180.0
+    return lon_out, np.degrees(c.arc.phi(y))
+
+
+class _SinuConsts:
+    __slots__ = ("a", "e2", "lon0", "x0", "y0", "arc")
+
+    def __init__(self, a, f, lon0, x0, y0):
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.arc = _MeridArc(a, f)
+
+
+def _sinu_forward(c: _SinuConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    s = np.sin(lat)
+    x = c.a * (lon - c.lon0) * np.cos(lat) / np.sqrt(1 - c.e2 * s * s)
+    return c.x0 + x, c.y0 + c.arc.m(lat)
+
+
+def _sinu_inverse(c: _SinuConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    phi = c.arc.phi(y)
+    s = np.sin(phi)
+    cphi = np.cos(phi)
+    lam = np.where(
+        np.abs(cphi) < 1e-12,
+        c.lon0,
+        c.lon0 + x * np.sqrt(1 - c.e2 * s * s) / (c.a * np.where(np.abs(cphi) < 1e-12, 1.0, cphi)),
+    )
+    lon_out = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+    return lon_out, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # CRS registry / dispatch
 # ---------------------------------------------------------------------------
 
@@ -515,10 +674,35 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
         )
+    elif epsg == 3395:  # WGS 84 / World Mercator (ellipsoidal, EPSG 9804)
+        consts = _MercConsts(WGS84_A, WGS84_F, 0.0, 0.0, 0.0, 0.0)
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _merc_forward(c, lon, lat),
+            lambda x, y, c=consts: _merc_inverse(c, x, y),
+        )
+    elif epsg == 4087:  # WGS 84 / World Equidistant Cylindrical (EPSG 1028)
+        consts = _EqcConsts(WGS84_A, WGS84_F, 0.0, 0.0, 0.0, 0.0)
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _eqc_forward(c, lon, lat),
+            lambda x, y, c=consts: _eqc_inverse(c, x, y),
+        )
+    elif epsg == 32662:  # WGS 84 / Plate Carree (deprecated, SPHERICAL
+        # method 1029 with R = semi-major: x = a*lam, y = a*phi)
+        consts = _EqcConsts(WGS84_A, 0.0, 0.0, 0.0, 0.0, 0.0)
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _eqc_forward(c, lon, lat),
+            lambda x, y, c=consts: _eqc_inverse(c, x, y),
+        )
     else:
         raise ValueError(
-            f"unsupported EPSG:{epsg} (supported: 4326, 3857, UTM 326xx/327xx, "
-            f"LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
+            f"unsupported EPSG:{epsg} (supported: 4326, 3857, 3395, 4087, 32662, "
+            f"UTM 326xx/327xx, LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
             f"polar stereo {sorted(_EPSG_PS)})"
         )
     _CRS_CACHE[epsg] = crs
@@ -544,6 +728,20 @@ _EPSG_PS = {
 
 
 _P4_FLOAT = re.compile(r"\+([a-zA-Z_0-9]+)=([^\s]+)")
+
+
+def _p4_ellipsoid(params: dict) -> Tuple[float, float]:
+    """(a, f) from proj4 params: +R (sphere), +a/+b (explicit axes),
+    +a alone (keeps the named/default flattening), or +ellps."""
+    if "R" in params:
+        return float(params["R"]), 0.0
+    a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
+    f = 0.0 if rf == 0 else 1.0 / rf
+    if "a" in params:
+        a = float(params["a"])
+        if "b" in params:
+            f = (a - float(params["b"])) / a
+    return a, f
 
 
 def crs_from_proj4(proj4: str) -> CRS:
@@ -640,7 +838,55 @@ def crs_from_proj4(proj4: str) -> CRS:
             lambda x, y, c=consts: _ps_inverse(c, x, y),
         )
     elif proj == "merc":
-        crs = CRS("projected", proj4, webmercator_forward, webmercator_inverse)
+        # proj4 semantics: ellipsoidal Mercator on the given ellipsoid
+        # (default WGS84); +R / +ellps=sphere selects the spherical form
+        a, f = _p4_ellipsoid(params)
+        consts = _MercConsts(
+            a,
+            f,
+            float(params.get("lat_ts", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _merc_forward(c, lon, lat),
+            lambda x, y, c=consts: _merc_inverse(c, x, y),
+        )
+    elif proj == "eqc":
+        a, f = _p4_ellipsoid(params)
+        consts = _EqcConsts(
+            a,
+            f,
+            float(params.get("lat_ts", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _eqc_forward(c, lon, lat),
+            lambda x, y, c=consts: _eqc_inverse(c, x, y),
+        )
+    elif proj == "sinu":
+        # MODIS land grid: +proj=sinu +R=6371007.181 (authalic sphere)
+        a, f = _p4_ellipsoid(params)
+        consts = _SinuConsts(
+            a,
+            f,
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _sinu_forward(c, lon, lat),
+            lambda x, y, c=consts: _sinu_inverse(c, x, y),
+        )
     elif proj == "utm":
         zone = int(params["zone"])
         south = "south" in proj4

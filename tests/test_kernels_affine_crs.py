@@ -276,3 +276,126 @@ def test_gt_vector_ops():
     x, y = apply_gt(gts[0:1], 5, 3)
     c, r = apply_gt(inv[0:1], x, y)
     assert np.allclose(c, 5) and np.allclose(r, 3)
+
+
+class TestCylindricals:
+    """Structural goldens for the Mercator / equidistant-cylindrical /
+    sinusoidal registry entries: exact equator scale, conformality
+    (Mercator), meridian-arc y (EQC/sinusoidal vs numerically
+    integrated meridional radius), equal-area Jacobian (sinusoidal),
+    spherical-limit agreement with Web Mercator, tight roundtrips."""
+
+    def test_merc_3395_equator_exact(self):
+        lon = np.array([-180.0, -37.5, 0.0, 12.0, 179.0])
+        x, y = transform_points(4326, 3395, lon, np.zeros(5))
+        assert np.allclose(x, 6378137.0 * np.radians(lon), atol=1e-6)
+        assert np.abs(y).max() < 1e-6
+
+    def test_merc_3395_conformal(self):
+        # defining property: parallel scale == meridian scale everywhere
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F, resolve_crs
+
+        crs = resolve_crs(3395)
+        e2 = WGS84_F * (2 - WGS84_F)
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-170, 170, 64)
+        lat = rng.uniform(-80, 80, 64)
+        d = 1e-6
+        x0, y0 = crs.from_lonlat(lon, lat)
+        xl, _ = crs.from_lonlat(lon + d, lat)
+        _, yp = crs.from_lonlat(lon, lat + d)
+        s2 = np.sin(np.radians(lat)) ** 2
+        nu = WGS84_A / np.sqrt(1 - e2 * s2)
+        rho = WGS84_A * (1 - e2) / (1 - e2 * s2) ** 1.5
+        k_par = (xl - x0) / (np.radians(d) * nu * np.cos(np.radians(lat)))
+        k_mer = (yp - y0) / (np.radians(d) * rho)
+        assert np.allclose(k_par, k_mer, rtol=1e-6)
+
+    def test_merc_spherical_limit_is_webmercator(self):
+        from gdal_boots_ray.kernels.crs import resolve_crs, webmercator_forward
+
+        crs = resolve_crs("+proj=merc +R=6378137")
+        lon = np.array([-120.0, -1.0, 30.0, 151.2])
+        lat = np.array([-45.0, 60.0, 0.0, -33.9])
+        x, y = crs.from_lonlat(lon, lat)
+        xw, yw = webmercator_forward(lon, lat)
+        assert np.allclose(x, xw, atol=1e-6) and np.allclose(y, yw, atol=1e-6)
+
+    def test_merc_roundtrip(self):
+        rng = np.random.default_rng(12)
+        lon = rng.uniform(-179.9, 179.9, 200)
+        lat = rng.uniform(-85.0, 85.0, 200)
+        x, y = transform_points(4326, 3395, lon, lat)
+        lon2, lat2 = transform_points(3395, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+
+    def test_eqc_4087_meridian_arc(self):
+        # y(phi) must equal the integrated meridional radius of curvature
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F, resolve_crs
+
+        crs = resolve_crs(4087)
+        e2 = WGS84_F * (2 - WGS84_F)
+        phi = np.linspace(0, np.radians(84.0), 200001)
+        rho = WGS84_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        arc = np.trapz(rho, phi)
+        _, y = crs.from_lonlat(np.array([0.0]), np.array([84.0]))
+        assert abs(y[0] - arc) < 1e-3  # mm agreement with numeric integral
+
+    def test_eqc_4087_equator_and_roundtrip(self):
+        lon = np.array([-150.0, 10.0, 91.5])
+        x, y = transform_points(4326, 4087, lon, np.zeros(3))
+        assert np.allclose(x, 6378137.0 * np.radians(lon), atol=1e-6)
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(-179.9, 179.9, 200)
+        lat = rng.uniform(-89.0, 89.0, 200)
+        x, y = transform_points(4326, 4087, lon, lat)
+        lon2, lat2 = transform_points(4087, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+
+    def test_plate_carree_32662_spherical_exact(self):
+        # deprecated EPSG 32662 uses the SPHERICAL method: x=a*lam, y=a*phi
+        lon = np.array([-120.0, 45.0])
+        lat = np.array([30.0, -60.0])
+        x, y = transform_points(4326, 32662, lon, lat)
+        assert np.allclose(x, 6378137.0 * np.radians(lon), atol=1e-6)
+        assert np.allclose(y, 6378137.0 * np.radians(lat), atol=1e-6)
+
+    def test_sinu_equal_area_jacobian(self):
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F, resolve_crs
+
+        crs = resolve_crs("+proj=sinu +lon_0=0")
+        e2 = WGS84_F * (2 - WGS84_F)
+        rng = np.random.default_rng(14)
+        lon = rng.uniform(-170, 170, 64)
+        lat = rng.uniform(-80, 80, 64)
+        d = 1e-6
+        x0, y0 = crs.from_lonlat(lon, lat)
+        xl, yl = crs.from_lonlat(lon + d, lat)
+        xp, yp = crs.from_lonlat(lon, lat + d)
+        det = np.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+        s2 = np.sin(np.radians(lat)) ** 2
+        m = WGS84_A * (1 - e2) / (1 - e2 * s2) ** 1.5
+        n = WGS84_A / np.sqrt(1 - e2 * s2)
+        truth = np.radians(d) ** 2 * m * n * np.cos(np.radians(lat))
+        assert np.allclose(det / truth, 1.0, atol=1e-4)
+
+    def test_sinu_modis_sphere(self):
+        # MODIS authalic sphere: y = R*phi, x = R*lam*cos(phi), and the
+        # antimeridian at the equator lands at pi*R (tile-grid width/2)
+        R = 6371007.181
+        crs = resolve_crs(f"+proj=sinu +R={R}")
+        lon = np.array([180.0, -105.0])
+        lat = np.array([0.0, 40.0])
+        x, y = crs.from_lonlat(lon, lat)
+        assert abs(x[0] - np.pi * R) < 1e-6 and abs(y[0]) < 1e-6
+        assert abs(x[1] - R * np.radians(-105.0) * np.cos(np.radians(40.0))) < 1e-6
+        assert abs(y[1] - R * np.radians(40.0)) < 1e-6
+
+    def test_sinu_roundtrip(self):
+        rng = np.random.default_rng(15)
+        lon = rng.uniform(-179.0, 179.0, 200)
+        lat = rng.uniform(-89.0, 89.0, 200)
+        p4 = "+proj=sinu +lon_0=0"
+        x, y = transform_points(4326, p4, lon, lat)
+        lon2, lat2 = transform_points(p4, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-8 and np.abs(lat - lat2).max() < 1e-9
