@@ -142,6 +142,38 @@ def q_tile_bounds_4326(sf_dir: str):
     return ds.map_batches(to4326, batch_format="pyarrow")
 
 
+def q_tile_bounds_3395(sf_dir: str):
+    """Tile bounds reprojected 3857 -> 4326 -> 3395 (ellipsoidal World
+    Mercator).  The DuckDB twin replays the closed form (y = a*[ln
+    tan(pi/4+phi/2) + e/2*ln((1-e sin)/(1+e sin))], Snyder 7-7), so
+    the new Mercator registry entry is oracle-checked end to end; x is
+    invariant under the chain (both Mercators share lon0=0, k0=1)."""
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to3395(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy()
+        miny = batch.column("miny").to_numpy()
+        maxx = batch.column("maxx").to_numpy()
+        maxy = batch.column("maxy").to_numpy()
+        lon_min, lat_min = transform_points(3857, 4326, minx, miny)
+        lon_max, lat_max = transform_points(3857, 4326, maxx, maxy)
+        x_min, y_min = transform_points(4326, 3395, lon_min, lat_min)
+        x_max, y_max = transform_points(4326, 3395, lon_max, lat_max)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "mx_min": pa.array(np.round(x_min, 6)),
+                "my_min": pa.array(np.round(y_min, 6)),
+                "mx_max": pa.array(np.round(x_max, 6)),
+                "my_max": pa.array(np.round(y_max, 6)),
+            }
+        )
+
+    return ds.map_batches(to3395, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -3051,6 +3083,27 @@ ORACLE_SQL: Dict[str, str] = {
             round(degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2), 9) AS lat_max
         FROM tiles
     """,
+    "tile_bounds_3395": f"""
+        WITH {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        )
+        SELECT image_id,
+            round(6378137.0 * radians(lon_min), 6) AS mx_min,
+            round(6378137.0 * (ln(tan(pi() / 4 + radians(lat_min) / 2))
+                + 0.0818191908426215 / 2 * ln((1 - 0.0818191908426215 * sin(radians(lat_min)))
+                                            / (1 + 0.0818191908426215 * sin(radians(lat_min))))), 6) AS my_min,
+            round(6378137.0 * radians(lon_max), 6) AS mx_max,
+            round(6378137.0 * (ln(tan(pi() / 4 + radians(lat_max) / 2))
+                + 0.0818191908426215 / 2 * ln((1 - 0.0818191908426215 * sin(radians(lat_max)))
+                                            / (1 + 0.0818191908426215 * sin(radians(lat_max))))), 6) AS my_max
+        FROM ll
+    """,
     "tile_grid_cells": f"""
         WITH {TILE_SQL_CTE}
         SELECT image_id,
@@ -3914,6 +3967,7 @@ ORACLE_SQL: Dict[str, str] = {
 QUERIES = {
     "tile_bounds": q_tile_bounds,
     "tile_bounds_4326": q_tile_bounds_4326,
+    "tile_bounds_3395": q_tile_bounds_3395,
     "tile_grid_cells": q_tile_grid_cells,
     "tile_s2_cells": q_tile_s2_cells,
     "tile_h3_cells": q_tile_h3_cells,
