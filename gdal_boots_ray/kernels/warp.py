@@ -144,6 +144,8 @@ def warp(
         maxx, maxy = bs[:, 2].max(), bs[:, 3].max()
 
     # --- output size -------------------------------------------------------
+    if (width is not None and width <= 0) or (height is not None and height <= 0):
+        raise RuntimeError(f"could not warp: degenerate output grid {width}x{height}")
     if width and height:
         w_out, h_out = int(width), int(height)
         if resolution is None:

@@ -2828,6 +2828,48 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_tile_warp_4326(sf_dir: str):
+    """True REPROJECTION warp under the oracle gate: every tile is
+    warped 3857 -> 4326 (nearest, explicit w x h output) and the
+    DuckDB twin replays the ENTIRE warp — corner-transformed output
+    bounds, target pixel centers, closed-form WebMercator forward
+    mapping target -> source, inverse affine, floor gather over the
+    synthesized field — so W1's reprojection path (grid derivation +
+    non-aligned sampling, kernels/warp.py) is hash-checked
+    pixel-exactly, not just at bounds level (reference warp
+    out_epsg path, gdal.py:653-737)."""
+    from gdal_boots_ray.kernels.warp import WarpSource, warp
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def reproject(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        px_sum = np.empty(n, np.int64)
+        for i in range(n):
+            img = views[i]
+            src = WarpSource(img if img.ndim == 3 else img[None], gts[i], 3857)
+            w_in, h_in = src.img.shape[2], src.img.shape[1]
+            out, _ = warp([src], out_crs=4326, width=w_in, height=h_in, resampling="near")
+            out_h[i], out_w[i] = out.shape[1], out.shape[2]
+            px_sum[i] = int(out[0].astype(np.int64).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "px_sum": pa.array(px_sum),
+            }
+        )
+
+    return ds.map_batches(reproject, batch_format="pyarrow")
+
+
 def q_tile_resize(sf_dir: str):
     """Area-average 2x downscale of every tile (the reference's
     Resampling.average path, gdal.py:187); oracle: block means of the
@@ -3357,6 +3399,32 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
         FROM s GROUP BY 1, 2
+    """,
+    "tile_warp_4326": f"""
+        WITH {TILE_SQL_CTE},
+        g AS (
+            SELECT k, image_id, w, h, x0, y0,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        ),
+        px AS (
+            SELECT g.image_id, g.w, g.h, g.k,
+                CAST(floor((6378137.0 * radians(g.lon_min + (gx.i + 0.5) * (g.lon_max - g.lon_min) / g.w)
+                            - g.x0) / 10.0) AS BIGINT) AS ix,
+                CAST(floor((g.y0 - 6378137.0 * ln(tan(pi() / 4
+                            + radians(g.lat_max - (gy.j + 0.5) * (g.lat_max - g.lat_min) / g.h) / 2)))
+                           / 10.0) AS BIGINT) AS iy
+            FROM g,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(g.w - 1 AS INT))) AS i) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(g.h - 1 AS INT))) AS j) gy
+        )
+        SELECT image_id, CAST(w AS BIGINT) AS out_w, CAST(h AS BIGINT) AS out_h,
+               CAST(sum(CASE WHEN ix BETWEEN 0 AND w - 1 AND iy BETWEEN 0 AND h - 1
+                        THEN (ix * 31 + iy * 17 + k) % 256 ELSE 0 END) AS BIGINT) AS px_sum
+        FROM px GROUP BY image_id, w, h
     """,
     "tile_resize": f"""
         WITH {TILE_SQL_CTE},
@@ -3985,6 +4053,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "tile_resize": q_tile_resize,
+    "tile_warp_4326": q_tile_warp_4326,
     "tile_resize_lanczos": q_tile_resize_lanczos,
     "tile_resize_cubicspline": q_tile_resize_cubicspline,
     "polygonize": q_polygonize,
