@@ -2870,6 +2870,49 @@ def q_tile_warp_4326(sf_dir: str):
     return ds.map_batches(reproject, batch_format="pyarrow")
 
 
+def q_tile_warp_bilinear(sf_dir: str):
+    """Bilinear REPROJECTION warp under the oracle gate (companion of
+    tile_warp_4326's nearest path): the DuckDB twin replays the
+    4-corner clipped gather with the continuous-coordinate weights
+    (fx = PX - 0.5, wx = frac) over the synthesized field.  Output
+    stays float64 (dtype=np.float64) and the per-tile sum rounds at 4
+    decimals: the 3857->4326 x-mapping is an exact identity, so
+    fx lands within ~1e-15 of an integer and integer-dtype truncation
+    would be knife-edge against any independent replay."""
+    from gdal_boots_ray.kernels.warp import WarpSource, warp
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def reproject(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        px_sum = np.empty(n, np.float64)
+        for i in range(n):
+            img = views[i]
+            src = WarpSource(img if img.ndim == 3 else img[None], gts[i], 3857)
+            w_in, h_in = src.img.shape[2], src.img.shape[1]
+            out, _ = warp(
+                [src], out_crs=4326, width=w_in, height=h_in, resampling="bilinear", dtype=np.float64
+            )
+            out_h[i], out_w[i] = out.shape[1], out.shape[2]
+            px_sum[i] = _round_half_away(float(out[0].sum()), 4)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "px_sum": pa.array(px_sum),
+            }
+        )
+
+    return ds.map_batches(reproject, batch_format="pyarrow")
+
+
 def q_tile_resize(sf_dir: str):
     """Area-average 2x downscale of every tile (the reference's
     Resampling.average path, gdal.py:187); oracle: block means of the
@@ -3425,6 +3468,48 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN ix BETWEEN 0 AND w - 1 AND iy BETWEEN 0 AND h - 1
                         THEN (ix * 31 + iy * 17 + k) % 256 ELSE 0 END) AS BIGINT) AS px_sum
         FROM px GROUP BY image_id, w, h
+    """,
+    "tile_warp_bilinear": f"""
+        WITH {TILE_SQL_CTE},
+        g AS (
+            SELECT k, image_id, w, h, x0, y0,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        ),
+        pxy AS (
+            SELECT g.image_id, g.w, g.h, g.k,
+                (6378137.0 * radians(g.lon_min + (gx.i + 0.5) * (g.lon_max - g.lon_min) / g.w)
+                 - g.x0) / 10.0 - 0.5 AS fx,
+                (g.y0 - 6378137.0 * ln(tan(pi() / 4
+                 + radians(g.lat_max - (gy.j + 0.5) * (g.lat_max - g.lat_min) / g.h) / 2)))
+                / 10.0 - 0.5 AS fy
+            FROM g,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(g.w - 1 AS INT))) AS i) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(g.h - 1 AS INT))) AS j) gy
+        ),
+        corners AS (
+            SELECT image_id, w, h, k,
+                fx - floor(fx) AS wx, fy - floor(fy) AS wy,
+                CAST(least(greatest(floor(fx), 0), w - 1) AS BIGINT) AS xa,
+                CAST(least(greatest(floor(fx) + 1, 0), w - 1) AS BIGINT) AS xb,
+                CAST(least(greatest(floor(fy), 0), h - 1) AS BIGINT) AS ya,
+                CAST(least(greatest(floor(fy) + 1, 0), h - 1) AS BIGINT) AS yb
+            FROM pxy
+        ),
+        v AS (
+            SELECT image_id, w, h,
+                ((xa * 31 + ya * 17 + k) % 256) * (1 - wx) * (1 - wy)
+              + ((xb * 31 + ya * 17 + k) % 256) * wx * (1 - wy)
+              + ((xa * 31 + yb * 17 + k) % 256) * (1 - wx) * wy
+              + ((xb * 31 + yb * 17 + k) % 256) * wx * wy AS val
+            FROM corners
+        )
+        SELECT image_id, CAST(w AS BIGINT) AS out_w, CAST(h AS BIGINT) AS out_h,
+               round(sum(val), 4) AS px_sum
+        FROM v GROUP BY image_id, w, h
     """,
     "tile_resize": f"""
         WITH {TILE_SQL_CTE},
@@ -4054,6 +4139,7 @@ QUERIES = {
     "range_join": q_range_join,
     "tile_resize": q_tile_resize,
     "tile_warp_4326": q_tile_warp_4326,
+    "tile_warp_bilinear": q_tile_warp_bilinear,
     "tile_resize_lanczos": q_tile_resize_lanczos,
     "tile_resize_cubicspline": q_tile_resize_cubicspline,
     "polygonize": q_polygonize,
