@@ -2913,6 +2913,60 @@ def q_tile_warp_bilinear(sf_dir: str):
     return ds.map_batches(reproject, batch_format="pyarrow")
 
 
+def q_tile_fast_warp(sf_dir: str):
+    """fast_warp window crop (W2/W3, reference gdal.py:739-806) under
+    the oracle gate: every tile is cropped to a deterministic interior
+    bbox (insets keyed off p_partkey) and the DuckDB twin replays the
+    EXACT snap semantics — floor lower / ceil upper corner in absolute
+    pixel-resolution units, y flip — plus the windowed pixel sum over
+    the synthesized field, so the snap math is hash-checked per tile
+    (previously pytest-golden-only, 8x9/2x2 reference shapes)."""
+    from gdal_boots_ray.kernels.window import fast_warp_as_array
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def crop(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        out_w = np.empty(n, np.int64)
+        out_h = np.empty(n, np.int64)
+        px_sum = np.empty(n, np.int64)
+        sx_min = np.empty(n, np.float64)
+        sy_max = np.empty(n, np.float64)
+        for i in range(n):
+            img = views[i]
+            img3 = img if img.ndim == 3 else img[None]
+            h, w = img3.shape[1:]
+            k = int(ids[i][4:])
+            x0, y0 = gts[i][2], gts[i][5]
+            bbox = (
+                x0 + 3.0 + k % 7,
+                y0 - h * 10.0 + 4.0 + k % 3,
+                x0 + w * 10.0 - (2.0 + k % 5),
+                y0 - (1.5 + k % 4),
+            )
+            out, gi = fast_warp_as_array(img3, gts[i], 3857, bbox)
+            out_h[i], out_w[i] = out.shape[1], out.shape[2]
+            px_sum[i] = int(out[0].astype(np.int64).sum())
+            sx_min[i] = gi.transform.c
+            sy_max[i] = gi.transform.f
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "out_w": pa.array(out_w),
+                "out_h": pa.array(out_h),
+                "px_sum": pa.array(px_sum),
+                "sx_min": pa.array(sx_min),
+                "sy_max": pa.array(sy_max),
+            }
+        )
+
+    return ds.map_batches(crop, batch_format="pyarrow")
+
+
 def q_tile_resize(sf_dir: str):
     """Area-average 2x downscale of every tile (the reference's
     Resampling.average path, gdal.py:187); oracle: block means of the
@@ -3468,6 +3522,33 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN ix BETWEEN 0 AND w - 1 AND iy BETWEEN 0 AND h - 1
                         THEN (ix * 31 + iy * 17 + k) % 256 ELSE 0 END) AS BIGINT) AS px_sum
         FROM px GROUP BY image_id, w, h
+    """,
+    "tile_fast_warp": f"""
+        WITH {TILE_SQL_CTE},
+        win AS (
+            SELECT k, image_id, w, h,
+                -- snap: floor lower / ceil upper corners in absolute
+                -- pixel units (res 10); origins are multiples of 10
+                CAST(floor((x0 + 3.0 + k % 7) / 10.0) - x0 / 10.0 AS BIGINT) AS col_lo,
+                CAST(ceil((x0 + w * 10.0 - (2.0 + k % 5)) / 10.0) - x0 / 10.0 AS BIGINT) AS col_hi,
+                CAST(y0 / 10.0 - ceil((y0 - (1.5 + k % 4)) / 10.0) AS BIGINT) AS row_lo,
+                CAST(y0 / 10.0 - floor((y0 - h * 10.0 + 4.0 + k % 3) / 10.0) AS BIGINT) AS row_hi,
+                floor((x0 + 3.0 + k % 7) / 10.0) * 10.0 AS sx_min,
+                ceil((y0 - (1.5 + k % 4)) / 10.0) * 10.0 AS sy_max
+            FROM tiles
+        ),
+        px AS (
+            SELECT win.image_id, win.col_hi - win.col_lo AS out_w,
+                   win.row_hi - win.row_lo AS out_h, win.sx_min, win.sy_max,
+                   (gx.x * 31 + gy.y * 17 + win.k) % 256 AS v
+            FROM win,
+                 LATERAL (SELECT unnest(generate_series(CAST(win.col_lo AS INT),
+                                                        CAST(win.col_hi - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(CAST(win.row_lo AS INT),
+                                                        CAST(win.row_hi - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, out_w, out_h, CAST(sum(v) AS BIGINT) AS px_sum, sx_min, sy_max
+        FROM px GROUP BY image_id, out_w, out_h, sx_min, sy_max
     """,
     "tile_warp_bilinear": f"""
         WITH {TILE_SQL_CTE},
@@ -4140,6 +4221,7 @@ QUERIES = {
     "tile_resize": q_tile_resize,
     "tile_warp_4326": q_tile_warp_4326,
     "tile_warp_bilinear": q_tile_warp_bilinear,
+    "tile_fast_warp": q_tile_fast_warp,
     "tile_resize_lanczos": q_tile_resize_lanczos,
     "tile_resize_cubicspline": q_tile_resize_cubicspline,
     "polygonize": q_polygonize,
