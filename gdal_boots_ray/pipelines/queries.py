@@ -1188,6 +1188,188 @@ def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def _doc_word_counts(batch):
+    """Per-(doc, word) counts + doc length, computed in ONE pass inside
+    the batch (a document is one row, so tf/doclen are exact without a
+    combine; the (doc_id, word) rows are globally unique)."""
+    import pandas as pd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+
+    wl = [_WORD_RE.findall(t.lower()) for t in batch["text"]]
+    lens = np.array([len(w) for w in wl])
+    ids = np.repeat(batch["doc_id"].to_numpy(), lens)
+    words = (
+        np.concatenate([np.asarray(w, dtype=object) for w in wl if w])
+        if lens.sum()
+        else np.array([], dtype=object)
+    )
+    df = pd.DataFrame({"doc_id": ids, "word": words})
+    out = df.groupby(["doc_id", "word"], sort=False).size().rename("cnt").reset_index()
+    out["doclen"] = out.groupby("doc_id", sort=False)["cnt"].transform("sum")
+    return out
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document TF-IDF keyword extraction — the classic corpus
+    summarization step of a training-data pipeline.  Scale shape: one
+    tokenize pass emits (doc_id, word, cnt, doclen) partials, document
+    frequencies come from a ``bucketed_aggregate`` over those unique
+    rows, the df side streams back via the bucketed ``hash_join`` (no
+    broadcast of the vocabulary), and the winner per doc is a
+    ``grouped_top_k`` — every exchange moves word-count rows, never
+    text.  Selection is integer-deterministic (cnt DESC, df ASC, word
+    ASC) so the float tf-idf is an output value, not a comparator."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
+    from gdal_boots_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    dfreq = bucketed_aggregate(counts, ["word"], {"df": "count"})
+    joined = hash_join(
+        counts, dfreq, on="word", left_cols=["doc_id", "cnt", "doclen"], right_cols=["df"]
+    )
+    top = grouped_top_k(joined, ["doc_id"], "cnt", 1, descending=True, tie_cols=["df", "word"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy().astype(np.float64)
+        doclen = batch.column("doclen").to_numpy().astype(np.float64)
+        dfv = batch.column("df").to_numpy().astype(np.float64)
+        tfidf = cnt / doclen * np.log(n_docs / dfv)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "word": batch.column("word").cast(pa.string()),
+                "cnt": batch.column("cnt").cast(pa.int64()),
+                "df": batch.column("df").cast(pa.int64()),
+                "tfidf": pa.array(np.round(tfidf, 6), pa.float64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def q_bm25_scores(sf_dir: str, k1: float = 1.2, b: float = 0.75):
+    """BM25 retrieval scoring of the corpus against a fixed query
+    (Robertson/Sparck-Jones idf, the Okapi tf saturation) — the
+    ranking primitive behind quality-targeted corpus selection.
+    Scale shape: the tokenize pass keeps only query-term rows (tf +
+    doclen per doc), corpus scalars (N, avgdl) are exact integer
+    aggregates, per-term df is an output-sized aggregate broadcast in
+    a closure, and the per-doc score is a ``bucketed_aggregate`` sum —
+    the only shuffle moves (doc x matched-term) rows.  Row membership
+    is integer-deterministic; the float score is output-only."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    total_tokens = counts.map_batches(
+        lambda ba: pd.DataFrame({"t": [int(ba["cnt"].sum())]}), batch_format="pandas"
+    ).sum("t")
+    avgdl = float(total_tokens) / n_docs
+
+    qrows = counts.map_batches(
+        lambda ba: ba[ba["word"].isin(_BM25_TERMS)], batch_format="pandas"
+    )
+    df_rows = bucketed_aggregate(qrows, ["word"], {"df": "count"}).to_pandas()
+    df_map = dict(zip(df_rows["word"], df_rows["df"].astype(float)))
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        dfv = batch["word"].map(df_map).to_numpy(dtype=np.float64)
+        cnt = batch["cnt"].to_numpy(dtype=np.float64)
+        doclen = batch["doclen"].to_numpy(dtype=np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        score = idf * (cnt * (k1 + 1.0)) / (cnt + k1 * (1.0 - b + b * doclen / avgdl))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "score": score, "n_terms": 1})
+
+    agg = bucketed_aggregate(
+        qrows.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"],
+        {"score": "sum", "n_terms": "sum"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_terms": batch.column("n_terms").cast(pa.int64()),
+                "score": pc.round(batch.column("score").cast(pa.float64()), 6),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_doc_logprob(sf_dir: str):
+    """Unigram language-model cross-entropy scoring (the CCNet-style
+    LM quality filter): each document is scored by the mean token
+    log-probability under the corpus's own unigram distribution.
+    Scale shape: corpus term frequencies via ``bucketed_aggregate``
+    over the unique (doc, word) count rows, streamed back with the
+    bucketed ``hash_join``, per-doc reduction is another bucketed sum
+    — text never re-shuffles, and the model "training" (the unigram
+    table) and "inference" (scoring) are the same two exchanges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    tf = bucketed_aggregate(counts, ["word"], {"cnt": "sum"}).map_batches(
+        lambda ba: ba.rename(columns={"cnt": "tot"}), batch_format="pandas"
+    )
+    total_tokens = float(
+        counts.map_batches(
+            lambda ba: pd.DataFrame({"t": [int(ba["cnt"].sum())]}), batch_format="pandas"
+        ).sum("t")
+    )
+
+    joined = hash_join(counts, tf, on="word", left_cols=["doc_id", "cnt", "doclen"], right_cols=["tot"])
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(batch["tot"].to_numpy(dtype=np.float64) / total_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "s": batch["cnt"].to_numpy(dtype=np.float64) * lp,
+                "doclen": batch["cnt"].astype(np.int64),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"],
+        {"s": "sum", "doclen": "sum"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy().astype(np.float64)
+        dl = batch.column("doclen").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "doclen": batch.column("doclen").cast(pa.int64()),
+                "avg_logprob": pa.array(np.round(s / dl, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_kmeans(sf_dir: str, k: int = 8, iters: int = 6):
     """Distributed Lloyd k-means over the embeddings table
     (stages/kmeans.py): per-iteration broadcast centroids + per-batch
@@ -4136,6 +4318,74 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(true AS BOOLEAN)
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents)
     """,
+    "doc_keywords": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, sum(cnt) AS doclen FROM c GROUP BY doc_id),
+        dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM c GROUP BY w),
+        r AS (
+            SELECT c.doc_id, c.w, c.cnt, dfx.df, dl.doclen,
+                   ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                                      ORDER BY c.cnt DESC, dfx.df ASC, c.w ASC) AS rn
+            FROM c JOIN dfx ON c.w = dfx.w JOIN dl ON c.doc_id = dl.doc_id
+        )
+        SELECT doc_id, w AS word, cnt, df,
+               round(CAST(cnt AS DOUBLE) / doclen
+                     * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+        FROM r WHERE rn = 1
+    """,
+    "bm25_scores": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY doc_id, w
+        ),
+        dl AS (SELECT doc_id, sum(cnt) AS doclen FROM c GROUP BY doc_id),
+        scalars AS (
+            SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                   CAST((SELECT sum(cnt) FROM c) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl
+        ),
+        q AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM c
+            WHERE w IN ('spark', 'window', 'merge') GROUP BY w
+        ),
+        s AS (
+            SELECT c.doc_id,
+                   ln((scalars.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                     * (c.cnt * (1.2 + 1.0))
+                     / (c.cnt + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / scalars.avgdl)) AS contrib
+            FROM c JOIN q ON c.w = q.w JOIN dl ON c.doc_id = dl.doc_id, scalars
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               round(sum(contrib), 6) AS score
+        FROM s GROUP BY doc_id
+    """,
+    "doc_logprob": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY doc_id, w
+        ),
+        tf AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY w),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        s AS (
+            SELECT c.doc_id, c.cnt * ln(CAST(tf.tot AS DOUBLE) / t.total) AS contrib, c.cnt
+            FROM c JOIN tf ON c.w = tf.w, t
+        )
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS doclen,
+               round(sum(contrib) / sum(cnt), 6) AS avg_logprob
+        FROM s GROUP BY doc_id
+    """,
     "top_terms": """
         WITH words AS (
             SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -4255,6 +4505,9 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "stratified_sample": q_stratified_sample,
     "top_terms": q_top_terms,
+    "doc_keywords": q_doc_keywords,
+    "bm25_scores": q_bm25_scores,
+    "doc_logprob": q_doc_logprob,
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
