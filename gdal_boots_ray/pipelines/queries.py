@@ -2727,6 +2727,59 @@ def q_doc_fingerprints(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
     return docs.map_batches(fps, batch_format="pyarrow")
 
 
+def q_fingerprint_dups(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
+    """Substring-level near-duplicate detection (the MOSS idiom):
+    docs sharing >= 2 of their kept winnowing fingerprints are
+    flagged as overlap candidates — a dedup family orthogonal to
+    MinHash (set Jaccard) and SimHash (token frequency): it fires on
+    shared raw character runs.  Reuses the LSH pair tail
+    (``band_pairs_from_rows``: count-scaled bucket shuffle,
+    vectorized per-fingerprint pair generation, bucketed pair dedup)
+    with fingerprints as the band keys; the DuckDB twin replays the
+    md5 winnowing construction and the quadratic self-join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import md5_fingerprints
+    from gdal_boots_ray.stages.textstages import band_pairs_from_rows
+
+    n_docs = min(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows, doc_cap)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < doc_cap,
+    )
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_id, out_fp = [], []
+        for i, t in enumerate(texts):
+            for h in md5_fingerprints(t, keep=keep):
+                out_id.append(int(ids[i]))
+                out_fp.append(h)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "band_key": pa.array(out_fp, pa.int64())}
+        )
+
+    pairs = band_pairs_from_rows(
+        docs.map_batches(fps, batch_format="pyarrow"), int(n_docs), keep, hot_cap=1 << 40
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_bands").cast(pa.int64())
+        keep_m = pc.greater_equal(ns, 2)
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()).filter(keep_m),
+                "doc_b": batch.column("doc_b").cast(pa.int64()).filter(keep_m),
+                "n_shared": ns.filter(keep_m),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def q_audio_rms(sf_dir: str, n_media: int = 200):
     """REAL audio decode in the gate: per customer key, synthesize a
     float32 RIFF/WAVE square wave of amplitude (k%31+1)/64 and
@@ -3618,6 +3671,28 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(doc_id AS BIGINT) AS doc_id, h AS fp
         FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM kg)
         WHERE rn <= 4
+    """,
+    "fingerprint_dups": r"""
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents WHERE doc_id < 1500
+        ),
+        kg AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CAST('0x' || substring(md5(substring(t, i.i, 8)), 1, 16) AS UBIGINT)
+                        % 2147483647 AS BIGINT) AS h
+            FROM norm,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i) i
+        ),
+        kept AS (
+            SELECT doc_id, h
+            FROM (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM kg)
+            WHERE rn <= 4
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+        HAVING count(*) >= 2
     """,
     "audio_rms": """
         SELECT printf('aud-%08d', k) AS media_id, CAST(wi.w AS BIGINT) AS win,
@@ -4516,6 +4591,7 @@ QUERIES = {
     "audio_rms": q_audio_rms,
     "video_frames": q_video_frames,
     "doc_fingerprints": q_doc_fingerprints,
+    "fingerprint_dups": q_fingerprint_dups,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
