@@ -883,6 +883,38 @@ def q_knn_ivf(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
 
 
+def q_knn_lsh(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
+    """Hyperplane-LSH approximate embedding search judged by the same
+    CHECKED recall invariant as ``knn_ivf``: per-query recall against
+    the exact brute-force top-k must clear ``recall_bound``.  This is
+    the training-free ANN plan (seeded sign-bit tables + 1-bit
+    multi-probe, stages/knn.knn_lsh) — no quantizer fit, so it scales
+    to corpora where even a sampled k-means pass is unwanted."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+    from gdal_boots_ray.stages.knn import knn_lsh
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = qt.column("vec_id").to_numpy()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = knn_lsh(ds, qmat, k=k, n_tables=4, n_bits=6, query_ids=qids)
+    exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
+
+    a_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    e_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    rows = []
+    for q in sorted(e_sets.index):
+        inter = len(a_sets.get(q, set()) & e_sets[q])
+        rows.append((int(q), bool(inter / max(len(e_sets[q]), 1) >= recall_bound)))
+    return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
+
+
 def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate images by phash hamming distance <= 3 over the
     20-bit phash: LSH banding (4 bands x 5 bits — pigeonhole-exact for
@@ -4065,6 +4097,10 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
         FROM embeddings WHERE vec_id < 8
     """,
+    "knn_lsh": """
+        SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
+        FROM embeddings WHERE vec_id < 8
+    """,
     "embedding_neardup": """
         SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
@@ -4557,6 +4593,7 @@ QUERIES = {
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
+    "knn_lsh": q_knn_lsh,
     "phash_neardup": q_phash_neardup,
     "knn": q_knn,
     "dedup_exact": q_dedup_exact,

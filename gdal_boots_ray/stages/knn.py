@@ -540,3 +540,96 @@ def knn_ivf(embeddings_ds, queries: np.ndarray, k: int, n_centroids: int = 16, n
     )
     out["sim"] = out["sim"].round(6)
     return out
+
+
+def knn_lsh(
+    embeddings_ds,
+    queries: np.ndarray,
+    k: int,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    query_ids: Optional[np.ndarray] = None,
+    seed: int = 31415926,
+    multiprobe: bool = True,
+):
+    """Hyperplane-LSH approximate cosine top-k — the third ANN plan
+    next to ``joins.knn_brute_force`` (exact) and ``knn_ivf``
+    (quantizer lists): ``n_tables`` independent sign-bit signatures
+    (seeded hyperplanes, no training pass at all), queries probe their
+    own signature plus all 1-bit flips (multi-probe), candidates get
+    exact cosine scoring per batch.
+
+    Partitioning assumption: like IVF, signatures are computed per
+    batch with the (tables x bits x dim) plane tensor broadcast once
+    via ``ray.put`` — vectors never shuffle; only per-batch top-k
+    candidate rows (k x queries x blocks) leave the tasks, so recall
+    depends on tables/bits, never on block boundaries.
+    """
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dim = q.shape[1]
+    qids = np.arange(q.shape[0], dtype=np.int64) if query_ids is None else np.asarray(query_ids, np.int64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def signatures(mat: np.ndarray) -> np.ndarray:
+        # (rows, n_tables) integer signatures
+        bits = np.einsum("rd,tbd->rtb", mat, planes) > 0
+        return bits.astype(np.int64) @ weights
+
+    qsig = signatures(qn)  # (n_q, n_tables)
+    if multiprobe:
+        flips = qsig[:, :, None] ^ weights[None, None, :]  # 1-bit neighbors
+        probes = np.concatenate([qsig[:, :, None], flips], axis=2)  # (n_q, T, 1+B)
+    else:
+        probes = qsig[:, :, None]
+    ref = ray.put((planes, qn, qids, probes))
+
+    class LshSearch:
+        def __init__(self):
+            self.planes, self.qn, self.qids, self.probes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = (
+                batch.column("embedding").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(len(batch), -1).astype(np.float64)
+            )
+            ids = batch.column("vec_id").to_numpy()
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            matn = mat / norms
+            bits = np.einsum("rd,tbd->rtb", matn, self.planes) > 0
+            sig = bits.astype(np.int64) @ weights  # (rows, T)
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(self.qids)):
+                m = np.zeros(len(ids), dtype=bool)
+                for t in range(sig.shape[1]):
+                    m |= np.isin(sig[:, t], self.probes[j, t])
+                if not m.any():
+                    continue
+                sims = matn[m] @ self.qn[j]
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([self.qids[j]] * kk)
+                out_v.extend(ids[m][top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "q_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = embeddings_ds.map_batches(LshSearch, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    allc = cand.to_pandas()  # tiny by construction: k per query per block
+    out = (
+        allc.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("q_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out

@@ -85,6 +85,39 @@ def test_knn_ivf_recall(ray_session):
     assert (out2.groupby("q_id").size() == 5).all()
 
 
+def test_knn_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+    from gdal_boots_ray.stages.knn import knn_lsh
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 16)) * 5
+    mat = np.vstack([c + rng.normal(size=(50, 16)) * 0.2 for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = knn_lsh(ds, mat[:2], k=5, n_tables=4, n_bits=6, query_ids=np.arange(2))
+    # self is the top hit for each query (a vector always collides
+    # with its own signature in every table)
+    top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1]
+    # recall vs exact on the clustered corpus
+    exact = knn_brute_force(ds, mat[:2], k=5, query_ids=np.arange(2))
+    for q in (0, 1):
+        a = set(out[out["q_id"] == q]["vec_id"])
+        e = set(exact[exact["q_id"] == q]["vec_id"])
+        assert len(a & e) / len(e) >= 0.4
+    # multiprobe off still returns the self-bucket
+    out2 = knn_lsh(ds, mat[:2], k=5, n_tables=4, n_bits=6, query_ids=np.arange(2), multiprobe=False)
+    top2 = out2.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top2["vec_id"].tolist() == [0, 1]
+
+
 def test_kmeans_distributed(ray_session):
     """Distributed Lloyd == single-node Lloyd from the same seeds
     (same assignments path), inertia monotone, deterministic across
