@@ -2759,6 +2759,59 @@ def q_doc_fingerprints(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
     return docs.map_batches(fps, batch_format="pyarrow")
 
 
+def q_video_motion(sf_dir: str, n_media: int = 100):
+    """REAL video temporal analysis in the gate: per customer key,
+    synthesize a scrolling-gradient mono Y4M (frame f pixel (y,x) =
+    (k + 5f + x + y) % 256 on an 8x8 grid, 8 frames) and run it
+    through the VideoMotion actor stage (full decode inside the
+    task); the mean-absolute-difference per consecutive-frame pair is
+    closed-form for the DuckDB twin — including the uint8 wraparound
+    pixels whose |diff| is 251, which hash-checks that the engine
+    diffs REAL decoded frames, not the symbolic pattern."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.multimodal import VideoMotion
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def synth_y4m(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.media import y4m_encode
+
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        keys = keys[keys < n_media]
+        yy, xx = np.mgrid[0:8, 0:8]
+        ids, blobs = [], []
+        for k in keys:
+            frames = [((int(k) + 5 * f + xx + yy) % 256).astype(np.uint8) for f in range(8)]
+            ids.append(f"vid-{int(k):08d}")
+            blobs.append(y4m_encode(frames, fps=4.0))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["y4m"] * len(ids), pa.string()),
+            }
+        )
+
+    motion = cust.map_batches(synth_y4m, batch_format="pyarrow").map_batches(
+        VideoMotion,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx").cast(pa.int64()),
+                "mad": pc.round(batch.column("mad").cast(pa.float64()), 6),
+            }
+        )
+
+    return motion.map_batches(finish, batch_format="pyarrow")
+
+
 def q_fingerprint_dups(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
     """Substring-level near-duplicate detection (the MOSS idiom):
     docs sharing >= 2 of their kept winnowing fingerprints are
@@ -3732,6 +3785,15 @@ ORACLE_SQL: Dict[str, str] = {
         FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 200) keys,
              LATERAL (SELECT unnest(generate_series(0, CAST(k % 3 AS INT))) AS w) wi
     """,
+    "video_motion": """
+        SELECT printf('vid-%08d', k) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+               round(avg(abs(((k + 5 * f + x + y) % 256) - ((k + 5 * (f - 1) + x + y) % 256))), 6) AS mad
+        FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 100) keys,
+             LATERAL (SELECT unnest(generate_series(1, 7)) AS f) fr,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS x) gx,
+             LATERAL (SELECT unnest(generate_series(0, 7)) AS y) gy
+        GROUP BY media_id, f
+    """,
     "video_frames": """
         SELECT printf('vid-%08d', k) AS media_id, CAST(j AS BIGINT) AS frame_idx,
                j * 0.5 AS t_s,
@@ -4629,6 +4691,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "doc_fingerprints": q_doc_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
+    "video_motion": q_video_motion,
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,

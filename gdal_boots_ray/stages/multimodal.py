@@ -144,6 +144,61 @@ class VideoFrameSampler:
         )
 
 
+class VideoMotion:
+    """Temporal motion features: rows carry (media_id, bytes, fmt)
+    and each video emits one row per consecutive-frame pair with the
+    mean absolute pixel difference — the shot-boundary / static-clip
+    screen a video training-data pipeline runs before expensive
+    models.  The full decode happens inside the actor call (frames
+    never leave the task; only the per-pair scalars do), so the
+    stage streams at whatever batch size the payload dictates.
+
+    ``fmt == 'y4m'`` decodes for REAL via kernels/media.py; other
+    containers are the same documented seam as VideoFrameSampler."""
+
+    def __init__(self, fake_decoder: bool = False, frame_px: int = 32, n_fake_frames: int = 4):
+        self.fake_decoder = fake_decoder
+        self.frame_px = frame_px
+        self.n_fake_frames = n_fake_frames
+
+    def decode_all(self, data, fmt: str, media_id: str):
+        if fmt == "y4m":
+            from gdal_boots_ray.kernels.media import y4m_decode_frames, y4m_info
+
+            info = y4m_info(bytes(data))
+            return y4m_decode_frames(bytes(data), np.arange(info["n_frames"]))
+        if not self.fake_decoder:
+            raise NotImplementedError(
+                "compressed video needs an external codec (e.g. PyAV); this "
+                "environment ships none — y4m decodes for real, the rest is a seam"
+            )
+        rng = np.random.default_rng(abs(hash(media_id)) % (2**32))
+        return [
+            rng.integers(0, 255, (3, self.frame_px, self.frame_px)).astype(np.uint8)
+            for _ in range(self.n_fake_frames)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_id, out_f, out_mad = [], [], []
+        for i, mid in enumerate(ids):
+            frames = self.decode_all(batch.column("bytes")[i].as_py(), fmts[i], mid)
+            for f in range(1, len(frames)):
+                a = frames[f].astype(np.int16)
+                b = frames[f - 1].astype(np.int16)
+                out_id.append(mid)
+                out_f.append(f)
+                out_mad.append(float(np.abs(a - b).mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "mad": pa.array(out_mad, pa.float64()),
+            }
+        )
+
+
 class AudioFeatures:
     """Audio feature stage: (media_id, bytes, fmt, sample_rate) ->
     per-window RMS energy rows.

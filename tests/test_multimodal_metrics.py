@@ -64,6 +64,29 @@ def test_video_sampler_fake_decoder_plumbing():
     assert views[0].shape == (3, 32, 32)
 
 
+def test_video_motion_stub_fake_and_real():
+    from gdal_boots_ray.kernels.media import y4m_encode
+    from gdal_boots_ray.stages.multimodal import VideoMotion
+
+    with pytest.raises(NotImplementedError, match="compressed video"):
+        VideoMotion()(_video_batch())
+    out = VideoMotion(fake_decoder=True, n_fake_frames=4)(_video_batch())
+    assert out.num_rows == 3 + 3  # n_frames-1 pairs per video
+    assert out.column_names == ["media_id", "frame_idx", "mad"]
+    # real y4m: constant frames 10, 10, 30 -> mads exactly 0 and 20
+    frames = [np.full((4, 4), v, np.uint8) for v in (10, 10, 30)]
+    batch = pa.table(
+        {
+            "media_id": pa.array(["v"], pa.string()),
+            "bytes": pa.array([y4m_encode(frames, fps=2.0)], pa.binary()),
+            "fmt": pa.array(["y4m"], pa.string()),
+        }
+    )
+    real = VideoMotion()(batch)
+    assert real.column("mad").to_pylist() == [0.0, 20.0]
+    assert real.column("frame_idx").to_pylist() == [1, 2]
+
+
 def test_audio_features_stub_and_fake():
     batch = pa.table(
         {
