@@ -23,6 +23,14 @@ series implementations from public literature:
   +proj=eqc; Snyder 3-21/3-26 meridian arc + Newton polish), and
   sinusoidal (+proj=sinu, Snyder 30-8..30-11) including the MODIS
   authalic sphere ``+R=6371007.181``.
+- General ``+proj=tmerc`` (national grids: OSGB, Gauss-Krüger, NZTM)
+  — the same Krüger series with arbitrary lat_0/lon_0/k/x_0/y_0;
+  nonzero lat_0 folds the projected meridian arc into the false
+  northing (PROJ: y = k0*(M - M0) + y_0).  Golden: the Ordnance
+  Survey worked example (651409.903 E, 313177.270 N) to < 1 mm.
+  EPSG codes needing a datum shift (e.g. 27700's OSGB36 Helmert)
+  stay rejected — proj4 form only, matching no-``+towgs84``
+  semantics.
 
 All transforms are vectorized over ``(n,)`` float64 coordinate arrays.
 """
@@ -44,6 +52,7 @@ _ELLIPSOIDS = {
     "WGS84": (6378137.0, 298.257223563),
     "GRS80": (6378137.0, 298.257222101),
     "aust_SA": (6378160.0, 298.25),
+    "airy": (6377563.396, 299.3249646),
     "sphere": (6370997.0, 0.0),
 }
 
@@ -886,6 +895,29 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _sinu_forward(c, lon, lat),
             lambda x, y, c=consts: _sinu_inverse(c, x, y),
+        )
+    elif proj == "tmerc":
+        # general Transverse Mercator (national grids: OSGB, Gauss-
+        # Krüger zones, NZTM...): the UTM Krüger series with arbitrary
+        # lat_0/lon_0/k/x_0/y_0.  A nonzero lat_0 shifts the northing
+        # by the projected meridian arc at lat_0 (PROJ: y = k0*(M-M0)
+        # + y_0), folded into the false northing by evaluating the
+        # series once at the origin.
+        a, f = _p4_ellipsoid(params)
+        k0 = float(params.get("k", params.get("k_0", 1.0)))
+        lon0 = float(params.get("lon_0", 0))
+        lat0 = float(params.get("lat_0", 0))
+        fn = float(params.get("y_0", 0))
+        if lat0 != 0.0:
+            base = _TMConsts(a, f, k0, lon0, 0.0, 0.0)
+            _, y0r = _tm_forward(base, np.array([lon0]), np.array([lat0]))
+            fn -= float(y0r[0])
+        consts = _TMConsts(a, f, k0, lon0, float(params.get("x_0", 0)), fn)
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _tm_forward(c, lon, lat),
+            lambda x, y, c=consts: _tm_inverse(c, x, y),
         )
     elif proj == "utm":
         zone = int(params["zone"])

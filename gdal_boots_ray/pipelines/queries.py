@@ -1364,11 +1364,9 @@ def q_doc_logprob(sf_dir: str):
     tf = bucketed_aggregate(counts, ["word"], {"cnt": "sum"}).map_batches(
         lambda ba: ba.rename(columns={"cnt": "tot"}), batch_format="pandas"
     )
-    total_tokens = float(
-        counts.map_batches(
-            lambda ba: pd.DataFrame({"t": [int(ba["cnt"].sum())]}), batch_format="pandas"
-        ).sum("t")
-    )
+    # total tokens from the (vocabulary-sized) unigram table — avoids
+    # a second tokenize pass over the corpus
+    total_tokens = float(tf.sum("tot"))
 
     joined = hash_join(counts, tf, on="word", left_cols=["doc_id", "cnt", "doclen"], right_cols=["tot"])
 

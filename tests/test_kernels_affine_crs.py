@@ -399,3 +399,61 @@ class TestCylindricals:
         x, y = transform_points(4326, p4, lon, lat)
         lon2, lat2 = transform_points(p4, 4326, x, y)
         assert np.abs(lon - lon2).max() < 1e-8 and np.abs(lat - lat2).max() < 1e-9
+
+
+class TestTransverseMercatorGeneral:
+    """General +proj=tmerc (national grids) and EPSG:27700."""
+
+    OSGB = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy")
+
+    def test_osgb_published_worked_example(self):
+        # "A guide to coordinate systems in Great Britain" (Ordnance
+        # Survey) worked example: OSGB36 lat 52d39'27.2531"N,
+        # lon 1d43'4.5177"E -> E 651409.903, N 313177.270 (Airy 1830,
+        # pure projection - no datum shift involved; EPSG:27700 itself
+        # stays rejected because the OSGB36<->WGS84 Helmert shift is
+        # out of scope for the WGS84-pivot engine).
+        from gdal_boots_ray.kernels.crs import crs_from_proj4
+
+        crs = crs_from_proj4(self.OSGB)
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+        assert abs(x[0] - 651409.903) < 1e-3
+        assert abs(y[0] - 313177.270) < 1e-3
+        lo, la = crs.to_lonlat(x, y)
+        assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+
+    def test_tmerc_false_origin_exact(self):
+        from gdal_boots_ray.kernels.crs import crs_from_proj4
+
+        crs = crs_from_proj4(self.OSGB)
+        x, y = crs.from_lonlat(np.array([-2.0]), np.array([49.0]))
+        assert x[0] == 400000.0 and y[0] == -100000.0
+
+    def test_tmerc_utm_params_match_utm_path(self):
+        from gdal_boots_ray.kernels.crs import crs_from_epsg, crs_from_proj4
+
+        t = crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0 +ellps=WGS84")
+        u = crs_from_epsg(32633)
+        lons = np.array([12.5, 14.0, 17.9])
+        lats = np.array([41.9, 55.0, 59.3])
+        tx, ty = t.from_lonlat(lons, lats)
+        ux, uy = u.from_lonlat(lons, lats)
+        assert np.array_equal(tx, ux) and np.array_equal(ty, uy)
+
+    def test_gauss_krueger_zone(self):
+        # DHDN-style Gauss-Krüger zone 4 parameters (k=1, lon_0=12,
+        # x_0=4500000) on WGS84: central meridian maps to x_0 and the
+        # northing equals the meridian arc (checked via roundtrip +
+        # monotonicity), scale 1 on the central meridian.
+        from gdal_boots_ray.kernels.crs import crs_from_proj4
+
+        gk = crs_from_proj4("+proj=tmerc +lat_0=0 +lon_0=12 +k=1 +x_0=4500000 +y_0=0 +ellps=GRS80")
+        lats = np.array([47.0, 50.5, 54.9])
+        x, y = gk.from_lonlat(np.full(3, 12.0), lats)
+        assert np.allclose(x, 4500000.0, atol=1e-9)
+        assert np.all(np.diff(y) > 0)
+        lo, la = gk.to_lonlat(x, y)
+        assert np.allclose(lo, 12.0, atol=1e-12) and np.allclose(la, lats, atol=1e-12)
