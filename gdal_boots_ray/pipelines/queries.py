@@ -915,6 +915,36 @@ def q_knn_lsh(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
 
 
+def q_knn_pq(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
+    """Product-quantization ADC search under the same recall
+    invariant as knn_ivf/knn_lsh: 8 subspaces x 16 codes compress the
+    64-d embeddings 64x, the table scan + exact re-rank must still
+    recover >= ``recall_bound`` of the exact top-k per query."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+    from gdal_boots_ray.stages.knn import knn_pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = qt.column("vec_id").to_numpy()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = knn_pq(ds, qmat, k=k, query_ids=qids)
+    exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
+
+    a_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    e_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    rows = []
+    for q in sorted(e_sets.index):
+        inter = len(a_sets.get(q, set()) & e_sets[q])
+        rows.append((int(q), bool(inter / max(len(e_sets[q]), 1) >= recall_bound)))
+    return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
+
+
 def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate images by phash hamming distance <= 3 over the
     20-bit phash: LSH banding (4 bands x 5 bits — pigeonhole-exact for
@@ -4161,6 +4191,10 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
         FROM embeddings WHERE vec_id < 8
     """,
+    "knn_pq": """
+        SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
+        FROM embeddings WHERE vec_id < 8
+    """,
     "embedding_neardup": """
         SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
@@ -4654,6 +4688,7 @@ QUERIES = {
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
     "knn_lsh": q_knn_lsh,
+    "knn_pq": q_knn_pq,
     "phash_neardup": q_phash_neardup,
     "knn": q_knn,
     "dedup_exact": q_dedup_exact,

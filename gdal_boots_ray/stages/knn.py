@@ -633,3 +633,98 @@ def knn_lsh(
     )
     out["sim"] = out["sim"].round(6)
     return out
+
+
+def knn_pq(
+    embeddings_ds,
+    queries: np.ndarray,
+    k: int,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    query_ids: Optional[np.ndarray] = None,
+    sample_size: int = 2048,
+    refine: int = 4,
+):
+    """Product-quantization ADC search (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011) — the
+    memory-scale ANN plan: vectors compress to ``m_subspaces`` byte
+    codes (64x smaller than float64 at the defaults), queries scan
+    codes with per-subspace lookup tables (asymmetric distance), and
+    the ``refine`` x k best candidates per batch are re-ranked with
+    exact cosine.
+
+    Scale shape: codebooks train once on a deterministic driver
+    sample (the IVF precedent — swap in stages/kmeans for huge
+    corpora) and broadcast via ``ray.put``; encoding + table scan are
+    einsum/argmin over the batch, vectors never shuffle, and only
+    refine*k candidate rows per query per block leave the tasks.
+    """
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dim = q.shape[1]
+    assert dim % m_subspaces == 0, "dim must split evenly into subspaces"
+    sub = dim // m_subspaces
+    qids = np.arange(q.shape[0], dtype=np.int64) if query_ids is None else np.asarray(query_ids, np.int64)
+
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    smat = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    codebooks = np.stack(
+        [_kmeans(smat[:, m * sub : (m + 1) * sub], n_codes) for m in range(m_subspaces)]
+    )  # (M, K, sub)
+
+    # per-query ADC tables: squared L2 from each query subvector to
+    # each codeword — on normalized vectors L2 ranks like cosine
+    tables = np.empty((len(qids), m_subspaces, n_codes))
+    for m in range(m_subspaces):
+        d = qn[:, None, m * sub : (m + 1) * sub] - codebooks[m][None]  # (nq, K, sub)
+        tables[:, m, :] = (d * d).sum(axis=2)
+    ref = ray.put((codebooks, tables, qn, qids))
+
+    class PqSearch:
+        def __init__(self):
+            self.codebooks, self.tables, self.qn, self.qids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = (
+                batch.column("embedding").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(len(batch), -1).astype(np.float64)
+            )
+            ids = batch.column("vec_id").to_numpy()
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            rows = matn.shape[0]
+            codes = np.empty((rows, m_subspaces), np.int64)
+            for m in range(m_subspaces):
+                d = matn[:, None, m * sub : (m + 1) * sub] - self.codebooks[m][None]
+                codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
+            out_q, out_v, out_s = [], [], []
+            kk = min(refine * k, rows)
+            for j in range(len(self.qids)):
+                approx = self.tables[j][np.arange(m_subspaces)[None, :], codes].sum(axis=1)
+                cand = np.argpartition(approx, kk - 1)[:kk]
+                sims = matn[cand] @ self.qn[j]  # exact re-rank
+                kk2 = min(k, len(sims))
+                top = np.argpartition(-sims, kk2 - 1)[:kk2]
+                out_q.extend([self.qids[j]] * kk2)
+                out_v.extend(ids[cand][top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "q_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = embeddings_ds.map_batches(PqSearch, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    allc = cand.to_pandas()  # tiny by construction: k per query per block
+    out = (
+        allc.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("q_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out

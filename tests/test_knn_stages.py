@@ -118,6 +118,35 @@ def test_knn_lsh_recall(ray_session):
     assert top2["vec_id"].tolist() == [0, 1]
 
 
+def test_knn_pq_recall(ray_session):
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+    from gdal_boots_ray.stages.knn import knn_pq
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 16)) * 5
+    mat = np.vstack([c + rng.normal(size=(50, 16)) * 0.2 for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    # refine deep enough to cover the whole quantization-tied cluster
+    # (50 members share codes at K=8), so the exact re-rank decides
+    out = knn_pq(ds, mat[:2], k=5, m_subspaces=4, n_codes=8, refine=12, query_ids=np.arange(2))
+    # exact re-rank puts self on top
+    top = out.sort_values(["q_id", "sim"], ascending=[True, False]).groupby("q_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1]
+    exact = knn_brute_force(ds, mat[:2], k=5, query_ids=np.arange(2))
+    for q in (0, 1):
+        a = set(out[out["q_id"] == q]["vec_id"])
+        e = set(exact[exact["q_id"] == q]["vec_id"])
+        assert len(a & e) / len(e) >= 0.4
+
+
 def test_kmeans_distributed(ray_session):
     """Distributed Lloyd == single-node Lloyd from the same seeds
     (same assignments path), inertia monotone, deterministic across
