@@ -2362,6 +2362,68 @@ def q_revenue_by_segment(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_customer_order_counts(sf_dir: str):
+    """Distributed LEFT OUTER join: every customer with its order
+    count and total spend — zero / null-coalesced for customers with
+    no orders (the rows an inner join silently drops).  The orders
+    side pre-aggregates per custkey with ``bucketed_aggregate`` so
+    the join's right side is one row per customer, then the same
+    bucketed co-shuffle as the inner/semi/anti family pads unmatched
+    left rows with nulls."""
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def key_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment"),
+            }
+        )
+
+    def key_o(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "n_orders": pa.array(np.ones(batch.num_rows, np.int64)),
+                "spent": batch.column("o_totalprice").cast(pa.float64()),
+            }
+        )
+
+    per_cust = bucketed_aggregate(
+        orders.map_batches(key_o, batch_format="pyarrow"),
+        ["custkey"],
+        {"n_orders": "sum", "spent": "sum"},
+    )
+    out = hash_join(
+        cust.map_batches(key_c, batch_format="pyarrow"),
+        per_cust,
+        on="custkey",
+        left_cols=["c_mktsegment"],
+        right_cols=["n_orders", "spent"],
+        how="left",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_orders")
+        s = batch.column("spent").cast(pa.float64())
+        return pa.table(
+            {
+                "custkey": batch.column("custkey").cast(pa.int64()),
+                "c_mktsegment": batch.column("c_mktsegment").cast(pa.string()),
+                "n_orders": pc.fill_null(n.cast(pa.int64()), 0),
+                "spent": pc.round(pc.fill_null(s, 0.0), 2),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_customers_without_orders(sf_dir: str, min_price: float = 400000.0):
     """Distributed ANTI join (the NOT EXISTS shape): customers with
     no order above ``min_price``, via the same bucketed co-shuffle as
@@ -4469,6 +4531,17 @@ ORACLE_SQL: Dict[str, str] = {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
         )
     """,
+    "customer_order_counts": """
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(o_totalprice) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(c.c_custkey AS BIGINT) AS custkey, c.c_mktsegment,
+               COALESCE(p.n_orders, 0) AS n_orders,
+               round(COALESCE(p.spent, 0.0), 2) AS spent
+        FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.custkey
+    """,
     "event_gaps": """
         WITH w AS (
             SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -4728,6 +4801,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
+    "customer_order_counts": q_customer_order_counts,
     "customers_with_big_orders": q_customers_with_big_orders,
     "corpus_clean": q_corpus_clean,
     "price_quantiles": q_price_quantiles,

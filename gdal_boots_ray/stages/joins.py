@@ -446,8 +446,9 @@ def hash_join(
     """Generic two-large-sides equi-join: bucketed shuffle hash join.
 
     ``how``: 'inner' (default), 'semi' (left rows with a match, left
-    columns only), or 'anti' (left rows with NO match) — the
-    EXISTS / NOT EXISTS shapes, same single co-shuffle.
+    columns only), 'anti' (left rows with NO match) — the EXISTS /
+    NOT EXISTS shapes — or 'left' (every left row, right columns
+    null-padded on no match); all run the same single co-shuffle.
 
     Neither side is broadcast or driver-materialized: both stream
     through a key-hash bucketing stage (fan-out scales with the
@@ -551,6 +552,30 @@ def hash_join(
                 return emit(lg)
             has_match = lg["k"].isin(set(rg["k"].to_numpy()))
             return emit(lg[has_match if how == "semi" else ~has_match])
+        if how == "left":
+            m = lg.merge(rg, on="k", how="left")
+            cols = {on: _col(m["k"], kt)}
+            for c in left_cols:
+                cols[c] = _col(m[f"l_{c}"], lt.get(c))
+            for c in right_cols:
+                t = rt.get(c)
+                s = m[f"r_{c}"]
+                # unmatched rows surface as NaN through the pandas
+                # merge; emit them as real Arrow nulls (and undo the
+                # int->float promotion NaN forces on int columns)
+                vals = []
+                for v in s.tolist():
+                    if v is None or (isinstance(v, float) and np.isnan(v)):
+                        vals.append(None)
+                    elif isinstance(v, float) and t is not None and pa.types.is_integer(t):
+                        vals.append(int(v))
+                    else:
+                        vals.append(v)
+                try:
+                    cols[c] = pa.array(vals, type=t)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                    cols[c] = pa.array(vals)
+            return pa.table(cols)
         return emit(lg.merge(rg, on="k", how="inner"))
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

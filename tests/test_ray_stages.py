@@ -331,6 +331,33 @@ def test_hash_join_semi_anti(ray_mod):
     assert len(semi) + len(anti) == len(left)
 
 
+def test_hash_join_left_outer(ray_mod):
+    """left hash_join == pandas left merge: unmatched rows survive
+    with Arrow nulls, int right columns stay int."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 100, 1000), "lv": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, 150, dtype=np.int64), "rv": np.arange(100, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    got = hash_join(
+        lds, rds, on="k", left_cols=["lv"], right_cols=["rv"], how="left"
+    ).to_pandas()
+    want = left.merge(right, on="k", how="left")
+    assert len(got) == len(want) == len(left)
+    g = got.sort_values("lv").reset_index(drop=True)
+    w = want.sort_values("lv").reset_index(drop=True)
+    assert g["k"].astype(np.int64).tolist() == w["k"].astype(np.int64).tolist()
+    gm = g["rv"].isna()
+    assert gm.tolist() == w["rv"].isna().tolist()
+    assert g.loc[~gm, "rv"].astype(np.int64).tolist() == w.loc[~w["rv"].isna(), "rv"].astype(np.int64).tolist()
+
+
 def test_continuous_quantiles(ray_mod):
     """Histogram-refine percentile_cont == numpy linear interpolation
     over several distributions + degenerate cases."""
