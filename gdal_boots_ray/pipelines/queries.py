@@ -2036,6 +2036,32 @@ def q_event_gaps(sf_dir: str):
     return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
 
 
+def q_running_total(sf_dir: str):
+    """Cumulative window aggregate (SUM OVER ... ROWS UNBOUNDED
+    PRECEDING) — the running-total shape that completes the window
+    family next to tumbling/sliding/session/LAG: co-partition on
+    user_id (the same single-shuffle contract as sessionize and
+    event_gaps), per-group deterministic (ts, event_id) order, then a
+    vectorized cumulative sum + running row count."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": g["user_id"].to_numpy().astype(np.int64),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "run_total": np.round(np.cumsum(g["value"].to_numpy()), 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumsum, batch_format="pandas")
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 5-min windows per event type.  Window count is
     unbounded over time (one group per window per type), so this uses
@@ -4542,6 +4568,15 @@ ORACLE_SQL: Dict[str, str] = {
                round(COALESCE(p.spent, 0.0), 2) AS spent
         FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.custkey
     """,
+    "running_total": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 6) AS run_total
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "event_gaps": """
         WITH w AS (
             SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -4802,6 +4837,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
     "customer_order_counts": q_customer_order_counts,
+    "running_total": q_running_total,
     "customers_with_big_orders": q_customers_with_big_orders,
     "corpus_clean": q_corpus_clean,
     "price_quantiles": q_price_quantiles,
