@@ -698,6 +698,46 @@ def q_union_bounds(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_tile_focal_sum(sf_dir: str):
+    """Focal (neighborhood) statistics — the classic raster focal-mean
+    family the engine didn't cover yet: per tile, the total of all
+    3x3 box sums centered on interior pixels, computed fully
+    vectorized as nine shifted slice sums (no convolution library,
+    no per-pixel loop).  The DuckDB twin avoids the 9x join blowup by
+    weighting each pixel with the count of interior boxes that
+    contain it (a separable min/max formula per axis), so the
+    integer identity is exact."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def focal(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_interior = np.empty(n, np.int64)
+        box_total = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            h, w = b0.shape
+            ih, iw = h - 2, w - 2
+            n_interior[i] = ih * iw
+            t = 0
+            for dy in range(3):
+                for dx in range(3):
+                    t += int(b0[dy : ih + dy, dx : iw + dx].sum())
+            box_total[i] = t
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_interior),
+                "box_total": pa.array(box_total),
+            }
+        )
+
+    return ds.map_batches(focal, batch_format="pyarrow")
+
+
 def q_pixel_histogram(sf_dir: str, n_tiles: int = 64):
     """Pixel-value histogram over the first ``n_tiles`` tiles
     (reference's np.unique(return_counts) assertions,
@@ -4081,6 +4121,21 @@ ORACLE_SQL: Dict[str, str] = {
                max(x0 + w * 10.0) AS maxx, max(y0) AS maxy
         FROM tiles GROUP BY 1
     """,
+    "tile_focal_sum": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.w, tiles.h,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v,
+                   GREATEST(0, LEAST(tiles.w - 2, gx.x + 1) - GREATEST(1, gx.x - 1) + 1) AS wx,
+                   GREATEST(0, LEAST(tiles.h - 2, gy.y + 1) - GREATEST(1, gy.y - 1) + 1) AS wy
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+               CAST(sum(v * wx * wy) AS BIGINT) AS box_total
+        FROM px GROUP BY image_id, w, h
+    """,
     "pixel_histogram": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -4792,6 +4847,7 @@ QUERIES = {
     "mosaic_groups": q_mosaic_groups,
     "union_bounds": q_union_bounds,
     "pixel_histogram": q_pixel_histogram,
+    "tile_focal_sum": q_tile_focal_sum,
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
