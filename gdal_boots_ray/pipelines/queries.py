@@ -2379,6 +2379,66 @@ def q_top_orders_per_nation(sf_dir: str, k: int = 3):
     return top.map_batches(cast, batch_format="pyarrow")
 
 
+def q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(segment, orderstatus): the hierarchical
+    subtotal shape of reporting pipelines.  Scale shape: ONE
+    bucketed aggregate at the finest level runs over the joined
+    stream; every coarser level re-aggregates the (output-sized)
+    finest table — the classic rollup-from-finest trick, so raw rows
+    are read exactly once and subtotals cost nothing extra."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def key_o(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "revenue": batch.column("o_totalprice"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+            }
+        )
+
+    def key_c(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"custkey": batch.column("c_custkey").cast(pa.int64()), "c_mktsegment": batch.column("c_mktsegment")}
+        )
+
+    joined = hash_join(
+        orders.map_batches(key_o, batch_format="pyarrow"),
+        cust.map_batches(key_c, batch_format="pyarrow"),
+        on="custkey",
+        left_cols=["revenue", "o_orderstatus"],
+        right_cols=["c_mktsegment"],
+    )
+    finest = bucketed_aggregate(
+        joined, ["c_mktsegment", "o_orderstatus"], {"revenue": "sum", "n_orders": "count"}
+    ).to_pandas()  # output-sized: segments x statuses rows
+
+    lvl0 = finest.copy()
+    lvl1 = finest.groupby("c_mktsegment", as_index=False)[["revenue", "n_orders"]].sum()
+    lvl1["o_orderstatus"] = "ALL"
+    lvl2 = pd.DataFrame(
+        {
+            "c_mktsegment": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "revenue": [finest["revenue"].sum()],
+            "n_orders": [finest["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    out["revenue"] = np.round(out["revenue"].astype(np.float64), 2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out[["c_mktsegment", "o_orderstatus", "revenue", "n_orders"]]
+
+
 def q_revenue_by_segment(sf_dir: str):
     """Two-large-sides relational equi-join with NO broadcast: orders
     and customer co-shuffle once through the bucketed
@@ -4791,6 +4851,14 @@ ORACLE_SQL: Dict[str, str] = {
         UNION ALL
         SELECT CAST(0.99 AS DOUBLE), CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY nt) AS BIGINT) FROM t
     """,
+    "revenue_rollup": """
+        SELECT COALESCE(c.c_mktsegment, 'ALL') AS c_mktsegment,
+               COALESCE(o.o_orderstatus, 'ALL') AS o_orderstatus,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY ROLLUP(c.c_mktsegment, o.o_orderstatus)
+    """,
     "revenue_by_segment": """
         SELECT c.c_mktsegment,
                round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS revenue,
@@ -4894,6 +4962,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "customer_order_counts": q_customer_order_counts,
     "running_total": q_running_total,
+    "revenue_rollup": q_revenue_rollup,
     "customers_with_big_orders": q_customers_with_big_orders,
     "corpus_clean": q_corpus_clean,
     "price_quantiles": q_price_quantiles,
