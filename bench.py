@@ -137,6 +137,9 @@ def run_bench() -> dict:
         "revenue_by_segment",
         "event_gaps",
         "top_terms",
+        "doc_keywords",
+        "fingerprint_dups",
+        "tile_focal_sum",
     )
     for name in query_names:
         t = time.perf_counter()
