@@ -1237,6 +1237,76 @@ def q_token_quantiles_by_lang(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_bigram_pmi(sf_dir: str, k: int = 20):
+    """Collocation extraction: the top-k corpus bigrams with their
+    pointwise mutual information (the classic new-term/phrase miner).
+    Scale shape: bigram and unigram counts are separate tokenize
+    passes into ``bucketed_aggregate`` (count rows shuffle, text
+    doesn't), totals come from the aggregated tables, selection is a
+    single-group ``grouped_top_k`` (integer-deterministic: cnt DESC,
+    words ASC), and only the <= 2k winner words' unigram counts are
+    looked up — the full vocabulary table never materializes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        w1l, w2l = [], []
+        for t in batch["text"]:
+            ws = _WORD_RE.findall(t.lower())
+            if len(ws) > 1:
+                w1l.extend(ws[:-1])
+                w2l.extend(ws[1:])
+        df = pd.DataFrame({"w1": w1l, "w2": w2l})
+        return df.groupby(["w1", "w2"], sort=False).size().rename("cnt").reset_index()
+
+    def unigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = [w for t in batch["text"] for w in _WORD_RE.findall(t.lower())]
+        df = pd.DataFrame({"word": ws})
+        return df.groupby(["word"], sort=False).size().rename("cnt").reset_index()
+
+    big = bucketed_aggregate(
+        docs.map_batches(bigram_partials, batch_format="pandas"), ["w1", "w2"], {"cnt": "sum"}
+    )
+    uni = bucketed_aggregate(
+        docs.map_batches(unigram_partials, batch_format="pandas"), ["word"], {"cnt": "sum"}
+    )
+    tb = float(big.sum("cnt"))
+    tu = float(uni.sum("cnt"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["g"] = 0
+        return batch
+
+    top = grouped_top_k(
+        big.map_batches(tag, batch_format="pandas"), ["g"], "cnt", k, descending=True, tie_cols=["w1", "w2"]
+    ).to_pandas()
+
+    words = sorted(set(top["w1"]) | set(top["w2"]))
+    lookup = uni.map_batches(
+        lambda ba: ba[ba["word"].isin(words)], batch_format="pandas"
+    ).to_pandas()
+    cmap = dict(zip(lookup["word"], lookup["cnt"].astype(float)))
+
+    cab = top["cnt"].to_numpy(dtype=np.float64)
+    ca = top["w1"].map(cmap).to_numpy(dtype=np.float64)
+    cb = top["w2"].map(cmap).to_numpy(dtype=np.float64)
+    pmi = np.log((cab / tb) / ((ca / tu) * (cb / tu)))
+    return pd.DataFrame(
+        {
+            "w1": top["w1"],
+            "w2": top["w2"],
+            "cnt": top["cnt"].astype(np.int64),
+            "pmi": np.round(pmi, 6),
+        }
+    )
+
+
 def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
     """Per-group embedding centroids (the E-step / class-prototype
     aggregate of a vector pipeline): per-batch partial sums by group
@@ -4746,6 +4816,35 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(true AS BOOLEAN)
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents)
     """,
+    "bigram_pmi": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws
+            FROM documents
+        ),
+        big AS (
+            SELECT ws[i.i] AS w1, ws[i.i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i) i
+            GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT unnest(ws) AS word FROM toks
+        ),
+        uc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY word),
+        tb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM big),
+        tu AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM uni),
+        top AS (
+            SELECT w1, w2, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, w1 ASC, w2 ASC) AS rn
+            FROM big
+        )
+        SELECT top.w1, top.w2, top.cnt,
+               round(ln((top.cnt / tb.t) / ((a.cnt / tu.t) * (b.cnt / tu.t))), 6) AS pmi
+        FROM top
+        JOIN uc a ON a.word = top.w1
+        JOIN uc b ON b.word = top.w2, tb, tu
+        WHERE top.rn <= 20
+    """,
     "doc_keywords": """
         WITH words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -4947,6 +5046,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "bm25_scores": q_bm25_scores,
     "doc_logprob": q_doc_logprob,
+    "bigram_pmi": q_bigram_pmi,
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
