@@ -3743,6 +3743,90 @@ def q_polygonize(sf_dir: str, n_tiles: int = 24):
     )
 
 
+def q_text_normalize(sf_dir: str):
+    """Corpus text normalization (lowercase, digit-run masking,
+    whitespace collapse) — the first stage of every LLM corpus prep.
+    Pure pandas vectorized ``.str`` kernels over compiled regexes; an
+    embarrassingly-parallel streaming map, no shuffle, no
+    materialization."""
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].str.lower()
+        s = s.str.replace(r"[0-9]+", "<num>", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].astype("int64"), "norm_text": s}
+        )
+
+    return docs.map_batches(norm, batch_format="pandas")
+
+
+def q_doc_pack(sf_dir: str, budget: int = 256, range_size: int = 512):
+    """Token-budget document packing (GPT-style pretraining chunking):
+    concatenate docs in doc_id order and assign each doc the chunk
+    ``floor(exclusive_prefix_tokens / budget)``.
+
+    The prefix sum is the textbook two-pass distributed scan:
+    (1) per-doc token counts carry a contiguous range key
+    ``doc_id // range_size`` (free — no sort needed on an ordered id);
+    (2) per-range partial sums via ``bucketed_aggregate`` (one tiny
+    row per range), driver exclusive-scans the ~N/range_size offsets
+    and broadcasts them once with ``ray.put``; (3) a bounded-size
+    ``groupby(range)`` shuffle of the narrow (doc_id, n_tokens) rows
+    cumsums locally and adds the range offset.  Text never shuffles;
+    group size is capped at ``range_size`` docs so the per-group work
+    stays vectorized and bounded at any corpus size."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        n = [len(_WORD_RE.findall(t.lower())) for t in batch["text"]]
+        d = batch["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {"doc_id": d, "n_tokens": pd.Series(n, dtype="int64", index=batch.index), "rng": d // range_size}
+        )
+
+    toks = docs.map_batches(tok, batch_format="pandas")
+
+    partials = (
+        bucketed_aggregate(toks, ["rng"], {"n_tokens": "sum"})
+        .to_pandas()
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            partials["rng"].astype("int64"),
+            partials["n_tokens"].astype("int64").cumsum().shift(fill_value=0),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = group.sort_values("doc_id")
+        base = int(offs[int(g["rng"].iloc[0])])
+        excl = base + g["n_tokens"].cumsum().shift(fill_value=0).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "chunk_id": (excl // budget).astype("int64"),
+            }
+        )
+
+    return toks.groupby("rng").map_groups(pack, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -4845,6 +4929,28 @@ ORACLE_SQL: Dict[str, str] = {
         JOIN uc b ON b.word = top.w2, tb, tu
         WHERE top.rn <= 20
     """,
+    "text_normalize": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                                   '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "doc_pack": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+            FROM t
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+               CAST(off // 256 AS BIGINT) AS chunk_id
+        FROM p
+    """,
     "doc_keywords": """
         WITH words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5047,6 +5153,8 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "doc_logprob": q_doc_logprob,
     "bigram_pmi": q_bigram_pmi,
+    "text_normalize": q_text_normalize,
+    "doc_pack": q_doc_pack,
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,

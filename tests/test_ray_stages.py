@@ -417,3 +417,33 @@ def test_prefix_jaccard_recall_exact(ray_mod):
     cand = prefix_jaccard_candidate_pairs(ds, threshold=t, n_docs=len(docs)).to_pandas()
     got_cand = {(int(r.doc_a), int(r.doc_b)) for r in cand.itertuples()}
     assert truth <= got_cand  # recall = 1 (blocking may add extras)
+
+
+def test_doc_pack_prefix_scan(ray_mod):
+    """The two-pass distributed scan in q_doc_pack must equal a
+    single-process exclusive prefix sum over doc_id order."""
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.pipelines.queries import q_doc_pack
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_pack(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    word = re.compile(r"[a-zA-Z0-9']+")
+    tok = docs["text"].map(lambda t: len(word.findall(t.lower()))).astype("int64")
+    excl = tok.cumsum().shift(fill_value=0)
+    exp = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "n_tokens": tok,
+            "chunk_id": (excl // 256).astype("int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, exp)
+    # chunks are contiguous and nondecreasing in stream order
+    assert (out["chunk_id"].diff().fillna(0) >= 0).all()
