@@ -3827,6 +3827,56 @@ def q_doc_pack(sf_dir: str, budget: int = 256, range_size: int = 512):
     return toks.groupby("rng").map_groups(pack, batch_format="pandas")
 
 
+def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
+    """Benchmark decontamination (the eval-overlap filter every LLM
+    training pipeline runs): flag training docs sharing any word
+    ``n``-gram with a held-out benchmark set (here the deterministic
+    slice ``doc_id % mod == rem``).
+
+    Scale shape: the benchmark side is small by definition, so its
+    distinct shingle set is collected once and broadcast with
+    ``ray.put`` (one object-store copy per node, read by every task);
+    the unbounded training side streams through a stateless
+    ``map_batches`` that intersects per-doc shingle sets against the
+    broadcast set — no join shuffle, the corpus text never moves."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_shingles(text: str):
+        ws = _WORD_RE.findall(text.lower())
+        return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+
+    bench_sh = set()
+    for b in (
+        docs.filter(lambda r: r["doc_id"] % mod == rem)
+        .map_batches(
+            lambda ba: pd.DataFrame(
+                {"s": sorted(set().union(*(doc_shingles(t) for t in ba["text"])) if len(ba) else set())}
+            ),
+            batch_format="pandas",
+        )
+        .iter_batches(batch_format="pandas")
+    ):
+        bench_sh.update(b["s"])
+    bench_ref = ray.put(frozenset(bench_sh))
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        keep = batch[batch["doc_id"] % mod != rem]
+        nh = [len(doc_shingles(t) & bench) for t in keep["text"]]
+        out = pd.DataFrame(
+            {"doc_id": keep["doc_id"].astype("int64"), "n_hits": pd.Series(nh, dtype="int64", index=keep.index)}
+        )
+        return out[out["n_hits"] > 0]
+
+    return docs.map_batches(hits, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -4935,6 +4985,23 @@ ORACLE_SQL: Dict[str, str] = {
                                    '\\s+', ' ', 'g')) AS norm_text
         FROM documents
     """,
+    "decontaminate": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(ws[i.i:i.i + 3], ' ') AS s
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i) i
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 13 = 7)
+        SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM sh JOIN bench USING (s)
+        WHERE sh.doc_id % 13 <> 7
+        GROUP BY sh.doc_id
+    """,
     "doc_pack": """
         WITH t AS (
             SELECT doc_id,
@@ -5155,6 +5222,7 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "text_normalize": q_text_normalize,
     "doc_pack": q_doc_pack,
+    "decontaminate": q_decontaminate,
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "embedding_centroids": q_embedding_centroids,
