@@ -106,6 +106,11 @@ def warp(
             tb = _bounds_to(out_crs, primary.crs, pb)
             res_x = (tb[2] - tb[0]) / primary.img.shape[2]
             res_y = (tb[3] - tb[1]) / primary.img.shape[1]
+    if not (np.isfinite(res_x) and np.isfinite(res_y)) or res_x <= 0 or res_y <= 0:
+        raise ValueError(
+            f"degenerate output resolution ({res_x}, {res_y}); "
+            "check the source geotransform is (a, b, c, d, e, f) affine order"
+        )
 
     # --- output bounds -----------------------------------------------------
     if crop_to_cutline is None:

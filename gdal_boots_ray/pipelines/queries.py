@@ -3882,6 +3882,115 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
 # ---------------------------------------------------------------------------
 
 # simhash replay shared by the 'simhash' and 'simhash_neardup' twins
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    rules the big text pipelines filter on): per document, the
+    duplicate-line fraction and the fraction of word bigrams taken by
+    the single most frequent bigram.  Embarrassingly parallel — one
+    pass inside map_batches, no exchange at all; at 100 TB this stage
+    runs at read bandwidth.  The reference has no text surface; this
+    is an engine-original operator of the training-data family."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_lines = np.empty(n, np.int64)
+        dup_line = np.empty(n, np.float64)
+        top_bg = np.zeros(n, np.float64)
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            n_lines[i] = len(lines)
+            dup_line[i] = round(1.0 - len(set(lines)) / len(lines), 6)
+            ws = _WORD_RE.findall(t.lower())
+            if len(ws) >= 2:
+                cnt = Counter(zip(ws[:-1], ws[1:]))
+                top_bg[i] = round(max(cnt.values()) / (len(ws) - 1), 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_lines": pa.array(n_lines),
+                "dup_line_frac": pa.array(dup_line),
+                "top_bigram_frac": pa.array(top_bg),
+            }
+        )
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+def q_inverted_index(sf_dir: str, min_df: int = 5):
+    """Build a verifiable inverted index (term -> ordered posting
+    list) — the search-engine primitive over the corpus.  Plan:
+    per-batch (word, doc_id, tf) partials (one row per distinct word
+    per doc per batch), bucketed combine keyed on word so each
+    reducer assembles complete posting lists for its vocabulary
+    shard, emitting df, cf and an md5 digest of the ordered list
+    (the digest is what a 10^12-row index job would checkpoint per
+    shard).  Only word-count partials cross the wire — never text —
+    and fan-out scales with the cluster via _default_n_buckets."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_buckets = _default_n_buckets()
+
+    def postings_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        word_lists = [_WORD_RE.findall(t.lower()) for t in batch["text"]]
+        lens = np.array([len(w) for w in word_lists], np.int64)
+        ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), lens)
+        words = (
+            np.concatenate([np.asarray(w, dtype=object) for w in word_lists if w])
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        df = pd.DataFrame({"word": words, "doc_id": ids})
+        out = df.groupby(["word", "doc_id"], sort=False).size().rename("tf").reset_index()
+        out["_bucket"] = _key_buckets(out, ["word"], n_buckets)
+        return out
+
+    def build_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # re-sum tf across batch partials, then assemble ordered lists
+        p = g.groupby(["word", "doc_id"], sort=False)["tf"].sum().reset_index()
+        p = p.sort_values(["word", "doc_id"], kind="mergesort")
+        rows = []
+        for word, grp in p.groupby("word", sort=False):
+            if len(grp) < min_df:
+                continue
+            ids = grp["doc_id"].to_numpy()
+            digest = hashlib.md5(",".join(str(int(i)) for i in ids).encode()).hexdigest()
+            rows.append((word, len(ids), int(grp["tf"].sum()), digest))
+        return pd.DataFrame(rows, columns=["word", "df", "cf", "postings_md5"])
+
+    out = (
+        docs.map_batches(postings_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(build_shard, batch_format="pandas")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "df": batch.column("df").cast(pa.int64()),
+                "cf": batch.column("cf").cast(pa.int64()),
+                "postings_md5": batch.column("postings_md5"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 _SIMHASH_SQL_CTE = r"""
         words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -4979,6 +5088,43 @@ ORACLE_SQL: Dict[str, str] = {
         JOIN uc b ON b.word = top.w2, tb, tu
         WHERE top.rn <= 20
     """,
+    "doc_repetition": """
+        WITH lines AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ),
+        lstat AS (
+            SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                   round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) AS dup_line_frac
+            FROM lines
+        ),
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS ws
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, ws[i.i] || ' ' || ws[i.i + 1] AS bg
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i) i
+        ),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+        bt AS (
+            SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+            FROM bc GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+               coalesce(bt.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM lstat l LEFT JOIN bt ON l.doc_id = bt.doc_id
+    """,
+    "inverted_index": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        p AS (SELECT w, doc_id, count(*) AS tf FROM words GROUP BY 1, 2)
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+        FROM p GROUP BY 1 HAVING count(*) >= 5
+    """,
     "text_normalize": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
@@ -5221,6 +5367,8 @@ QUERIES = {
     "doc_logprob": q_doc_logprob,
     "bigram_pmi": q_bigram_pmi,
     "text_normalize": q_text_normalize,
+    "doc_repetition": q_doc_repetition,
+    "inverted_index": q_inverted_index,
     "doc_pack": q_doc_pack,
     "decontaminate": q_decontaminate,
     "approx_distinct": q_approx_distinct,
