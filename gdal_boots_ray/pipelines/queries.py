@@ -738,6 +738,93 @@ def q_tile_focal_sum(sf_dir: str):
     return ds.map_batches(focal, batch_format="pyarrow")
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Overview/pyramid build — the GDAL ``BuildOverviews('AVERAGE')``
+    analog the reference relies on GDAL for: per tile, downsample
+    levels 2x and 4x where each level pixel is the floor-mean of its
+    f x f block (integer-exact, so the DuckDB twin can replay it from
+    the closed-form pixel field).  Fully per-tile vectorized
+    reshape-sums inside map_batches — at 10^12 images this is a pure
+    map stage writing one pyramid row per (tile, level), no exchange.
+    Tile dims from sources/fixtures.py are multiples of 4, so blocks
+    tile exactly."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def pyramid(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        out_id, out_lvl, out_px, out_sum, out_mean = [], [], [], [], []
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            h, w = b0.shape
+            for f in (2, 4):
+                hh, ww = h // f, w // f
+                s = b0[: hh * f, : ww * f].reshape(hh, f, ww, f).sum(axis=(1, 3))
+                lvl = s // (f * f)
+                out_id.append(ids[i])
+                out_lvl.append(f)
+                out_px.append(hh * ww)
+                tot = int(lvl.sum())
+                out_sum.append(tot)
+                out_mean.append(round(tot / (hh * ww), 6))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "level": pa.array(out_lvl, pa.int64()),
+                "lvl_px": pa.array(out_px, pa.int64()),
+                "lvl_sum": pa.array(out_sum, pa.int64()),
+                "lvl_mean": pa.array(out_mean, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pyramid, batch_format="pyarrow")
+
+
+def q_tile_slope(sf_dir: str, steep_deg: float = 45.0):
+    """Terrain-derivative raster op (Horn 1981 as in gdaldem slope):
+    per tile, the 3x3 Horn gradient over interior pixels of the
+    deterministic field at 10 m spacing, reporting interior count,
+    steep-pixel count (slope > 45 deg) and mean slope.  Vectorized as
+    eight shifted slices per tile (no per-pixel loop); the twin
+    replays each neighbor tap in closed form from (x, y, key) so the
+    check is exact without any SQL self-join."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    px = 10.0  # fixture resolution (m), matches TILE_SQL_CTE bounds math
+
+    def slope(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_interior = np.empty(n, np.int64)
+        n_steep = np.empty(n, np.int64)
+        mean_slope = np.empty(n, np.float64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.float64)
+            tl, t, tr = b0[:-2, :-2], b0[:-2, 1:-1], b0[:-2, 2:]
+            l, r = b0[1:-1, :-2], b0[1:-1, 2:]
+            bl, b, br = b0[2:, :-2], b0[2:, 1:-1], b0[2:, 2:]
+            gx = ((tr + 2 * r + br) - (tl + 2 * l + bl)) / (8.0 * px)
+            gy = ((bl + 2 * b + br) - (tl + 2 * t + tr)) / (8.0 * px)
+            deg = np.degrees(np.arctan(np.hypot(gx, gy)))
+            n_interior[i] = deg.size
+            n_steep[i] = int((deg > steep_deg).sum())
+            mean_slope[i] = round(float(deg.mean()), 6)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_interior),
+                "n_steep": pa.array(n_steep),
+                "mean_slope": pa.array(mean_slope),
+            }
+        )
+
+    return ds.map_batches(slope, batch_format="pyarrow")
+
+
 def q_pixel_histogram(sf_dir: str, n_tiles: int = 64):
     """Pixel-value histogram over the first ``n_tiles`` tiles
     (reference's np.unique(return_counts) assertions,
@@ -4509,6 +4596,55 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(v * wx * wy) AS BIGINT) AS box_total
         FROM px GROUP BY image_id, w, h
     """,
+    "tile_pyramid": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        lv AS (
+            SELECT image_id, f.f AS level, x // f.f AS bx, y // f.f AS by,
+                   sum(v) // (f.f * f.f) AS lp
+            FROM px, (SELECT unnest([2, 4]) AS f) f
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT image_id, CAST(level AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS lvl_px,
+               CAST(sum(lp) AS BIGINT) AS lvl_sum,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lvl_mean
+        FROM lv GROUP BY 1, 2
+    """,
+    "tile_slope": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, tiles.k AS k
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        g AS (
+            SELECT image_id,
+                   ((((x+1)*31 + (y-1)*17 + k) % 256) + 2 * (((x+1)*31 + y*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * (((x-1)*31 + y*17 + k) % 256)
+                    - (((x-1)*31 + (y+1)*17 + k) % 256)) / 80.0 AS gx,
+                   ((((x-1)*31 + (y+1)*17 + k) % 256) + 2 * ((x*31 + (y+1)*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * ((x*31 + (y-1)*17 + k) % 256)
+                    - (((x+1)*31 + (y-1)*17 + k) % 256)) / 80.0 AS gy
+            FROM px
+        ),
+        s AS (
+            SELECT image_id, degrees(atan(sqrt(gx * gx + gy * gy))) AS deg FROM g
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(CASE WHEN deg > 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_steep,
+               round(avg(deg), 6) AS mean_slope
+        FROM s GROUP BY image_id
+    """,
     "pixel_histogram": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -5334,6 +5470,8 @@ QUERIES = {
     "union_bounds": q_union_bounds,
     "pixel_histogram": q_pixel_histogram,
     "tile_focal_sum": q_tile_focal_sum,
+    "tile_pyramid": q_tile_pyramid,
+    "tile_slope": q_tile_slope,
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
