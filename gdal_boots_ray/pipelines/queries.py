@@ -825,6 +825,51 @@ def q_tile_slope(sf_dir: str, steep_deg: float = 45.0):
     return ds.map_batches(slope, batch_format="pyarrow")
 
 
+def q_tile_contours(sf_dir: str, level: float = 127.5):
+    """Contour extraction (the gdal_contour analog): marching-squares
+    segment census per tile at one iso-level — per 2x2 pixel cell the
+    corner >= level bit pattern decides 0, 1 or 2 crossing segments
+    (2 for the two saddle cases).  Vectorized as four shifted boolean
+    slices + a 16-entry LUT; the DuckDB twin replays every corner
+    from the closed-form field, so the count is exact.  A full
+    contour-line writer would trace these same cells; the census is
+    the verifiable distributed core (pure map, no exchange)."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    # segments per marching-squares case, corners TL=1 TR=2 BL=4 BR=8
+    lut = np.ones(16, np.int64)
+    lut[0] = lut[15] = 0
+    lut[6] = lut[9] = 2  # saddles: TR+BL / TL+BR
+
+    def contours(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_cells = np.empty(n, np.int64)
+        n_segments = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.float64)
+            inside = b0 >= level
+            case = (
+                inside[:-1, :-1] * 1
+                + inside[:-1, 1:] * 2
+                + inside[1:, :-1] * 4
+                + inside[1:, 1:] * 8
+            )
+            n_cells[i] = case.size
+            n_segments[i] = int(lut[case].sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_cells": pa.array(n_cells),
+                "n_segments": pa.array(n_segments),
+            }
+        )
+
+    return ds.map_batches(contours, batch_format="pyarrow")
+
+
 def q_pixel_histogram(sf_dir: str, n_tiles: int = 64):
     """Pixel-value histogram over the first ``n_tiles`` tiles
     (reference's np.unique(return_counts) assertions,
@@ -2796,6 +2841,113 @@ def q_customers_with_big_orders(sf_dir: str, min_price: float = 420000.0):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_semdedup(sf_dir: str, k: int = 8, iters: int = 4, tau: float = 0.92):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    embeddings with spherical k-means, then dropping, within each
+    cluster, any vector that has a >= tau cosine neighbor with a
+    smaller id.  Plan: normalize inside map_batches -> distributed
+    Lloyd (stages/kmeans.py: centroids broadcast per iteration,
+    only k x dim partials cross the wire) -> final assignment pass ->
+    cluster-keyed shuffle -> per-cluster vectorized gram-matrix drop
+    rule (cluster populations are bounded by k-means balance; a
+    100 TB run would sub-shard clusters over hot_cap like
+    embedding_neardup).  Oracle is non-vacuous via planted scaled
+    copies (id + 1e9, embedding * 2): normalization maps copies to
+    bit-identical vectors, so each MUST land in its original's
+    cluster and be dropped by it, while the synthetic originals (max
+    pairwise cosine ~0.51) all survive — the twin is the original id
+    set with n_dups = 1."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.kmeans import kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def plant_norm(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").cast(pa.int64()).to_numpy()
+        mat = (
+            b.column("embedding")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(b), -1)
+            .astype(np.float64)
+        )
+        d = mat.shape[1]
+        both = np.concatenate([mat, mat * 2.0])
+        both /= np.linalg.norm(both, axis=1, keepdims=True)
+        ids2 = np.concatenate([ids, ids + 1_000_000_000])
+        return pa.table(
+            {
+                "vec_id": pa.array(ids2, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(both.ravel(), pa.float64()), d
+                ),
+            }
+        )
+
+    planted = ds.map_batches(plant_norm, batch_format="pyarrow")
+    cents, _ = kmeans(planted, "vec_id", "embedding", k, iters)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table, _c={}) -> pa.Table:
+        c = _c.get("c")
+        if c is None:
+            c = _c["c"] = ray.get(cref)
+        mat = (
+            batch.column("embedding")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(batch), -1)
+        )
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * mat @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        )
+        out = pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64)),
+            }
+        )
+        return out
+
+    assigned = planted.map_batches(assign, batch_format="pyarrow")
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sim = mat @ mat.T
+        # dropped[i]: some j < i has cosine >= tau (ids ascending)
+        hit = np.triu(sim >= tau, k=1)  # hit[j, i] for j < i
+        dropped = hit.any(axis=0)
+        # representative of dropped i = smallest qualifying j
+        rep = hit.argmax(axis=0)
+        n_dups = np.zeros(len(ids), np.int64)
+        np.add.at(n_dups, rep[dropped], 1)
+        keep = ~dropped
+        return pd.DataFrame({"vec_id": ids[keep], "n_dups": n_dups[keep]})
+
+    out = assigned.groupby("cluster").map_groups(cluster_dedup, batch_format="pandas")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "n_dups": batch.column("n_dups").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_embedding_neardup(
     sf_dir: str,
     threshold: float = 0.92,
@@ -4617,6 +4769,24 @@ ORACLE_SQL: Dict[str, str] = {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lvl_mean
         FROM lv GROUP BY 1, 2
     """,
+    "tile_contours": f"""
+        WITH {TILE_SQL_CTE},
+        cells AS (
+            SELECT tiles.image_id,
+                   CASE WHEN (gx.x * 31 + gy.y * 17 + tiles.k) % 256 >= 127.5 THEN 1 ELSE 0 END
+                 + CASE WHEN ((gx.x + 1) * 31 + gy.y * 17 + tiles.k) % 256 >= 127.5 THEN 2 ELSE 0 END
+                 + CASE WHEN (gx.x * 31 + (gy.y + 1) * 17 + tiles.k) % 256 >= 127.5 THEN 4 ELSE 0 END
+                 + CASE WHEN ((gx.x + 1) * 31 + (gy.y + 1) * 17 + tiles.k) % 256 >= 127.5 THEN 8 ELSE 0 END
+                   AS cs
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 2 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN cs IN (0, 15) THEN 0
+                             WHEN cs IN (6, 9) THEN 2 ELSE 1 END) AS BIGINT) AS n_segments
+        FROM cells GROUP BY image_id
+    """,
     "tile_slope": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -5251,6 +5421,10 @@ ORACLE_SQL: Dict[str, str] = {
                coalesce(bt.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM lstat l LEFT JOIN bt ON l.doc_id = bt.doc_id
     """,
+    "semdedup": """
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS n_dups
+        FROM embeddings
+    """,
     "inverted_index": """
         WITH words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5472,6 +5646,7 @@ QUERIES = {
     "tile_focal_sum": q_tile_focal_sum,
     "tile_pyramid": q_tile_pyramid,
     "tile_slope": q_tile_slope,
+    "tile_contours": q_tile_contours,
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
@@ -5530,5 +5705,6 @@ QUERIES = {
     "price_quantiles": q_price_quantiles,
     "capped_sample": q_capped_sample,
     "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
     "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
 }
