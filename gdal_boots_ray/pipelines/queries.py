@@ -870,6 +870,47 @@ def q_tile_contours(sf_dir: str, level: float = 127.5):
     return ds.map_batches(contours, batch_format="pyarrow")
 
 
+def q_tile_equalize(sf_dir: str):
+    """Histogram equalization per tile — the classic contrast
+    stretch: eq(v) = (cdf(v) - cdf_min) * 255 // (N - cdf_min), all
+    integer so the DuckDB twin (value counts -> window cumsum ->
+    floor-divide LUT) matches exactly.  Engine side is bincount +
+    cumsum + LUT gather per tile, one map_batches pass."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def equalize(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        eq_sum = np.empty(n, np.int64)
+        eq_max = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64).ravel()
+            counts = np.bincount(b0, minlength=256)
+            cdf = np.cumsum(counts)
+            present = counts > 0
+            cdf_min = int(cdf[np.argmax(present)])
+            total = int(b0.size)
+            if total == cdf_min:
+                lut = np.zeros(256, np.int64)
+            else:
+                lut = (cdf - cdf_min) * 255 // (total - cdf_min)
+            ev = lut[b0]
+            eq_sum[i] = int(ev.sum())
+            eq_max[i] = int(ev.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "eq_sum": pa.array(eq_sum),
+                "eq_max": pa.array(eq_max),
+            }
+        )
+
+    return ds.map_batches(equalize, batch_format="pyarrow")
+
+
 def q_pixel_histogram(sf_dir: str, n_tiles: int = 64):
     """Pixel-value histogram over the first ``n_tiles`` tiles
     (reference's np.unique(return_counts) assertions,
@@ -3558,6 +3599,74 @@ def q_audio_rms(sf_dir: str, n_media: int = 200):
     return ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
 
 
+def q_audio_spectrum(sf_dir: str, n_media: int = 200):
+    """Spectral analysis through the REAL WAV decode: per clip, the
+    DFT correlations at the two analytically-exact bins — DC (sum)
+    and Nyquist (alternating-sign sum) — plus total energy, over a
+    synthesized int16 PCM signal  x_n = A1*(-1)^n + A0.  int16
+    samples normalize to exact dyadic rationals in wav_decode, so
+    re-scaling by 2^15 recovers exact integers and all three
+    statistics are integer identities the DuckDB twin states in
+    closed form (N*A0, N*A1, N*(A0^2+A1^2) for even N) — any decode,
+    header, or windowing bug breaks the hash.  Pure map stage."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def synth_wav(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.media import wav_encode
+
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        keys = keys[keys < n_media]
+        ids, blobs = [], []
+        for k in keys:
+            a0 = ((int(k) % 7) + 1) * 100
+            a1 = ((int(k) % 31) + 1) * 100
+            n = 8000 * (1 + int(k) % 3)
+            sig = np.where(np.arange(n) % 2 == 0, a1, -a1).astype(np.int64) + a0
+            # wav_encode takes [-1, 1] floats and scales by 32767; m/32767
+            # round-trips to the exact int16 payload m
+            blobs.append(wav_encode(sig / 32767.0, 8000, bits=16))
+            ids.append(f"aud-{int(k):08d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    ds = cust.map_batches(synth_wav, batch_format="pyarrow")
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.media import wav_decode
+
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        n_samples = np.empty(len(ids), np.int64)
+        dc = np.empty(len(ids), np.int64)
+        nyq = np.empty(len(ids), np.int64)
+        energy = np.empty(len(ids), np.int64)
+        for i, blob in enumerate(blobs):
+            x, _rate = wav_decode(blob)
+            s = np.rint(np.asarray(x, np.float64) * 32768.0).astype(np.int64)
+            sign = np.where(np.arange(len(s)) % 2 == 0, 1, -1)
+            n_samples[i] = len(s)
+            dc[i] = int(s.sum())
+            nyq[i] = int((s * sign).sum())
+            energy[i] = int((s * s).sum())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "n_samples": pa.array(n_samples),
+                "dc_sum": pa.array(dc),
+                "nyq_sum": pa.array(nyq),
+                "energy": pa.array(energy),
+            }
+        )
+
+    return ds.map_batches(spectrum, batch_format="pyarrow")
+
+
 def q_video_frames(sf_dir: str, n_media: int = 100):
     """REAL video decode in the gate: per customer key, synthesize a
     2 s / 4 fps mono Y4M stream whose frame f is the constant value
@@ -4675,6 +4784,23 @@ ORACLE_SQL: Dict[str, str] = {
         GROUP BY doc_a, doc_b
         HAVING count(*) >= 2
     """,
+    "audio_spectrum": """
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 200
+        ),
+        p AS (
+            SELECT printf('aud-%08d', k) AS media_id,
+                   ((k % 7) + 1) * 100 AS a0,
+                   ((k % 31) + 1) * 100 AS a1,
+                   8000 * (1 + k % 3) AS n
+            FROM c
+        )
+        SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+               CAST(n * a0 AS BIGINT) AS dc_sum,
+               CAST(n * a1 AS BIGINT) AS nyq_sum,
+               CAST(n * (a0 * a0 + a1 * a1) AS BIGINT) AS energy
+        FROM p
+    """,
     "audio_rms": """
         SELECT printf('aud-%08d', k) AS media_id, CAST(wi.w AS BIGINT) AS win,
                round(((k % 31) + 1) / 64.0, 6) AS rms
@@ -4896,6 +5022,34 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(lp) AS BIGINT) AS lvl_sum,
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lvl_mean
         FROM lv GROUP BY 1, 2
+    """,
+    "tile_equalize": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.w * tiles.h AS total,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        vc AS (
+            SELECT image_id, total, v, count(*) AS c FROM px GROUP BY 1, 2, 3
+        ),
+        cd AS (
+            SELECT image_id, total, v, c,
+                   sum(c) OVER (PARTITION BY image_id ORDER BY v) AS cdf,
+                   first_value(c) OVER (PARTITION BY image_id ORDER BY v) AS cdf_min
+            FROM vc
+        ),
+        lut AS (
+            SELECT image_id, c,
+                   CASE WHEN total = cdf_min THEN 0
+                        ELSE (cdf - cdf_min) * 255 // (total - cdf_min) END AS ev
+            FROM cd
+        )
+        SELECT image_id, CAST(sum(ev * c) AS BIGINT) AS eq_sum,
+               CAST(max(ev) AS BIGINT) AS eq_max
+        FROM lut GROUP BY image_id
     """,
     "tile_contours": f"""
         WITH {TILE_SQL_CTE},
@@ -5799,6 +5953,7 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "tile_slope": q_tile_slope,
     "tile_contours": q_tile_contours,
+    "tile_equalize": q_tile_equalize,
     "image_features": q_image_features,
     "spatial_knn": q_spatial_knn,
     "knn_ivf": q_knn_ivf,
@@ -5842,6 +5997,7 @@ QUERIES = {
     "recode_stats_jp2": q_recode_stats_jp2,
     "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
     "audio_rms": q_audio_rms,
+    "audio_spectrum": q_audio_spectrum,
     "video_frames": q_video_frames,
     "doc_fingerprints": q_doc_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
