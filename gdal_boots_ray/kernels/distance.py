@@ -1,0 +1,62 @@
+"""Exact squared Euclidean distance transform — the gdal_proximity
+analog (beyond the reference's wrapped surface; gdal-boots delegates
+raster utilities to GDAL's CLI family, this provides the in-engine
+equivalent for the proximity/buffer-distance family).
+
+Algorithm: the classical two-pass dimensional decomposition
+(Felzenszwalb & Huttenlocher 2012, exact for squared distances):
+
+1. vertical pass — per column, the row-offset to the nearest target
+   cell, computed as two vectorized cumulative scans over rows
+   (O(h) numpy row-ops, no per-pixel Python);
+2. horizontal pass — d2(y, x) = min_x' ((x - x')^2 + g(y, x')^2),
+   evaluated as one broadcast min over an (h, w, w) integer tensor.
+
+All arithmetic is int64 so the result is bit-exact against a
+brute-force min-over-targets oracle (SQL or numpy).  The broadcast
+form is O(h * w^2) — the right trade for tile-sized rasters (an
+engine processing 100-TB of tiles parallelizes across tiles, and a
+tile is small by design); for monolithic rasters swap the inner min
+for the O(w) lower-envelope scan of the same paper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# larger than any achievable squared distance on a tile, small enough
+# that INF + h and INF + w^2 cannot overflow int64
+_INF = np.int64(1) << 40
+
+
+def edt_squared(target: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distance to the nearest True cell.
+
+    ``target``: (h, w) bool array.  Returns (h, w) int64; if the grid
+    holds no target at all, every cell is -1.
+    """
+    t = np.ascontiguousarray(target, dtype=bool)
+    h, w = t.shape
+    if not t.any():
+        return np.full((h, w), -1, np.int64)
+
+    # vertical pass: g[y, x] = |y - nearest target row in column x|
+    g = np.empty((h, w), np.int64)
+    run = np.full(w, _INF, np.int64)
+    for y in range(h):
+        run = np.where(t[y], 0, run + 1)
+        g[y] = run
+    run = np.full(w, _INF, np.int64)
+    for y in range(h - 1, -1, -1):
+        run = np.where(t[y], 0, run + 1)
+        np.minimum(g[y], run, out=g[y])
+
+    # columns with no target keep g >= _INF: square would overflow,
+    # clamp to _INF (still dominates any in-tile distance)
+    g2 = np.where(g >= _INF, _INF, g * g)
+
+    # horizontal pass: broadcast min over source columns
+    xs = np.arange(w, dtype=np.int64)
+    dx2 = (xs[:, None] - xs[None, :]) ** 2  # (w_out, w_src)
+    d2 = (g2[:, None, :] + dx2[None, :, :]).min(axis=2)
+    return d2

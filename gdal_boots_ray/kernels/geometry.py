@@ -536,6 +536,33 @@ def ring_area(ring: np.ndarray) -> float:
     return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def ring_metrics(ring: np.ndarray) -> Tuple[float, float, float, float]:
+    """(abs area, perimeter, centroid_x, centroid_y) of a closed ring
+    — the OGR ``GetArea`` / ``Length`` / ``Centroid`` accessor family
+    the reference reaches through ogr.Geometry (geometry.py wraps but
+    never reimplements them).  Coordinates are translated to the
+    first vertex before the shoelace/centroid sums: projected-CRS
+    coordinates are ~1e6 and the raw cross terms would cancel ~12
+    digits, poisoning the area for large rings."""
+    r = np.asarray(ring, dtype=np.float64)
+    x = r[:, 0] - r[0, 0]
+    y = r[:, 1] - r[0, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    a2 = np.sum(cross)  # 2 * signed area
+    area = 0.5 * a2
+    dx = r[1:, 0] - r[:-1, 0]
+    dy = r[1:, 1] - r[:-1, 1]
+    perim = float(np.sum(np.sqrt(dx * dx + dy * dy)))
+    if area == 0.0:
+        # degenerate ring: fall back to the vertex mean
+        cx = float(np.mean(x[:-1])) + r[0, 0]
+        cy = float(np.mean(y[:-1])) + r[0, 1]
+    else:
+        cx = float(np.sum((x[:-1] + x[1:]) * cross) / (3.0 * a2)) + r[0, 0]
+        cy = float(np.sum((y[:-1] + y[1:]) * cross) / (3.0 * a2)) + r[0, 1]
+    return abs(float(area)), perim, cx, cy
+
+
 def douglas_peucker(coords: np.ndarray, tolerance: float) -> np.ndarray:
     """Line simplification (reference VectorDataset.simplify is a no-op,
     gdal.py:1290-1293 — this provides working semantics)."""

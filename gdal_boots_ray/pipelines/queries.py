@@ -4467,6 +4467,235 @@ def q_inverted_index(sf_dir: str, min_df: int = 5):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_tile_hillshade(sf_dir: str):
+    """Hillshade (the gdaldem hillshade analog; beyond the
+    reference's wrapped surface): Horn 3x3 gradients over interior
+    pixels, lambertian shading against the standard 315-deg azimuth /
+    45-deg altitude light, shade = 255 * max(0, n.l / |n|) with
+    n = (-gx, gy, 1).  At az=315/alt=45 the dot product reduces to
+    0.5*(gx+gy) + sqrt(2)/2, which the DuckDB twin replays in the
+    identical expression shape (closed-form taps, no self-join), so
+    the shadow count is comparison-exact and the mean agrees to the
+    rounded 6 decimals."""
+    import math
+
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    alt = math.sqrt(2.0) / 2  # sin(45 deg), also cos(45 deg)
+
+    def hillshade(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_interior = np.empty(n, np.int64)
+        n_shadow = np.empty(n, np.int64)
+        mean_shade = np.empty(n, np.float64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            tl, t, tr = b0[:-2, :-2], b0[:-2, 1:-1], b0[:-2, 2:]
+            l, r = b0[1:-1, :-2], b0[1:-1, 2:]
+            bl, b, br = b0[2:, :-2], b0[2:, 1:-1], b0[2:, 2:]
+            gx = ((tr + 2 * r + br) - (tl + 2 * l + bl)) / 80.0
+            gy = ((bl + 2 * b + br) - (tl + 2 * t + tr)) / 80.0
+            num = 0.5 * (gx + gy) + alt
+            shade = 255.0 * np.maximum(num / np.sqrt(1.0 + gx * gx + gy * gy), 0.0)
+            n_interior[i] = shade.size
+            n_shadow[i] = int((num <= 0).sum())
+            mean_shade[i] = round(float(shade.mean()), 6)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_interior),
+                "n_shadow": pa.array(n_shadow),
+                "mean_shade": pa.array(mean_shade),
+            }
+        )
+
+    return ds.map_batches(hillshade, batch_format="pyarrow")
+
+
+def q_tile_aspect(sf_dir: str):
+    """Aspect (the gdaldem aspect analog): facing direction of the
+    downslope vector from Horn gradients, classified into N/E/S/W
+    quadrants on the INTEGER gradient numerators (no trig, no float),
+    so every count is arithmetic-exact against the twin.  Downslope
+    in (east, north) = (-Gx, Gy) with Gy computed on y-down taps;
+    ties |E| == |N| resolve to the N/S branch, Gx = Gy = 0 is flat —
+    the same deterministic convention in both engines."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def aspect(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        cols = {k: np.empty(n, np.int64) for k in ("n_flat", "n_north", "n_east", "n_south", "n_west")}
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            tl, t, tr = b0[:-2, :-2], b0[:-2, 1:-1], b0[:-2, 2:]
+            l, r = b0[1:-1, :-2], b0[1:-1, 2:]
+            bl, b, br = b0[2:, :-2], b0[2:, 1:-1], b0[2:, 2:]
+            gxn = (tr + 2 * r + br) - (tl + 2 * l + bl)
+            gyn = (bl + 2 * b + br) - (tl + 2 * t + tr)
+            e, nn = -gxn, gyn
+            flat = (gxn == 0) & (gyn == 0)
+            ew = (np.abs(e) > np.abs(nn)) & ~flat
+            ns = ~ew & ~flat
+            cols["n_flat"][i] = int(flat.sum())
+            cols["n_east"][i] = int((ew & (e > 0)).sum())
+            cols["n_west"][i] = int((ew & (e < 0)).sum())
+            cols["n_north"][i] = int((ns & (nn > 0)).sum())
+            cols["n_south"][i] = int((ns & (nn < 0)).sum())
+        out = {"image_id": pa.array(ids, pa.string())}
+        out.update({k: pa.array(v) for k, v in cols.items()})
+        return pa.table(out)
+
+    return ds.map_batches(aspect, batch_format="pyarrow")
+
+
+def q_tile_proximity(sf_dir: str, n_tiles: int = 8, level: int = 192):
+    """Proximity raster (the gdal_proximity analog): per pixel, the
+    exact squared Euclidean distance to the nearest bright pixel
+    (v >= level), via the two-pass dimensional-decomposition EDT
+    (kernels/distance.py) — all int64, so sums/maxima are bit-exact
+    against the twin's brute-force min-over-targets.  The tile
+    filter is pushed BELOW the decode (pre_decode_filter), so the
+    99% of tiles outside the slice never pay decode cost — the
+    predicate-pushdown shape a 100-TB run needs."""
+    from gdal_boots_ray.kernels.distance import edt_squared
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    ds = _tiles_dataset(sf_dir, decode=True, pre_decode_filter=first_keys)
+
+    def proximity(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        rows = {"image_id": [], "n_px": [], "n_target": [], "sum_d2": [], "max_d2": []}
+        for i, img in enumerate(views):
+            b0 = img if img.ndim == 2 else img[0]
+            target = b0 >= level
+            nt = int(target.sum())
+            if nt == 0:
+                continue  # twin's inner join drops target-free tiles
+            d2 = edt_squared(target)
+            rows["image_id"].append(ids[i])
+            rows["n_px"].append(d2.size)
+            rows["n_target"].append(nt)
+            rows["sum_d2"].append(int(d2.sum()))
+            rows["max_d2"].append(int(d2.max()))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "n_px": pa.array(rows["n_px"], pa.int64()),
+                "n_target": pa.array(rows["n_target"], pa.int64()),
+                "sum_d2": pa.array(rows["sum_d2"], pa.int64()),
+                "max_d2": pa.array(rows["max_d2"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(proximity, batch_format="pyarrow")
+
+
+def q_tile_sieve(sf_dir: str, n_tiles: int = 24, min_size: int = 10):
+    """Sieve filter census (the gdal_sieve analog): 4-connected
+    components of the >=128 mask whose size is below ``min_size``
+    would be absorbed by the filter; report per tile the component
+    count, the small-component count and the pixels they cover.
+    Reuses the scanline union-find labeler; the twin extends the
+    polygonize recursive-CTE min-label propagation with per-label
+    size aggregation — an independent algorithm end to end."""
+    from gdal_boots_ray.kernels.polygonize import label_components
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    ds = _tiles_dataset(sf_dir, decode=True, pre_decode_filter=first_keys)
+
+    def sieve(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        rows = {"image_id": [], "n_regions": [], "n_small": [], "n_flipped": []}
+        for i, img in enumerate(views):
+            b0 = img if img.ndim == 2 else img[0]
+            mask = (b0 >= 128).astype(np.uint8)
+            labels, _ = label_components(mask)
+            sizes = np.bincount(labels.ravel())
+            pos = np.unique(labels[mask == 1])
+            if len(pos) == 0:
+                continue
+            psz = sizes[pos]
+            small = psz < min_size
+            rows["image_id"].append(ids[i])
+            rows["n_regions"].append(len(pos))
+            rows["n_small"].append(int(small.sum()))
+            rows["n_flipped"].append(int(psz[small].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "n_regions": pa.array(rows["n_regions"], pa.int64()),
+                "n_small": pa.array(rows["n_small"], pa.int64()),
+                "n_flipped": pa.array(rows["n_flipped"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sieve, batch_format="pyarrow")
+
+
+def q_poly_metrics(sf_dir: str):
+    """Vector geometry accessors — OGR's GetArea / Length / Centroid
+    family (the reference reaches them through ogr.Geometry;
+    geometry.py wraps but never reimplements): generic shoelace
+    area, perimeter and area-weighted centroid per polygon via
+    kernels/geometry.ring_metrics, distributed as a pure map over
+    the nation features.  The diamond fixtures have closed forms
+    (area 2*rx*ry, perimeter 4*sqrt(rx^2+ry^2), centroid = center)
+    the twin states directly."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.geometry import polygon_rings, ring_metrics
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_numpy()
+        polys = nation_polygons(keys)
+        pid = np.empty(len(polys), np.int64)
+        area = np.empty(len(polys), np.float64)
+        perim = np.empty(len(polys), np.float64)
+        cx = np.empty(len(polys), np.float64)
+        cy = np.empty(len(polys), np.float64)
+        for i, p in enumerate(polys):
+            ring = polygon_rings(p["geometry"])[0]
+            a, per, x, y = ring_metrics(ring)
+            pid[i] = p["poly_id"]
+            area[i] = round(a, 6)
+            perim[i] = round(per, 6)
+            cx[i] = round(x, 6)
+            cy[i] = round(y, 6)
+        return pa.table(
+            {
+                "poly_id": pa.array(pid),
+                "area": pa.array(area),
+                "perimeter": pa.array(perim),
+                "cx": pa.array(cx),
+                "cy": pa.array(cy),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
 _SIMHASH_SQL_CTE = r"""
         words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5096,6 +5325,126 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN deg > 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_steep,
                round(avg(deg), 6) AS mean_slope
         FROM s GROUP BY image_id
+    """,
+    "tile_hillshade": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, tiles.k AS k
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        g AS (
+            SELECT image_id,
+                   ((((x+1)*31 + (y-1)*17 + k) % 256) + 2 * (((x+1)*31 + y*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * (((x-1)*31 + y*17 + k) % 256)
+                    - (((x-1)*31 + (y+1)*17 + k) % 256)) / 80.0 AS gx,
+                   ((((x-1)*31 + (y+1)*17 + k) % 256) + 2 * ((x*31 + (y+1)*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * ((x*31 + (y-1)*17 + k) % 256)
+                    - (((x+1)*31 + (y-1)*17 + k) % 256)) / 80.0 AS gy
+            FROM px
+        ),
+        s AS (
+            SELECT image_id, 0.5 * (gx + gy) + sqrt(2.0) / 2 AS num,
+                   255.0 * greatest((0.5 * (gx + gy) + sqrt(2.0) / 2) / sqrt(1.0 + gx * gx + gy * gy), 0.0) AS shade
+            FROM g
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(CASE WHEN num <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow,
+               round(avg(shade), 6) AS mean_shade
+        FROM s GROUP BY image_id
+    """,
+    "tile_aspect": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, tiles.k AS k
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        g AS (
+            SELECT image_id,
+                   -((((x+1)*31 + (y-1)*17 + k) % 256) + 2 * (((x+1)*31 + y*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * (((x-1)*31 + y*17 + k) % 256)
+                    - (((x-1)*31 + (y+1)*17 + k) % 256)) AS e,
+                   ((((x-1)*31 + (y+1)*17 + k) % 256) + 2 * ((x*31 + (y+1)*17 + k) % 256)
+                    + (((x+1)*31 + (y+1)*17 + k) % 256)
+                    - (((x-1)*31 + (y-1)*17 + k) % 256) - 2 * ((x*31 + (y-1)*17 + k) % 256)
+                    - (((x+1)*31 + (y-1)*17 + k) % 256)) AS n
+            FROM px
+        )
+        SELECT image_id,
+               CAST(sum(CASE WHEN e = 0 AND n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+               CAST(sum(CASE WHEN NOT (e = 0 AND n = 0) AND NOT abs(e) > abs(n) AND n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_north,
+               CAST(sum(CASE WHEN abs(e) > abs(n) AND e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_east,
+               CAST(sum(CASE WHEN NOT (e = 0 AND n = 0) AND NOT abs(e) > abs(n) AND n < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_south,
+               CAST(sum(CASE WHEN abs(e) > abs(n) AND e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_west
+        FROM g GROUP BY image_id
+    """,
+    "tile_proximity": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+            WHERE tiles.k < 8
+        ),
+        tg AS (SELECT image_id, x AS tx, y AS ty FROM px WHERE v >= 192),
+        d AS (
+            SELECT p.image_id, p.x, p.y,
+                   min((p.x - t.tx) * (p.x - t.tx) + (p.y - t.ty) * (p.y - t.ty)) AS d2
+            FROM px p JOIN tg t ON t.image_id = p.image_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+               CAST(sum(d2) AS BIGINT) AS sum_d2,
+               CAST(max(d2) AS BIGINT) AS max_d2
+        FROM d GROUP BY image_id
+    """,
+    "tile_sieve": """
+        WITH RECURSIVE px AS (
+            SELECT p_partkey AS k, gx.x AS x, gy.y AS y,
+                   CASE WHEN (gx.x * 31 + gy.y * 17 + p_partkey) % 256 >= 128 THEN 1 ELSE 0 END AS cls
+            FROM part,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 3) * 16 - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(32 + (part.p_partkey % 5) * 8 - 1 AS INT))) AS y) gy
+            WHERE p_partkey < 24
+        ),
+        pos AS (SELECT k, x, y, (y * 100 + x) AS node FROM px WHERE cls = 1),
+        edges AS (
+            SELECT a.k, a.node AS na, b.node AS nb
+            FROM pos a JOIN pos b
+              ON a.k = b.k AND ((abs(a.x - b.x) = 1 AND a.y = b.y) OR (abs(a.y - b.y) = 1 AND a.x = b.x))
+        ),
+        lab AS (
+            SELECT k, node, node AS label FROM pos
+            UNION
+            SELECT e.k, e.na AS node, l.label
+            FROM edges e JOIN lab l ON e.k = l.k AND e.nb = l.node
+            WHERE l.label < e.na
+        ),
+        comp AS (SELECT k, node, min(label) AS minlab FROM lab GROUP BY k, node),
+        sizes AS (SELECT k, minlab, count(*) AS sz FROM comp GROUP BY k, minlab)
+        SELECT printf('img-%08d', k) AS image_id,
+               CAST(count(*) AS BIGINT) AS n_regions,
+               CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+               CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_flipped
+        FROM sizes GROUP BY k
+    """,
+    "poly_metrics": f"""
+        WITH {POLY_SQL_CTE}
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               round(2.0 * rx * ry, 6) AS area,
+               round(4.0 * sqrt(rx * rx + ry * ry), 6) AS perimeter,
+               round(pcx, 6) AS cx,
+               round(pcy, 6) AS cy
+        FROM polys
     """,
     "pixel_histogram": f"""
         WITH {TILE_SQL_CTE},
@@ -5952,6 +6301,11 @@ QUERIES = {
     "tile_focal_sum": q_tile_focal_sum,
     "tile_pyramid": q_tile_pyramid,
     "tile_slope": q_tile_slope,
+    "tile_hillshade": q_tile_hillshade,
+    "tile_aspect": q_tile_aspect,
+    "tile_proximity": q_tile_proximity,
+    "tile_sieve": q_tile_sieve,
+    "poly_metrics": q_poly_metrics,
     "tile_contours": q_tile_contours,
     "tile_equalize": q_tile_equalize,
     "image_features": q_image_features,

@@ -1,0 +1,83 @@
+"""Kernels added for the gdaldem/gdal_proximity/OGR-accessor family:
+exact squared EDT (kernels/distance.py) and ring metrics
+(kernels/geometry.ring_metrics)."""
+
+import numpy as np
+
+from gdal_boots_ray.kernels.distance import edt_squared
+from gdal_boots_ray.kernels.geometry import ring_metrics
+
+
+def _brute_edt2(target: np.ndarray) -> np.ndarray:
+    h, w = target.shape
+    ty, tx = np.nonzero(target)
+    ys, xs = np.mgrid[0:h, 0:w]
+    d2 = (
+        (ys.reshape(-1, 1) - ty.reshape(1, -1)) ** 2
+        + (xs.reshape(-1, 1) - tx.reshape(1, -1)) ** 2
+    ).min(axis=1)
+    return d2.reshape(h, w).astype(np.int64)
+
+
+class TestEdtSquared:
+    def test_matches_brute_force_random(self):
+        rng = np.random.default_rng(7)
+        for density in (0.02, 0.2, 0.7):
+            for shape in ((1, 1), (1, 17), (13, 1), (9, 11), (32, 48)):
+                t = rng.random(shape) < density
+                if not t.any():
+                    t.flat[int(rng.integers(t.size))] = True
+                got = edt_squared(t)
+                assert got.dtype == np.int64
+                np.testing.assert_array_equal(got, _brute_edt2(t))
+
+    def test_single_target_corner(self):
+        t = np.zeros((5, 7), bool)
+        t[0, 0] = True
+        got = edt_squared(t)
+        assert got[0, 0] == 0
+        assert got[4, 6] == 16 + 36
+
+    def test_all_targets_zero(self):
+        assert edt_squared(np.ones((4, 4), bool)).max() == 0
+
+    def test_no_target_is_minus_one(self):
+        assert (edt_squared(np.zeros((3, 3), bool)) == -1).all()
+
+
+class TestRingMetrics:
+    def test_unit_square(self):
+        ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+        a, p, cx, cy = ring_metrics(ring)
+        assert np.isclose(a, 1.0)
+        assert np.isclose(p, 4.0)
+        assert np.isclose(cx, 0.5) and np.isclose(cy, 0.5)
+
+    def test_orientation_invariant_area(self):
+        ring = np.array([[0, 0], [0, 2], [3, 2], [3, 0], [0, 0]], float)  # CW
+        a, p, cx, cy = ring_metrics(ring)
+        assert np.isclose(a, 6.0)
+        assert np.isclose(p, 10.0)
+        assert np.isclose(cx, 1.5) and np.isclose(cy, 1.0)
+
+    def test_large_offset_no_cancellation(self):
+        # projected-CRS-sized coordinates: translation keeps 6 decimals
+        ox, oy = 600000.0, 5700000.0
+        ring = np.array(
+            [[ox - 2609, oy], [ox, oy + 3607], [ox + 2609, oy], [ox, oy - 3607], [ox - 2609, oy]]
+        )
+        a, p, cx, cy = ring_metrics(ring)
+        assert abs(a - 2 * 2609 * 3607) < 1e-4
+        assert abs(p - 4 * np.sqrt(2609.0**2 + 3607.0**2)) < 1e-6
+        assert abs(cx - ox) < 1e-6 and abs(cy - oy) < 1e-6
+
+    def test_asymmetric_l_shape_centroid(self):
+        # L-shape: centroid must be area-weighted, not the vertex mean
+        ring = np.array(
+            [[0, 0], [4, 0], [4, 1], [1, 1], [1, 3], [0, 3], [0, 0]], float
+        )
+        a, p, cx, cy = ring_metrics(ring)
+        assert np.isclose(a, 6.0)
+        # decompose: 4x1 rect (c=(2,0.5),A=4) + 1x2 rect (c=(0.5,2),A=2)
+        assert np.isclose(cx, (4 * 2 + 2 * 0.5) / 6)
+        assert np.isclose(cy, (4 * 0.5 + 2 * 2) / 6)
