@@ -132,6 +132,27 @@ def grid_cell_id(x, y, res: float) -> np.ndarray:
     return cx * _GRID_WIDTH + cy
 
 
+def morton_interleave2(cx, cy, bits: int = 16) -> np.ndarray:
+    """Z-order (Morton) key: bit-interleave two non-negative integer
+    cell coordinates, cx in the even bits, cy in the odd bits — the
+    locality-preserving clustering key a columnar table (Lance /
+    Parquet) sorts on so that spatially-adjacent tiles land in the
+    same fragment and a bbox scan prunes to O(matching fragments).
+    Vectorized per-bit (``bits`` iterations of O(n) numpy); the
+    per-bit shift/mask form is exactly replayable in SQL."""
+    cx = np.asarray(cx, dtype=np.int64)
+    cy = np.asarray(cy, dtype=np.int64)
+    if (cx < 0).any() or (cy < 0).any():
+        raise ValueError("morton coordinates must be non-negative")
+    if (cx >> bits).any() or (cy >> bits).any():
+        raise ValueError(f"morton coordinates exceed {bits} bits")
+    out = np.zeros(cx.shape, np.int64)
+    for b in range(bits):
+        out |= ((cx >> b) & 1) << (2 * b)
+        out |= ((cy >> b) & 1) << (2 * b + 1)
+    return out
+
+
 def grid_cell_neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
     """All cells within ``ring`` (Chebyshev) of a cell — for kNN
     neighbor-ring expansion."""

@@ -60,3 +60,60 @@ def edt_squared(target: np.ndarray) -> np.ndarray:
     dx2 = (xs[:, None] - xs[None, :]) ** 2  # (w_out, w_src)
     d2 = (g2[:, None, :] + dx2[None, :, :]).min(axis=2)
     return d2
+
+
+# linear source indices fit 20 bits for any tile-sized raster; the
+# packed key (d2 << 20 | idx) makes "nearest, tie-broken by smallest
+# linear index" a single integer min — the same total order a SQL
+# twin can state verbatim
+_IDX_BITS = 20
+
+
+def nearest_feature(target: np.ndarray):
+    """Nearest-feature transform: for every cell, the squared
+    Euclidean distance to the nearest True cell AND that cell's
+    linear index (y * w + x), ties broken to the smallest index.
+
+    Returns (d2, src) both (h, w) int64; (-1, -1) everywhere if the
+    grid holds no target.  The deterministic tie-break makes the
+    transform exactly replayable by a brute-force
+    ``min(d2 * 2^20 + idx)`` oracle — the foundation of the
+    fillnodata query."""
+    t = np.ascontiguousarray(target, dtype=bool)
+    h, w = t.shape
+    if h * w >= (1 << _IDX_BITS):
+        raise ValueError(f"raster too large for packed tie-break ({h}x{w})")
+    if not t.any():
+        full = np.full((h, w), -1, np.int64)
+        return full, full.copy()
+
+    # vertical pass: per column, nearest target row; |dy| ties go to
+    # the smaller row, so scan down (sources above, dy >= 0) wins ties
+    dist_up = np.empty((h, w), np.int64)
+    row_up = np.empty((h, w), np.int64)
+    run_d = np.full(w, _INF, np.int64)
+    run_r = np.zeros(w, np.int64)
+    for y in range(h):
+        run_d = np.where(t[y], 0, run_d + 1)
+        run_r = np.where(t[y], y, run_r)
+        dist_up[y] = run_d
+        row_up[y] = run_r
+    run_d = np.full(w, _INF, np.int64)
+    run_r = np.zeros(w, np.int64)
+    g = np.empty((h, w), np.int64)
+    ysrc = np.empty((h, w), np.int64)
+    for y in range(h - 1, -1, -1):
+        run_d = np.where(t[y], 0, run_d + 1)
+        run_r = np.where(t[y], y, run_r)
+        below_wins = run_d < dist_up[y]  # tie -> above (smaller row)
+        g[y] = np.where(below_wins, run_d, dist_up[y])
+        ysrc[y] = np.where(below_wins, run_r, row_up[y])
+
+    g2 = np.where(g >= _INF, _INF, g * g)
+    xs = np.arange(w, dtype=np.int64)
+    # per-source-column packed key: (dx2 + g2) << 20 | (ysrc*w + x')
+    src_idx = ysrc * w + xs[None, :]
+    dx2 = (xs[:, None] - xs[None, :]) ** 2
+    key = ((g2[:, None, :] + dx2[None, :, :]) << _IDX_BITS) | src_idx[:, None, :]
+    best = key.min(axis=2)
+    return best >> _IDX_BITS, best & ((1 << _IDX_BITS) - 1)

@@ -36,6 +36,12 @@ tiles AS (
 )
 """
 
+# bit-interleave replay of kernels/cells.morton_interleave2 (16 bits
+# per axis), over integer columns named cx / cy
+MORTON_SQL_EXPR = " + ".join(
+    f"(((cx >> {b}) & 1) << {2 * b}) + (((cy >> {b}) & 1) << {2 * b + 1})" for b in range(16)
+)
+
 POLY_SQL_CTE = """
 polys AS (
     SELECT
@@ -4696,6 +4702,92 @@ def q_poly_metrics(sf_dir: str):
     return ds.map_batches(metrics, batch_format="pyarrow")
 
 
+def q_tile_fillnodata(sf_dir: str, n_tiles: int = 8, nodata_below: int = 32):
+    """Fill nodata from the nearest valid pixel (the gdal_fillnodata
+    analog, nearest-neighbor mode): pixels below ``nodata_below`` take
+    the value of the nearest pixel at-or-above it, nearest by squared
+    Euclidean distance with ties broken to the smallest linear source
+    index — the deterministic total order the packed-key
+    nearest-feature transform (kernels/distance.py) and the twin's
+    ``min(d2 * 2^20 + idx)`` both realize, so fill sums AND chosen
+    source indices are bit-exact."""
+    from gdal_boots_ray.kernels.distance import nearest_feature
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    ds = _tiles_dataset(sf_dir, decode=True, pre_decode_filter=first_keys)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        rows = {"image_id": [], "n_filled": [], "sum_fill": [], "sum_src": []}
+        for i, img in enumerate(views):
+            b0 = img if img.ndim == 2 else img[0]
+            valid = b0 >= nodata_below
+            if not valid.any() or valid.all():
+                continue
+            _, src = nearest_feature(valid)
+            hole = ~valid
+            fills = b0.ravel()[src[hole]].astype(np.int64)
+            rows["image_id"].append(ids[i])
+            rows["n_filled"].append(int(hole.sum()))
+            rows["sum_fill"].append(int(fills.sum()))
+            rows["sum_src"].append(int(src[hole].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "n_filled": pa.array(rows["n_filled"], pa.int64()),
+                "sum_fill": pa.array(rows["sum_fill"], pa.int64()),
+                "sum_src": pa.array(rows["sum_src"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def q_zorder_partitions(sf_dir: str, block_shift: int = 6):
+    """Z-order clustering key over the tile grid — the
+    locality-preserving partitioning a columnar image table (the
+    north star's Lance layout) sorts on: tiles map to a Morton key
+    from their grid position (derived from each tile's geotransform,
+    not its id), and ``morton >> block_shift`` is the fragment
+    assignment.  The per-fragment (count, min, max) ranges this
+    reports are exactly the scan-pruning metadata a bbox query would
+    consult; contiguous, non-overlapping ranges are what make the
+    layout prunable.  Twin replays the bit interleave with SQL
+    shift/mask arithmetic."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from gdal_boots_ray.kernels.cells import morton_interleave2
+    from gdal_boots_ray.sources.fixtures import TILE_STEP, TILE_X0, TILE_Y0
+
+    ds = _tiles_dataset(sf_dir, decode=False)
+    step = TILE_STEP
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        gt = np.asarray(batch.column("gt").to_pylist(), np.float64)
+        col = np.rint((gt[:, 2] - TILE_X0) / step).astype(np.int64)
+        row = np.rint((TILE_Y0 - gt[:, 5]) / step).astype(np.int64)
+        morton = morton_interleave2(col, row)
+        return pa.table(
+            {
+                "partition": pa.array(morton >> block_shift),
+                "morton": pa.array(morton),
+            }
+        )
+
+    out = ds.map_batches(add_key, batch_format="pyarrow").groupby("partition").aggregate(
+        Count(alias_name="n_tiles"),
+        Min("morton", alias_name="min_morton"),
+        Max("morton", alias_name="max_morton"),
+    )
+    return out
+
+
 _SIMHASH_SQL_CTE = r"""
         words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5445,6 +5537,45 @@ ORACLE_SQL: Dict[str, str] = {
                round(pcx, 6) AS cx,
                round(pcy, 6) AS cy
         FROM polys
+    """,
+    "tile_fillnodata": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.k AS k, tiles.w AS w, gx.x AS x, gy.y AS y,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+            WHERE tiles.k < 8
+        ),
+        nd AS (SELECT image_id, k, w, x, y FROM px WHERE v < 32),
+        vd AS (SELECT image_id, x AS tx, y AS ty FROM px WHERE v >= 32),
+        best AS (
+            SELECT n.image_id, n.k, n.w, n.x, n.y,
+                   min(((n.x - t.tx) * (n.x - t.tx) + (n.y - t.ty) * (n.y - t.ty)) * 1048576
+                       + (t.ty * n.w + t.tx)) AS key
+            FROM nd n JOIN vd t ON t.image_id = n.image_id
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        fills AS (
+            SELECT image_id, key % 1048576 AS src_idx,
+                   (((key % 1048576) % w) * 31 + ((key % 1048576) // w) * 17 + k) % 256 AS fv
+            FROM best
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_filled,
+               CAST(sum(fv) AS BIGINT) AS sum_fill,
+               CAST(sum(src_idx) AS BIGINT) AS sum_src
+        FROM fills GROUP BY image_id
+    """,
+    "zorder_partitions": f"""
+        WITH {TILE_SQL_CTE},
+        cxy AS (SELECT k % 40 AS cx, k // 40 AS cy FROM tiles),
+        m AS (SELECT {MORTON_SQL_EXPR} AS morton FROM cxy)
+        SELECT CAST(morton >> 6 AS BIGINT) AS partition,
+               CAST(count(*) AS BIGINT) AS n_tiles,
+               CAST(min(morton) AS BIGINT) AS min_morton,
+               CAST(max(morton) AS BIGINT) AS max_morton
+        FROM m GROUP BY 1
     """,
     "pixel_histogram": f"""
         WITH {TILE_SQL_CTE},
@@ -6305,6 +6436,8 @@ QUERIES = {
     "tile_aspect": q_tile_aspect,
     "tile_proximity": q_tile_proximity,
     "tile_sieve": q_tile_sieve,
+    "tile_fillnodata": q_tile_fillnodata,
+    "zorder_partitions": q_zorder_partitions,
     "poly_metrics": q_poly_metrics,
     "tile_contours": q_tile_contours,
     "tile_equalize": q_tile_equalize,

@@ -3,8 +3,10 @@ exact squared EDT (kernels/distance.py) and ring metrics
 (kernels/geometry.ring_metrics)."""
 
 import numpy as np
+import pytest
 
-from gdal_boots_ray.kernels.distance import edt_squared
+from gdal_boots_ray.kernels.cells import morton_interleave2
+from gdal_boots_ray.kernels.distance import edt_squared, nearest_feature
 from gdal_boots_ray.kernels.geometry import ring_metrics
 
 
@@ -43,6 +45,75 @@ class TestEdtSquared:
 
     def test_no_target_is_minus_one(self):
         assert (edt_squared(np.zeros((3, 3), bool)) == -1).all()
+
+
+def _brute_nearest(target: np.ndarray):
+    """(d2, src) under the (d2, then linear index) total order."""
+    h, w = target.shape
+    ty, tx = np.nonzero(target)
+    idx = ty * w + tx
+    ys, xs = np.mgrid[0:h, 0:w]
+    d2 = (ys.reshape(-1, 1) - ty.reshape(1, -1)) ** 2 + (
+        xs.reshape(-1, 1) - tx.reshape(1, -1)
+    ) ** 2
+    key = d2.astype(np.int64) * (1 << 20) + idx.reshape(1, -1)
+    best = key.min(axis=1)
+    return (best >> 20).reshape(h, w), (best & ((1 << 20) - 1)).reshape(h, w)
+
+
+class TestNearestFeature:
+    def test_matches_brute_force_including_ties(self):
+        rng = np.random.default_rng(11)
+        for density in (0.05, 0.3):
+            for shape in ((1, 9), (7, 1), (8, 8), (17, 23)):
+                t = rng.random(shape) < density
+                if not t.any():
+                    t.flat[int(rng.integers(t.size))] = True
+                d2, src = nearest_feature(t)
+                bd2, bsrc = _brute_nearest(t)
+                np.testing.assert_array_equal(d2, bd2)
+                np.testing.assert_array_equal(src, bsrc)
+
+    def test_symmetric_tie_prefers_smaller_index(self):
+        # targets equidistant above and below: above (smaller row) wins
+        t = np.zeros((5, 1), bool)
+        t[0, 0] = t[4, 0] = True
+        d2, src = nearest_feature(t)
+        assert d2[2, 0] == 4 and src[2, 0] == 0
+        # and left/right tie in a row: left (smaller index) wins
+        t = np.zeros((1, 5), bool)
+        t[0, 0] = t[0, 4] = True
+        d2, src = nearest_feature(t)
+        assert d2[0, 2] == 4 and src[0, 2] == 0
+
+    def test_no_target(self):
+        d2, src = nearest_feature(np.zeros((2, 2), bool))
+        assert (d2 == -1).all() and (src == -1).all()
+
+    def test_too_large_raises(self):
+        with pytest.raises(ValueError):
+            nearest_feature(np.ones((1 << 10, 1 << 10), bool))
+
+
+class TestMorton:
+    def test_known_values(self):
+        np.testing.assert_array_equal(
+            morton_interleave2([0, 1, 0, 1, 2, 3], [0, 0, 1, 1, 2, 3]),
+            [0, 1, 2, 3, 12, 15],
+        )
+
+    def test_locality_block_structure(self):
+        # a 2^b x 2^b aligned block maps to one contiguous key range
+        cx, cy = np.meshgrid(np.arange(4, 8), np.arange(8, 12))
+        keys = morton_interleave2(cx.ravel(), cy.ravel())
+        keys.sort()
+        assert keys[-1] - keys[0] == 15 and len(set(keys.tolist())) == 16
+
+    def test_rejects_negative_and_overflow(self):
+        with pytest.raises(ValueError):
+            morton_interleave2([-1], [0])
+        with pytest.raises(ValueError):
+            morton_interleave2([1 << 16], [0])
 
 
 class TestRingMetrics:
