@@ -4788,6 +4788,107 @@ def q_zorder_partitions(sf_dir: str, block_shift: int = 6):
     return out
 
 
+def q_band_math(sf_dir: str):
+    """Raster band algebra (the gdal_calc analog; reference reaches
+    band math through numpy on RasterDataset slices, gdal.py
+    __getitem__/__setitem__): 2-band tiles through the real
+    encode/decode chain, per-pixel normalized difference
+    (b1 - b0) / (b1 + b0) — the NDVI shape — reduced per tile to a
+    mean plus integer-exact sign counts.  The 2-band fixture offsets
+    band 1 by +7 mod 256, so the difference is +7 except where the
+    base field wraps (-249): the sign counts pin the wrap handling
+    exactly."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = ds.map_batches(
+        lambda b: synth_images_batch(b.column("p_partkey").to_numpy(), bands=2),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), batch_size=128)
+
+    def ndiff(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        n_pos = np.empty(n, np.int64)
+        n_neg = np.empty(n, np.int64)
+        mean_nd = np.empty(n, np.float64)
+        for i, img in enumerate(views):
+            assert img.ndim == 3 and img.shape[0] == 2, f"expected 2 bands, got {img.shape}"
+            b0 = img[0].astype(np.int64)
+            b1 = img[1].astype(np.int64)
+            nd = (b1 - b0) / (b1 + b0)
+            n_px[i] = nd.size
+            n_pos[i] = int((b1 > b0).sum())
+            n_neg[i] = int((b1 < b0).sum())
+            mean_nd[i] = round(float(nd.mean()), 6)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "n_pos": pa.array(n_pos),
+                "n_neg": pa.array(n_neg),
+                "mean_nd": pa.array(mean_nd),
+            }
+        )
+
+    return ds.map_batches(ndiff, batch_format="pyarrow")
+
+
+def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
+    """NTILE window function: per user, events ranked by
+    (value, event_id) — the unique tie-break makes the bucket
+    assignment deterministic — and dealt into 4 quartile buckets with
+    SQL's NTILE sizing (first n % 4 buckets get the extra row);
+    reduced to per-user per-quartile counts and value sums.  Runs as
+    a bucketed per-user pass (users hash into a bounded number of
+    groups, each group vectorized), never one Ray group per user."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.agg import _default_n_buckets
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    nb = _default_n_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column("_bucket", pa.array((u * 2654435761 % 2**31) % nb))
+
+    def ntile_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        uid = d["user_id"].to_numpy()
+        # position within each user's ordered run
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        runlen = np.diff(np.r_[starts, len(uid)])
+        sizes = np.repeat(runlen, runlen)
+        pos = np.arange(len(uid)) - np.repeat(starts, runlen)
+        # SQL NTILE: first (n % k) buckets have ceil(n/k) rows
+        k = n_tiles_q
+        big = sizes % k
+        per = sizes // k
+        cut = big * (per + 1)
+        tile = np.where(pos < cut, pos // np.maximum(per + 1, 1), big + (pos - cut) // np.maximum(per, 1)) + 1
+        out = pd.DataFrame({"user_id": uid, "quartile": tile.astype(np.int64), "value": d["value"].to_numpy()})
+        agg = out.groupby(["user_id", "quartile"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+        agg["sum_value"] = agg["sum_value"].round(6)
+        return agg
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(ntile_counts, batch_format="pandas")
+    )
+
+
 _SIMHASH_SQL_CTE = r"""
         words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5576,6 +5677,34 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(morton) AS BIGINT) AS min_morton,
                CAST(max(morton) AS BIGINT) AS max_morton
         FROM m GROUP BY 1
+    """,
+    "band_math": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS b0,
+                   (gx.x * 31 + gy.y * 17 + tiles.k + 7) % 256 AS b1
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(CASE WHEN b1 > b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN b1 < b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               round(avg((b1 - b0) / (b1 + b0)), 6) AS mean_nd
+        FROM px GROUP BY image_id
+    """,
+    "events_ntile": """
+        WITH t AS (
+            SELECT user_id, value,
+                   ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+            FROM events
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(quartile AS BIGINT) AS quartile,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM t GROUP BY 1, 2
     """,
     "pixel_histogram": f"""
         WITH {TILE_SQL_CTE},
@@ -6438,6 +6567,8 @@ QUERIES = {
     "tile_sieve": q_tile_sieve,
     "tile_fillnodata": q_tile_fillnodata,
     "zorder_partitions": q_zorder_partitions,
+    "band_math": q_band_math,
+    "events_ntile": q_events_ntile,
     "poly_metrics": q_poly_metrics,
     "tile_contours": q_tile_contours,
     "tile_equalize": q_tile_equalize,
