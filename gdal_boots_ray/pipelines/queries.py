@@ -335,6 +335,45 @@ def q_tile_pip_join(sf_dir: str):
     return joined.select_columns(["poly_id", "image_id"])
 
 
+def q_donut_pip_join(sf_dir: str):
+    """Hole-aware PIP join: each nation diamond gets a half-scale
+    interior hole (a second ring), and a tile matches only when its
+    center falls in the annulus — the even-odd parity of the
+    ray-cast (kernels/geometry.points_in_rings: holes flip parity
+    naturally) is what the twin's outer-AND-NOT-inner closed form
+    checks.  Same broadcast STRtree join stage as tile_pip_join, so
+    multi-ring geometries ride the production path."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from gdal_boots_ray.kernels.geometry import polygon_rings
+    from gdal_boots_ray.sources.fixtures import nation_polygon_params, nation_polygons
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    donuts = []
+    for p in nation_polygons(nk):
+        cx, cy, rx, ry = nation_polygon_params(int(p["poly_id"]))
+        outer = polygon_rings(p["geometry"])[0]
+        hx, hy = rx * 0.5, ry * 0.5
+        hole = np.array(
+            [[cx - hx, cy], [cx, cy + hy], [cx + hx, cy], [cx, cy - hy], [cx - hx, cy]]
+        )
+        donuts.append((int(p["poly_id"]), [outer, hole]))
+    poly_ref = ray.put(donuts)
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref, "keep_cols": ["image_id", "cx", "cy"]},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    from ray.data.aggregate import Count
+
+    return joined.groupby("poly_id").aggregate(Count(alias_name="n_tiles"))
+
+
 def q_points_pip_join(sf_dir: str):
     """Shuffle-path PIP join (polygon Dataset exploded to covering
     cells, co-shuffled with the points on cell)."""
@@ -5055,6 +5094,15 @@ ORACLE_SQL: Dict[str, str] = {
         FROM tiles, polys
         WHERE abs(x0 + w * 10.0 / 2 - pcx) / rx + abs(y0 - h * 10.0 / 2 - pcy) / ry < 1.0
     """,
+    "donut_pip_join": f"""
+        WITH {TILE_SQL_CTE}, {POLY_SQL_CTE}
+        SELECT poly_id, CAST(count(*) AS BIGINT) AS n_tiles
+        FROM tiles, polys
+        WHERE abs(x0 + w * 10.0 / 2 - pcx) / rx + abs(y0 - h * 10.0 / 2 - pcy) / ry < 1.0
+          AND NOT (abs(x0 + w * 10.0 / 2 - pcx) / (rx * 0.5)
+                   + abs(y0 - h * 10.0 / 2 - pcy) / (ry * 0.5) < 1.0)
+        GROUP BY poly_id
+    """,
     "points_pip_join": f"""
         WITH {POINT_SQL_CTE}, {POLY_SQL_CTE}
         SELECT pid, poly_id
@@ -6535,6 +6583,7 @@ QUERIES = {
     "tile_s2_cells": q_tile_s2_cells,
     "tile_h3_cells": q_tile_h3_cells,
     "tile_pip_join": q_tile_pip_join,
+    "donut_pip_join": q_donut_pip_join,
     "points_pip_join": q_points_pip_join,
     "parts_pip_join": q_parts_pip_join,
     "point_values": q_point_values,
