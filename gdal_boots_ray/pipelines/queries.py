@@ -1610,15 +1610,22 @@ def q_doc_keywords(sf_dir: str):
     ``grouped_top_k`` — every exchange moves word-count rows, never
     text.  Selection is integer-deterministic (cnt DESC, df ASC, word
     ASC) so the float tf-idf is an output value, not a comparator."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
     from gdal_boots_ray.stages.joins import hash_join
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n_docs = float(docs.count())
+    # row count from parquet footers — no extra read pass
+    n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
-    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    # the partials feed TWO consumers (df aggregate + join left side);
+    # materializing them stops the lineage re-executing the tokenize
+    # pass per branch.  Word-count rows are ~10x smaller than the
+    # text they summarize, so pinning them (with object-store spill)
+    # is the right trade at any scale.
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas").materialize()
     dfreq = bucketed_aggregate(counts, ["word"], {"df": "count"})
     joined = hash_join(
         counts, dfreq, on="word", left_cols=["doc_id", "cnt", "doclen"], right_cols=["df"]
@@ -1657,14 +1664,17 @@ def q_bm25_scores(sf_dir: str, k1: float = 1.2, b: float = 0.75):
     the only shuffle moves (doc x matched-term) rows.  Row membership
     is integer-deterministic; the float score is output-only."""
     import pandas as pd
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n_docs = float(docs.count())
+    n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
-    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    # three consumers (corpus token total, df aggregate, score pass)
+    # share one tokenize — pin the word-count partials once
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas").materialize()
     total_tokens = counts.map_batches(
         lambda ba: pd.DataFrame({"t": [int(ba["cnt"].sum())]}), batch_format="pandas"
     ).sum("t")
@@ -1718,7 +1728,9 @@ def q_doc_logprob(sf_dir: str):
     from gdal_boots_ray.stages.joins import hash_join
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    counts = docs.map_batches(_doc_word_counts, batch_format="pandas")
+    # two consumers (unigram table + join left side) share the
+    # tokenize pass — pin the word-count partials once
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas").materialize()
     tf = bucketed_aggregate(counts, ["word"], {"cnt": "sum"}).map_batches(
         lambda ba: ba.rename(columns={"cnt": "tot"}), batch_format="pandas"
     )
