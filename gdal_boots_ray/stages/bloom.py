@@ -57,30 +57,34 @@ def build_bloom(
     ds,
     key_fn: Callable[[pd.DataFrame], np.ndarray],
     m_bits: int = M_BITS_DEFAULT,
-    n_buckets: int = 16,
+    fanin: int = 64,
+    levels: int = 2,
 ) -> np.ndarray:
-    """Distributed bitmap build: per-batch partials -> bucketed OR
-    merge -> driver OR.  ``key_fn`` maps a pandas batch to an int key
-    array."""
+    """Distributed bitmap build: per-batch partials -> map-side OR
+    tree -> driver OR.  ``key_fn`` maps a pandas batch to an int key
+    array.
+
+    The OR merge needs no key co-location, so the tree is plain
+    ``map_batches(combine, batch_size=fanin)`` stages — each level
+    shrinks the partial count by ``fanin`` with ZERO shuffle (the
+    earlier bucketed-groupby merge paid a full Sort exchange, seconds
+    of fixed cost, to move a few hundred KB).  Two levels cover 10^5+
+    partials; the driver then ORs at most ~fanin rows."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         words = bloom_partial(key_fn(batch), m_bits)
-        b = int(words[:64].sum()) % n_buckets
-        return pd.DataFrame({"bucket": [b], "words": [words.tobytes()]})
+        return pd.DataFrame({"words": [words.tobytes()]})
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(m_bits // 64, dtype=np.uint64)
         for w in g["words"]:
             acc |= np.frombuffer(w, dtype=np.uint64)
-        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])], "words": [acc.tobytes()]})
+        return pd.DataFrame({"words": [acc.tobytes()]})
 
-    rows = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
+    out = ds.map_batches(partial, batch_format="pandas")
+    for _ in range(levels):
+        out = out.map_batches(combine, batch_format="pandas", batch_size=fanin)
     acc = np.zeros(m_bits // 64, dtype=np.uint64)
-    for w in rows["words"]:
+    for w in out.to_pandas()["words"]:
         acc |= np.frombuffer(w, dtype=np.uint64)
     return acc
