@@ -4708,6 +4708,49 @@ def q_tile_sieve(sf_dir: str, n_tiles: int = 24, min_size: int = 10):
     return ds.map_batches(sieve, batch_format="pyarrow")
 
 
+def q_poly_grid_cover(sf_dir: str, res: float = 1000.0):
+    """Polyfill — polygon to covering-cell-set (the H3 polyfill
+    shape, over the engine's grid index): candidate cells from the
+    envelope (kernels/cells.grid_cells_covering_bounds, the same
+    primitive cell_pip_join explodes polygons with), kept when the
+    cell CENTER lies inside the polygon (points_in_rings even-odd).
+    The twin enumerates a superset range in SQL and applies the
+    identical center-containment predicate, so the cell-id sums are
+    integer-exact.  Pure map over polygons — each feature's fan-out
+    is bounded by its envelope at the chosen resolution."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.cells import grid_cell_center, grid_cells_covering_bounds
+    from gdal_boots_ray.kernels.geometry import points_in_rings, polygon_rings
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def cover(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_numpy()
+        polys = nation_polygons(keys)
+        pid, n_cells, sum_ids = [], [], []
+        for p in polys:
+            rings = polygon_rings(p["geometry"])
+            ring = rings[0]
+            env = (ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max())
+            cand = grid_cells_covering_bounds(env, res)
+            cx, cy = grid_cell_center(cand, res)
+            inside = points_in_rings(cx, cy, rings)
+            pid.append(p["poly_id"])
+            n_cells.append(int(inside.sum()))
+            sum_ids.append(int(cand[inside].sum()))
+        return pa.table(
+            {
+                "poly_id": pa.array(pid, pa.int64()),
+                "n_cells": pa.array(n_cells, pa.int64()),
+                "sum_cell_id": pa.array(sum_ids, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cover, batch_format="pyarrow")
+
+
 def q_poly_metrics(sf_dir: str):
     """Vector geometry accessors — OGR's GetArea / Length / Centroid
     family (the reference reaches them through ogr.Geometry;
@@ -5690,6 +5733,26 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_flipped
         FROM sizes GROUP BY k
     """,
+    "poly_grid_cover": f"""
+        WITH {POLY_SQL_CTE},
+        cand AS (
+            SELECT poly_id, pcx, pcy, rx, ry, gx.cx AS cx, gy.cy AS cy
+            FROM polys,
+                 LATERAL (SELECT unnest(generate_series(CAST(floor((pcx - rx) / 1000.0) AS INT),
+                                                        CAST(floor((pcx + rx) / 1000.0) AS INT))) AS cx) gx,
+                 LATERAL (SELECT unnest(generate_series(CAST(floor((pcy - ry) / 1000.0) AS INT),
+                                                        CAST(floor((pcy + ry) / 1000.0) AS INT))) AS cy) gy
+        ),
+        hit AS (
+            SELECT poly_id,
+                   (CAST(cx AS BIGINT) + 524288) * 1048576 + (CAST(cy AS BIGINT) + 524288) AS cell_id
+            FROM cand
+            WHERE abs(cx * 1000.0 + 500.0 - pcx) / rx + abs(cy * 1000.0 + 500.0 - pcy) / ry < 1.0
+        )
+        SELECT poly_id, CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(cell_id) AS BIGINT) AS sum_cell_id
+        FROM hit GROUP BY poly_id
+    """,
     "poly_metrics": f"""
         WITH {POLY_SQL_CTE}
         SELECT CAST(poly_id AS BIGINT) AS poly_id,
@@ -6631,6 +6694,7 @@ QUERIES = {
     "band_math": q_band_math,
     "events_ntile": q_events_ntile,
     "poly_metrics": q_poly_metrics,
+    "poly_grid_cover": q_poly_grid_cover,
     "tile_contours": q_tile_contours,
     "tile_equalize": q_tile_equalize,
     "image_features": q_image_features,
