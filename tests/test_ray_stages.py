@@ -447,3 +447,21 @@ def test_doc_pack_prefix_scan(ray_mod):
     pd.testing.assert_frame_equal(out, exp)
     # chunks are contiguous and nondecreasing in stream order
     assert (out["chunk_id"].diff().fillna(0) >= 0).all()
+
+
+def test_build_bloom_or_tree(ray_mod):
+    """Distributed bitmap build (map-side OR tree, no shuffle) equals
+    the single-pass kernel bitmap, and the pushdown keeps exactly the
+    superset property: no false negatives, few false positives."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.bloom import bloom_partial, bloom_test, build_bloom
+
+    keys = np.arange(0, 5000, dtype=np.int64) * 7919
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(20)
+    words = build_bloom(ds, lambda b: b["k"].to_numpy(), fanin=4, levels=2)
+    np.testing.assert_array_equal(words, bloom_partial(keys))
+    assert bloom_test(words, keys).all()
+    absent = np.arange(1, 4000, dtype=np.int64) * 7919 + 3
+    assert bloom_test(words, absent).mean() < 0.05
