@@ -4612,6 +4612,61 @@ def q_tile_aspect(sf_dir: str):
     return ds.map_batches(aspect, batch_format="pyarrow")
 
 
+def q_tile_ruggedness(sf_dir: str):
+    """The remaining gdaldem derivatives — TRI, TPI and roughness —
+    in one pass, all reduced over INTEGER numerators so every output
+    is arithmetic-exact against the twin (no trig, no division):
+    TRI* = sum over the 8 neighbors of |center - neighbor| (Riley TRI
+    is the per-pixel mean of this), TPI* = 8*center - sum(neighbors)
+    (TPI is this / 8), roughness = max(3x3) - min(3x3).  Per tile:
+    interior count, total TRI numerator, total signed TPI numerator,
+    and the roughness sum."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def rugged(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_interior = np.empty(n, np.int64)
+        sum_tri = np.empty(n, np.int64)
+        sum_tpi = np.empty(n, np.int64)
+        sum_rough = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            c = b0[1:-1, 1:-1]
+            shifts = [
+                b0[:-2, :-2], b0[:-2, 1:-1], b0[:-2, 2:],
+                b0[1:-1, :-2], b0[1:-1, 2:],
+                b0[2:, :-2], b0[2:, 1:-1], b0[2:, 2:],
+            ]
+            tri = np.zeros_like(c)
+            nsum = np.zeros_like(c)
+            mx = c.copy()
+            mn = c.copy()
+            for s in shifts:
+                tri += np.abs(c - s)
+                nsum += s
+                np.maximum(mx, s, out=mx)
+                np.minimum(mn, s, out=mn)
+            n_interior[i] = c.size
+            sum_tri[i] = int(tri.sum())
+            sum_tpi[i] = int((8 * c - nsum).sum())
+            sum_rough[i] = int((mx - mn).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_interior),
+                "sum_tri": pa.array(sum_tri),
+                "sum_tpi": pa.array(sum_tpi),
+                "sum_rough": pa.array(sum_rough),
+            }
+        )
+
+    return ds.map_batches(rugged, batch_format="pyarrow")
+
+
 def q_tile_proximity(sf_dir: str, n_tiles: int = 8, level: int = 192):
     """Proximity raster (the gdal_proximity analog): per pixel, the
     exact squared Euclidean distance to the nearest bright pixel
@@ -5680,6 +5735,36 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN abs(e) > abs(n) AND e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_west
         FROM g GROUP BY image_id
     """,
+    "tile_ruggedness": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, tiles.k AS k
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        nb AS (
+            SELECT image_id, x, y,
+                   (x * 31 + y * 17 + k) % 256 AS c,
+                   ((x + dx.d) * 31 + (y + dy.d) * 17 + k) % 256 AS v
+            FROM px,
+                 (SELECT unnest([-1, 0, 1]) AS d) dx,
+                 (SELECT unnest([-1, 0, 1]) AS d) dy
+            WHERE NOT (dx.d = 0 AND dy.d = 0)
+        ),
+        per_px AS (
+            SELECT image_id, x, y,
+                   sum(abs(c - v)) AS tri,
+                   8 * max(c) - sum(v) AS tpi,
+                   greatest(max(v), max(c)) - least(min(v), min(c)) AS rough
+            FROM nb GROUP BY image_id, x, y
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(tri) AS BIGINT) AS sum_tri,
+               CAST(sum(tpi) AS BIGINT) AS sum_tpi,
+               CAST(sum(rough) AS BIGINT) AS sum_rough
+        FROM per_px GROUP BY image_id
+    """,
     "tile_proximity": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -6687,6 +6772,7 @@ QUERIES = {
     "tile_slope": q_tile_slope,
     "tile_hillshade": q_tile_hillshade,
     "tile_aspect": q_tile_aspect,
+    "tile_ruggedness": q_tile_ruggedness,
     "tile_proximity": q_tile_proximity,
     "tile_sieve": q_tile_sieve,
     "tile_fillnodata": q_tile_fillnodata,
