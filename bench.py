@@ -143,6 +143,8 @@ def run_bench() -> dict:
         "doc_keywords",
         "fingerprint_dups",
         "tile_focal_sum",
+        "tile_hillshade",
+        "zorder_partitions",
     )
     for name in query_names:
         t = time.perf_counter()
