@@ -153,6 +153,36 @@ def morton_interleave2(cx, cy, bits: int = 16) -> np.ndarray:
     return out
 
 
+def hilbert_xy2d(cx, cy, bits: int = 10) -> np.ndarray:
+    """Hilbert curve index of non-negative integer cell coordinates
+    on a 2^bits x 2^bits grid — the stronger-locality alternative to
+    the Morton key (consecutive indices are always grid-adjacent, so
+    a fragment of consecutive keys is a connected region, which
+    Morton's quadrant jumps cannot guarantee).  The classic per-bit
+    rotate-and-reflect walk, vectorized as ``bits`` iterations of
+    O(n) numpy; each step is integer CASE arithmetic a recursive-CTE
+    twin replays exactly."""
+    x = np.asarray(cx, dtype=np.int64).copy()
+    y = np.asarray(cy, dtype=np.int64).copy()
+    n = np.int64(1) << bits
+    if (x < 0).any() or (y < 0).any() or (x >= n).any() or (y >= n).any():
+        raise ValueError(f"hilbert coordinates out of [0, 2^{bits})")
+    d = np.zeros(x.shape, np.int64)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: reflection uses the pre-swap values
+        refl = (ry == 0) & (rx == 1)
+        x_r = np.where(refl, s - 1 - x, x)
+        y_r = np.where(refl, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_r, x_r), np.where(swap, x_r, y_r)
+        s >>= 1
+    return d
+
+
 def grid_cell_neighbors(cell_id: int, ring: int = 1) -> np.ndarray:
     """All cells within ``ring`` (Chebyshev) of a cell — for kNN
     neighbor-ring expansion."""

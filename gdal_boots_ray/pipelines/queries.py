@@ -5038,6 +5038,40 @@ def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
     )
 
 
+def q_hilbert_partitions(sf_dir: str, block_shift: int = 6, bits: int = 10):
+    """Hilbert-curve clustering key — the stronger-locality
+    alternative to the Morton layout (zorder_partitions): consecutive
+    Hilbert indices are always grid-adjacent, so a fragment of
+    consecutive keys is one connected region (Morton's quadrant jumps
+    can split a fragment across the map).  Same fragment-range report
+    as the z-order query; the twin replays the rotate-and-reflect
+    walk as a recursive CTE (the s2 cell oracle precedent)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from gdal_boots_ray.kernels.cells import hilbert_xy2d
+    from gdal_boots_ray.sources.fixtures import TILE_STEP, TILE_X0, TILE_Y0
+
+    ds = _tiles_dataset(sf_dir, decode=False)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        gt = np.asarray(batch.column("gt").to_pylist(), np.float64)
+        col = np.rint((gt[:, 2] - TILE_X0) / TILE_STEP).astype(np.int64)
+        row = np.rint((TILE_Y0 - gt[:, 5]) / TILE_STEP).astype(np.int64)
+        key = hilbert_xy2d(col, row, bits)
+        return pa.table(
+            {
+                "partition": pa.array(key >> block_shift),
+                "hkey": pa.array(key),
+            }
+        )
+
+    return ds.map_batches(add_key, batch_format="pyarrow").groupby("partition").aggregate(
+        Count(alias_name="n_tiles"),
+        Min("hkey", alias_name="min_hkey"),
+        Max("hkey", alias_name="max_hkey"),
+    )
+
+
 _SIMHASH_SQL_CTE = r"""
         words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -5875,6 +5909,33 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(fv) AS BIGINT) AS sum_fill,
                CAST(sum(src_idx) AS BIGINT) AS sum_src
         FROM fills GROUP BY image_id
+    """,
+    "hilbert_partitions": """
+        WITH RECURSIVE tiles AS (
+            SELECT p_partkey AS k FROM part
+        ),
+        walk AS (
+            SELECT k, CAST(k % 40 AS BIGINT) AS x, CAST(k // 40 AS BIGINT) AS y,
+                   CAST(0 AS BIGINT) AS d, CAST(512 AS BIGINT) AS s
+            FROM tiles
+            UNION ALL
+            SELECT k,
+                   CASE WHEN (y & s) = 0
+                        THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+                        ELSE x END AS x,
+                   CASE WHEN (y & s) = 0
+                        THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+                        ELSE y END AS y,
+                   d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                   CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) AS d,
+                   s // 2 AS s
+            FROM walk WHERE s > 0
+        )
+        SELECT CAST(d >> 6 AS BIGINT) AS partition,
+               CAST(count(*) AS BIGINT) AS n_tiles,
+               CAST(min(d) AS BIGINT) AS min_hkey,
+               CAST(max(d) AS BIGINT) AS max_hkey
+        FROM walk WHERE s = 0 GROUP BY 1
     """,
     "zorder_partitions": f"""
         WITH {TILE_SQL_CTE},
@@ -6777,6 +6838,7 @@ QUERIES = {
     "tile_sieve": q_tile_sieve,
     "tile_fillnodata": q_tile_fillnodata,
     "zorder_partitions": q_zorder_partitions,
+    "hilbert_partitions": q_hilbert_partitions,
     "band_math": q_band_math,
     "events_ntile": q_events_ntile,
     "poly_metrics": q_poly_metrics,

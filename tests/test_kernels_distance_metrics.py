@@ -5,7 +5,7 @@ exact squared EDT (kernels/distance.py) and ring metrics
 import numpy as np
 import pytest
 
-from gdal_boots_ray.kernels.cells import morton_interleave2
+from gdal_boots_ray.kernels.cells import hilbert_xy2d, morton_interleave2
 from gdal_boots_ray.kernels.distance import edt_squared, nearest_feature
 from gdal_boots_ray.kernels.geometry import ring_metrics
 
@@ -114,6 +114,27 @@ class TestMorton:
             morton_interleave2([-1], [0])
         with pytest.raises(ValueError):
             morton_interleave2([1 << 16], [0])
+
+
+class TestHilbert:
+    def test_bijection_and_unit_step_adjacency(self):
+        # the defining Hilbert property: the key order visits every
+        # cell exactly once, each step moving to a grid neighbor
+        bits = 4
+        n = 1 << bits
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_xy2d(xs.ravel(), ys.ravel(), bits)
+        assert sorted(d.tolist()) == list(range(n * n))
+        order = np.argsort(d)
+        px, py = xs.ravel()[order], ys.ravel()[order]
+        steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+        assert (steps == 1).all()
+
+    def test_rejects_out_of_range(self):
+        with pytest.raises(ValueError):
+            hilbert_xy2d([-1], [0], 4)
+        with pytest.raises(ValueError):
+            hilbert_xy2d([16], [0], 4)
 
 
 class TestRingMetrics:
