@@ -5038,6 +5038,40 @@ def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
     )
 
 
+def q_tile_geohash(sf_dir: str, precision: int = 6):
+    """Geohash cell index per tile — the third index family next to
+    grid/S2/H3 (the classic string-keyed one): tile-center 3857
+    coordinates to lon/lat by the spherical-Mercator closed form
+    (the tile_bounds_4326 precedent), then the standard alternate-axis
+    range halving to a base-32 string.  The twin replays the 30-bit
+    walk as a recursive CTE with the identical midpoint comparisons
+    and decodes the same text."""
+    from gdal_boots_ray.kernels.cells import geohash_encode
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    R = 6378137.0
+
+    def gh(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy()
+        cy = batch.column("cy").to_numpy()
+        # quantize to 9 decimals (~0.1 mm) before hashing: numpy and
+        # DuckDB libm agree to ~12 significant digits but not to the
+        # last ulp, and one flipped comparison would cascade through
+        # the rest of that axis's bits
+        lon = np.round(np.degrees(cx / R), 9)
+        lat = np.round(np.degrees(2 * np.arctan(np.exp(cy / R)) - np.pi / 2), 9)
+        s, v = geohash_encode(lon, lat, precision)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "geohash": pa.array(s.tolist(), pa.string()),
+                "ghval": pa.array(v),
+            }
+        )
+
+    return ds.map_batches(gh, batch_format="pyarrow")
+
+
 def q_hilbert_partitions(sf_dir: str, block_shift: int = 6, bits: int = 10):
     """Hilbert-curve clustering key — the stronger-locality
     alternative to the Morton layout (zorder_partitions): consecutive
@@ -5909,6 +5943,46 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(fv) AS BIGINT) AS sum_fill,
                CAST(sum(src_idx) AS BIGINT) AS sum_src
         FROM fills GROUP BY image_id
+    """,
+    "tile_geohash": f"""
+        WITH RECURSIVE {TILE_SQL_CTE},
+        c AS (
+            SELECT image_id,
+                   round(degrees(((x0 + (x0 + w * 10.0)) / 2) / 6378137.0), 9) AS lon,
+                   round(degrees(2 * atan(exp((((y0 - h * 10.0) + y0) / 2) / 6378137.0)) - pi() / 2), 9) AS lat
+            FROM tiles
+        ),
+        walk AS (
+            SELECT image_id, lon, lat, 0 AS i, CAST(0 AS BIGINT) AS val,
+                   CAST(-180.0 AS DOUBLE) AS lo_lon, CAST(180.0 AS DOUBLE) AS hi_lon,
+                   CAST(-90.0 AS DOUBLE) AS lo_lat, CAST(90.0 AS DOUBLE) AS hi_lat
+            FROM c
+            UNION ALL
+            SELECT image_id, lon, lat, i + 1,
+                   val * 2 + CASE WHEN (CASE WHEN i % 2 = 0
+                                             THEN lon >= (lo_lon + hi_lon) / 2
+                                             ELSE lat >= (lo_lat + hi_lat) / 2 END)
+                             THEN 1 ELSE 0 END,
+                   CASE WHEN i % 2 = 0 AND lon >= (lo_lon + hi_lon) / 2
+                        THEN (lo_lon + hi_lon) / 2 ELSE lo_lon END,
+                   CASE WHEN i % 2 = 0 AND NOT lon >= (lo_lon + hi_lon) / 2
+                        THEN (lo_lon + hi_lon) / 2 ELSE hi_lon END,
+                   CASE WHEN i % 2 = 1 AND lat >= (lo_lat + hi_lat) / 2
+                        THEN (lo_lat + hi_lat) / 2 ELSE lo_lat END,
+                   CASE WHEN i % 2 = 1 AND NOT lat >= (lo_lat + hi_lat) / 2
+                        THEN (lo_lat + hi_lat) / 2 ELSE hi_lat END
+            FROM walk WHERE i < 30
+        )
+        SELECT image_id,
+               substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((val >> 25) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((val >> 20) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((val >> 15) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((val >> 10) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((val >> 5) & 31 AS INT) + 1, 1)
+            || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(val & 31 AS INT) + 1, 1)
+               AS geohash,
+               CAST(val AS BIGINT) AS ghval
+        FROM walk WHERE i = 30
     """,
     "hilbert_partitions": """
         WITH RECURSIVE tiles AS (
@@ -6839,6 +6913,7 @@ QUERIES = {
     "tile_fillnodata": q_tile_fillnodata,
     "zorder_partitions": q_zorder_partitions,
     "hilbert_partitions": q_hilbert_partitions,
+    "tile_geohash": q_tile_geohash,
     "band_math": q_band_math,
     "events_ntile": q_events_ntile,
     "poly_metrics": q_poly_metrics,

@@ -5,7 +5,7 @@ exact squared EDT (kernels/distance.py) and ring metrics
 import numpy as np
 import pytest
 
-from gdal_boots_ray.kernels.cells import hilbert_xy2d, morton_interleave2
+from gdal_boots_ray.kernels.cells import geohash_encode, hilbert_xy2d, morton_interleave2
 from gdal_boots_ray.kernels.distance import edt_squared, nearest_feature
 from gdal_boots_ray.kernels.geometry import ring_metrics
 
@@ -135,6 +135,29 @@ class TestHilbert:
             hilbert_xy2d([-1], [0], 4)
         with pytest.raises(ValueError):
             hilbert_xy2d([16], [0], 4)
+
+
+class TestGeohash:
+    def test_canonical_vectors(self):
+        # the two classic published examples
+        s, _ = geohash_encode([10.40744], [57.64911], 11)
+        assert s[0] == "u4pruydqqvj"
+        s, _ = geohash_encode([-5.6], [42.6], 5)
+        assert s[0] == "ezs42"
+
+    def test_prefix_property(self):
+        # shorter precision = prefix of longer (hierarchical index)
+        s6, _ = geohash_encode([27.5613], [53.9023], 6)
+        s9, _ = geohash_encode([27.5613], [53.9023], 9)
+        assert s9[0].startswith(s6[0])
+
+    def test_packed_value_matches_string(self):
+        from gdal_boots_ray.kernels.cells import _GEOHASH32
+
+        s, v = geohash_encode([100.0, -3.25], [-45.5, 7.75], 6)
+        for text, val in zip(s, v):
+            decoded = "".join(_GEOHASH32[(val >> (5 * (5 - j))) & 31] for j in range(6))
+            assert decoded == text
 
 
 class TestRingMetrics:
