@@ -4612,6 +4612,49 @@ def q_tile_aspect(sf_dir: str):
     return ds.map_batches(aspect, batch_format="pyarrow")
 
 
+def q_tile_rescale(sf_dir: str):
+    """Linear contrast stretch (the gdal_translate -scale analog):
+    each tile's [min, max] maps to [0, 255] with integer floor
+    semantics, out = (v - mn) * 255 // (mx - mn) — every output is
+    arithmetic-exact against the twin's window-min/max replay.
+    Degenerate flat tiles (mx == mn) map to 0, stated identically on
+    both sides."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def rescale(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        out_sum = np.empty(n, np.int64)
+        out_min = np.empty(n, np.int64)
+        out_max = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            mn, mx = int(b0.min()), int(b0.max())
+            if mx == mn:
+                out = np.zeros_like(b0)
+            else:
+                out = (b0 - mn) * 255 // (mx - mn)
+            n_px[i] = out.size
+            out_sum[i] = int(out.sum())
+            out_min[i] = int(out.min())
+            out_max[i] = int(out.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "out_sum": pa.array(out_sum),
+                "out_min": pa.array(out_min),
+                "out_max": pa.array(out_max),
+            }
+        )
+
+    return ds.map_batches(rescale, batch_format="pyarrow")
+
+
 def q_tile_ruggedness(sf_dir: str):
     """The remaining gdaldem derivatives — TRI, TPI and roughness —
     in one pass, all reduced over INTEGER numerators so every output
@@ -5803,6 +5846,27 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(CASE WHEN abs(e) > abs(n) AND e < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_west
         FROM g GROUP BY image_id
     """,
+    "tile_rescale": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        mm AS (SELECT image_id, min(v) AS mn, max(v) AS mx FROM px GROUP BY image_id),
+        o AS (
+            SELECT px.image_id,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE (v - mn) * 255 // (mx - mn) END AS ov
+            FROM px JOIN mm ON mm.image_id = px.image_id
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(ov) AS BIGINT) AS out_sum,
+               CAST(min(ov) AS BIGINT) AS out_min,
+               CAST(max(ov) AS BIGINT) AS out_max
+        FROM o GROUP BY image_id
+    """,
     "tile_ruggedness": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -6908,6 +6972,7 @@ QUERIES = {
     "tile_hillshade": q_tile_hillshade,
     "tile_aspect": q_tile_aspect,
     "tile_ruggedness": q_tile_ruggedness,
+    "tile_rescale": q_tile_rescale,
     "tile_proximity": q_tile_proximity,
     "tile_sieve": q_tile_sieve,
     "tile_fillnodata": q_tile_fillnodata,
