@@ -3042,7 +3042,9 @@ def q_dup_components(sf_dir: str, max_iters: int = 30):
             .materialize()
         )
         s = labels.sum("label")
-        if prev_sum is not None and s == prev_sum:
+        # sum() is None iff labels is empty (edge set empty): trivially
+        # converged — every node takes the singleton path below
+        if s is None or (prev_sum is not None and s == prev_sum):
             break
         prev_sum = s
     else:
@@ -3067,22 +3069,40 @@ def q_dup_components(sf_dir: str, max_iters: int = 30):
     return out.map_batches(final, batch_format="pyarrow")
 
 
-def q_semdedup(sf_dir: str, k: int = 8, iters: int = 4, tau: float = 0.92):
+def q_semdedup(
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 4,
+    tau: float = 0.92,
+    target_cluster: int = 4096,
+):
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
     embeddings with spherical k-means, then dropping, within each
     cluster, any vector that has a >= tau cosine neighbor with a
     smaller id.  Plan: normalize inside map_batches -> distributed
     Lloyd (stages/kmeans.py: centroids broadcast per iteration,
     only k x dim partials cross the wire) -> final assignment pass ->
-    cluster-keyed shuffle -> per-cluster vectorized gram-matrix drop
-    rule (cluster populations are bounded by k-means balance; a
-    100 TB run would sub-shard clusters over hot_cap like
-    embedding_neardup).  Oracle is non-vacuous via planted scaled
-    copies (id + 1e9, embedding * 2): normalization maps copies to
-    bit-identical vectors, so each MUST land in its original's
-    cluster and be dropped by it, while the synthetic originals (max
-    pairwise cosine ~0.51) all survive — the twin is the original id
-    set with n_dups = 1."""
+    cluster-keyed shuffle -> per-cluster blocked drop rule.
+
+    Scale shape (SemDeDup's own recipe): ``k`` GROWS with the corpus —
+    k = max(k, ceil(N / target_cluster)) from parquet-metadata row
+    counts, so expected cluster population stays bounded as data
+    grows instead of the per-cluster work going quadratic.  Skewed
+    clusters that still exceed the target are handled EXACTLY by the
+    blocked gram walk inside cluster_dedup: 4096-column panels
+    against ascending row panels with early exit once every column
+    has found an earlier neighbor, so worker memory is O(B^2 + B*d)
+    regardless of cluster size.  At the gate SFs the scaled k equals
+    the default, so the oracle fixture is unchanged.
+
+    Oracle is non-vacuous via planted scaled copies (id + 1e9,
+    embedding * 2): normalization maps copies to bit-identical
+    vectors, so each MUST land in its original's cluster and be
+    dropped by it, while the synthetic originals (max pairwise cosine
+    ~0.51) all survive — the twin is the original id set with
+    n_dups = 1.  n_dups credits are resolved TRANSITIVELY to a
+    surviving representative (chain a~b~c where b is dropped still
+    credits a), so no drop count is silently lost."""
     import pandas as pd
     import ray
     import ray.data as rd
@@ -3090,6 +3110,8 @@ def q_semdedup(sf_dir: str, k: int = 8, iters: int = 4, tau: float = 0.92):
     from gdal_boots_ray.stages.kmeans import kmeans
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # metadata-only row count; planted copies double the population
+    k = max(k, int(np.ceil(2 * ds.count() / target_cluster)))
 
     def plant_norm(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").cast(pa.int64()).to_numpy()
@@ -3146,18 +3168,47 @@ def q_semdedup(sf_dir: str, k: int = 8, iters: int = 4, tau: float = 0.92):
     assigned = planted.map_batches(assign, batch_format="pyarrow")
 
     def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        B = 4096  # panel width: memory O(B^2 + B*d) even on skewed clusters
         ids = g["vec_id"].to_numpy().astype(np.int64)
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
-        sim = mat @ mat.T
-        # dropped[i]: some j < i has cosine >= tau (ids ascending)
-        hit = np.triu(sim >= tau, k=1)  # hit[j, i] for j < i
-        dropped = hit.any(axis=0)
-        # representative of dropped i = smallest qualifying j
-        rep = hit.argmax(axis=0)
-        n_dups = np.zeros(len(ids), np.int64)
-        np.add.at(n_dups, rep[dropped], 1)
+        m = len(ids)
+        dropped = np.zeros(m, bool)
+        rep = np.zeros(m, np.int64)
+        for c0 in range(0, m, B):
+            c1 = min(c0 + B, m)
+            found = np.zeros(c1 - c0, bool)
+            first = np.zeros(c1 - c0, np.int64)
+            # ascending row panels: the first panel that hits a column
+            # holds that column's smallest qualifying j
+            for r0 in range(0, c1, B):
+                r1 = min(r0 + B, c1)
+                sim = mat[r0:r1] @ mat[c0:c1].T
+                if r1 > c0:  # diagonal panel: keep j < i only
+                    jj = np.arange(r0, r1)[:, None]
+                    ii = np.arange(c0, c1)[None, :]
+                    sim = np.where(jj < ii, sim, -np.inf)
+                hit = sim >= tau
+                new = hit.any(axis=0) & ~found
+                if new.any():
+                    first[new] = r0 + hit[:, new].argmax(axis=0)
+                    found |= new
+                if found.all():
+                    break
+            dropped[c0:c1] = found
+            rep[c0:c1] = first
+        # resolve representatives transitively to SURVIVING rows:
+        # rep[i] < i, so pointer-following terminates at a kept row
+        idx = np.flatnonzero(dropped)
+        tgt = rep[idx]
+        while True:
+            bad = dropped[tgt]
+            if not bad.any():
+                break
+            tgt[bad] = rep[tgt[bad]]
+        n_dups = np.zeros(m, np.int64)
+        np.add.at(n_dups, tgt, 1)
         keep = ~dropped
         return pd.DataFrame({"vec_id": ids[keep], "n_dups": n_dups[keep]})
 
@@ -5151,14 +5202,21 @@ def q_tile_geohash(sf_dir: str, precision: int = 6):
     R = 6378137.0
 
     def gh(batch: pa.Table) -> pa.Table:
+        import math
+
+        # scalar glibc atan/exp (the tile_warp_bilinear precedent —
+        # numpy's SIMD kernels can differ from DuckDB by ~1 ulp), then
+        # snap to an integer nanodegree grid with the same
+        # floor(x*1e9 + 0.5) on both sides: the walk's midpoint
+        # comparisons then run on bit-identical doubles by
+        # construction (np.round is half-even, DuckDB round half-away)
+        _atan = np.frompyfunc(math.atan, 1, 1)
+        _exp = np.frompyfunc(math.exp, 1, 1)
         cx = batch.column("cx").to_numpy()
         cy = batch.column("cy").to_numpy()
-        # quantize to 9 decimals (~0.1 mm) before hashing: numpy and
-        # DuckDB libm agree to ~12 significant digits but not to the
-        # last ulp, and one flipped comparison would cascade through
-        # the rest of that axis's bits
-        lon = np.round(np.degrees(cx / R), 9)
-        lat = np.round(np.degrees(2 * np.arctan(np.exp(cy / R)) - np.pi / 2), 9)
+        lon = np.floor(np.degrees(cx / R) * 1e9 + 0.5) / 1e9
+        lat_raw = np.degrees(2 * _atan(_exp(cy / R)).astype(np.float64) - np.pi / 2)
+        lat = np.floor(lat_raw * 1e9 + 0.5) / 1e9
         s, v = geohash_encode(lon, lat, precision)
         return pa.table(
             {
@@ -5171,14 +5229,19 @@ def q_tile_geohash(sf_dir: str, precision: int = 6):
     return ds.map_batches(gh, batch_format="pyarrow")
 
 
-def q_hilbert_partitions(sf_dir: str, block_shift: int = 6, bits: int = 10):
+def q_hilbert_partitions(sf_dir: str, block_shift: int = 6, bits: int = 16):
     """Hilbert-curve clustering key — the stronger-locality
     alternative to the Morton layout (zorder_partitions): consecutive
     Hilbert indices are always grid-adjacent, so a fragment of
     consecutive keys is one connected region (Morton's quadrant jumps
     can split a fragment across the map).  Same fragment-range report
     as the z-order query; the twin replays the rotate-and-reflect
-    walk as a recursive CTE (the s2 cell oracle precedent)."""
+    walk as a recursive CTE (the s2 cell oracle precedent).
+
+    bits=16 (grid 65536^2) rather than the old 10: tile rows at
+    sf>=0.2 exceed 1024 and would raise.  For in-range coords the
+    extra leading iterations are zero-contribution swaps in pairs, so
+    keys at small SF are unchanged (Hilbert even-bit extension)."""
     from ray.data.aggregate import Count, Max, Min
 
     from gdal_boots_ray.kernels.cells import hilbert_xy2d
@@ -6073,8 +6136,8 @@ ORACLE_SQL: Dict[str, str] = {
         WITH RECURSIVE {TILE_SQL_CTE},
         c AS (
             SELECT image_id,
-                   round(degrees(((x0 + (x0 + w * 10.0)) / 2) / 6378137.0), 9) AS lon,
-                   round(degrees(2 * atan(exp((((y0 - h * 10.0) + y0) / 2) / 6378137.0)) - pi() / 2), 9) AS lat
+                   floor(degrees(((x0 + (x0 + w * 10.0)) / 2) / 6378137.0) * 1e9 + 0.5) / 1e9 AS lon,
+                   floor(degrees(2 * atan(exp((((y0 - h * 10.0) + y0) / 2) / 6378137.0)) - pi() / 2) * 1e9 + 0.5) / 1e9 AS lat
             FROM tiles
         ),
         walk AS (
@@ -6115,7 +6178,7 @@ ORACLE_SQL: Dict[str, str] = {
         ),
         walk AS (
             SELECT k, CAST(k % 40 AS BIGINT) AS x, CAST(k // 40 AS BIGINT) AS y,
-                   CAST(0 AS BIGINT) AS d, CAST(512 AS BIGINT) AS s
+                   CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
             FROM tiles
             UNION ALL
             SELECT k,
