@@ -6,12 +6,17 @@ without libtiff/GDAL:
 
 - encode: baseline TIFF 6.0, single strip, chunky (PIXEL) interleave,
   uint8/uint16/int16/int32/uint32/float32/float64, optional DEFLATE
-  (zlib) compression, GeoTIFF georeferencing via ModelPixelScaleTag +
-  ModelTiepointTag + GeoKeyDirectory (EPSG code).
+  (zlib), LZW or PACKBITS compression, optional horizontal-differencing
+  predictor (tag 317 = 2, integer dtypes), GeoTIFF georeferencing via
+  ModelPixelScaleTag + ModelTiepointTag + GeoKeyDirectory (EPSG code).
 - decode: the subset the encoder produces plus multi-strip
-  uncompressed/deflate files; little-endian only.
+  uncompressed/deflate/LZW/PackBits files; little-endian only.
 
-TIFF structure from the public TIFF 6.0 / GeoTIFF specs.
+TIFF structure from the public TIFF 6.0 / GeoTIFF specs.  The LZW
+here is TIFF's MSB-first variable-width variant (ClearCode 256, EOI
+257, "early change" width bump at 2^n - 1, table reset at 4094 —
+libtiff-compatible); PackBits packs each row independently per the
+spec and decodes streamwise.
 """
 
 from __future__ import annotations
@@ -42,6 +47,171 @@ T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZES = {3: 2, 4: 4, 12: 8}
 
+T_PREDICTOR = 317
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW: MSB-first bit packing, 9->12 bit variable-width
+    codes with the spec's early change (width bumps when the next
+    free code reaches 2^width - 1), ClearCode emitted first and again
+    when the table reaches 4094 entries (libtiff behavior)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table: dict = {}
+    next_code = 258
+    emit(_CLEAR)
+    prev = -1
+    for byte in data:
+        if prev < 0:
+            prev = byte
+            continue
+        key = (prev << 8) | byte
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        prev = byte
+        if next_code == 4094:
+            emit(_CLEAR)
+            table.clear()
+            next_code = 258
+            width = 9
+    if prev >= 0:
+        emit(prev)
+    emit(_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Inverse of :func:`lzw_encode`; also reads libtiff streams."""
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    next_code = 258
+    width = 9
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    prev_entry = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: EOI implied
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            del table[258:]
+            next_code = 258
+            width = 9
+            prev_entry = None
+            continue
+        if code < len(table) and (code < 258 or table[code]):
+            entry = table[code]
+        elif code == next_code and prev_entry is not None:
+            entry = prev_entry + prev_entry[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} at bit position")
+        out += entry
+        if prev_entry is not None:
+            table.append(prev_entry + entry[:1])
+            next_code += 1
+        # the decoder's table lags the encoder's by one entry, so it
+        # widens one code earlier: at 510/1022/2046 (encoder 511/1023/2047)
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
+        prev_entry = entry
+
+
+def packbits_encode_row(row: bytes) -> bytes:
+    """Apple PackBits, one TIFF row (rows are packed independently)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append(257 - run)
+            out.append(row[i])
+            i = j
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and row[j] == row[j + 1] == row[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += row[i:j]
+            i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while len(out) < expected and i < n:
+        h = data[i]
+        i += 1
+        if h == 128:  # no-op
+            continue
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        else:
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def _predict2(payload: bytes, w: int, h: int, spp: int, dt: np.dtype) -> bytes:
+    """Horizontal differencing (Predictor=2) on sample values."""
+    if dt.kind not in "ui":
+        raise ValueError("Predictor=2 requires an integer dtype")
+    arr = np.frombuffer(payload, dtype=dt).reshape(h, w * spp).copy()
+    view = arr.view(np.dtype(f"<u{dt.itemsize}"))  # defined wraparound
+    view[:, spp:] -= view[:, :-spp].copy()
+    return arr.tobytes()
+
+
+def _unpredict2(payload: bytes, w: int, h: int, spp: int, dt: np.dtype) -> bytes:
+    arr = np.frombuffer(payload, dtype=dt).reshape(h, w * spp).copy()
+    ud = np.dtype(f"<u{dt.itemsize}")
+    view = arr.view(ud)
+    for o in range(spp):
+        np.cumsum(view[:, o::spp], axis=1, dtype=ud, out=view[:, o::spp])
+    return arr.tobytes()
+
 
 def gtiff_encode(
     img: np.ndarray,
@@ -49,6 +219,7 @@ def gtiff_encode(
     epsg: Optional[int] = None,
     compress: Optional[str] = None,
     zlevel: int = 6,
+    predictor: int = 1,
 ) -> bytes:
     """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave)."""
     if img.ndim == 2:
@@ -60,9 +231,25 @@ def gtiff_encode(
     bits, fmt = _DTYPES[dt]
     inter = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))  # h,w,bands
     payload = inter.astype(dt.newbyteorder("<"), copy=False).tobytes()
+    if predictor == 2:
+        if compress in (None, "", "none"):
+            raise ValueError("Predictor=2 without compression is pointless")
+        payload = _predict2(payload, w, h, bands, np.dtype("<" + dt.str[1:]))
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if compress == "deflate":
         comp_id = 8
         payload = zlib.compress(payload, zlevel)
+    elif compress == "lzw":
+        comp_id = 5
+        payload = lzw_encode(payload)
+    elif compress == "packbits":
+        comp_id = 32773
+        row_bytes = w * bands * dt.itemsize
+        payload = b"".join(
+            packbits_encode_row(payload[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(h)
+        )
     elif compress in (None, "", "none"):
         comp_id = 1
     else:
@@ -85,6 +272,8 @@ def gtiff_encode(
     entry(T_ROWS_PER_STRIP, _TYPE_LONG, h)
     entry(T_STRIP_COUNTS, _TYPE_LONG, len(payload))
     entry(T_PLANAR, _TYPE_SHORT, 1)
+    if predictor == 2:
+        entry(T_PREDICTOR, _TYPE_SHORT, 2)
     entry(T_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
     if gt is not None:
         a, _b, c, _d, e, f = [float(v) for v in gt]
@@ -180,15 +369,25 @@ def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optiona
     dt = np.dtype("<" + _SAMPLE_TO_DTYPE[(bits, sfmt)])
     offs = tags[T_STRIP_OFFSETS]
     counts = tags[T_STRIP_COUNTS]
+    rows_per_strip = tags.get(T_ROWS_PER_STRIP, [h])[0]
+    row_bytes = w * bands * dt.itemsize
     chunks = []
-    for o, cc in zip(offs, counts):
+    for si, (o, cc) in enumerate(zip(offs, counts)):
         raw = data[o : o + cc]
         if comp == 8 or comp == 32946:
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = lzw_decode(raw)
+        elif comp == 32773:
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw = packbits_decode(raw, rows * row_bytes)
         elif comp != 1:
             raise ValueError(f"unsupported TIFF compression {comp}")
         chunks.append(raw)
-    flat = np.frombuffer(b"".join(chunks), dtype=dt, count=h * w * bands)
+    payload = b"".join(chunks)
+    if tags.get(T_PREDICTOR, [1])[0] == 2:
+        payload = _unpredict2(payload, w, h, bands, dt)
+    flat = np.frombuffer(payload, dtype=dt, count=h * w * bands)
     img = flat.reshape(h, w, bands).astype(dt.newbyteorder("="), copy=False)
     img = np.transpose(img, (2, 0, 1))
     gt = None

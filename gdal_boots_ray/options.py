@@ -64,24 +64,44 @@ class PNG(DriverOptions):
 
 @dataclass
 class GTiff(DriverOptions):
-    """reference options.py:58-92 (subset our codec honors: deflate
-    compression + zlevel; block/tile options accepted but single-strip
-    output)."""
+    """reference options.py:58-92.  The full reference ``Compress``
+    enum is mirrored; our pure-NumPy codec honors DEFLATE (+zlevel),
+    LZW and PACKBITS (kernels/gtiff.py), each optionally with the
+    horizontal-differencing predictor; JPEG/ZSTD/WEBP/LERC need
+    external codecs absent from this environment and raise
+    NotImplementedError at codec_args time (documented seam).
+    Block/tile options are accepted but output is single-strip."""
 
     class Compress(Enum):
+        lzw = "LZW"
+        jpeg = "JPEG"
+        packbits = "PACKBITS"
         deflate = "DEFLATE"
+        zstd = "ZSTD"
+        webp = "WEBP"
+        lerc = "LERC"
+        lerc_deflate = "LERC_DEFLATE"
+        lerc_zstd = "LERC_ZSTD"
+
+    class Interleave(Enum):
+        band = "BAND"
+        pixel = "PIXEL"
 
     blockxsize: int = 256
     blockysize: int = 256
     tiled: bool = False
+    interleave: "GTiff.Interleave" = Interleave.pixel
     compress: Optional["GTiff.Compress"] = None
     nbits: Optional[int] = None
     zlevel: int = 6
+    predictor: int = 1
 
     def encode(self) -> List[str]:
         values = dict(vars(self))
         if self.compress != self.Compress.deflate:
             values.pop("zlevel", None)
+        if self.predictor == 1:
+            values.pop("predictor", None)
         return _encode(values)
 
 
@@ -137,6 +157,19 @@ def codec_args(options: DriverOptions) -> dict:
         kw = {"fmt": "tiff"}
         if options.compress == GTiff.Compress.deflate:
             kw.update(compress="deflate", zlevel=options.zlevel)
+        elif options.compress == GTiff.Compress.lzw:
+            kw.update(compress="lzw")
+        elif options.compress == GTiff.Compress.packbits:
+            kw.update(compress="packbits")
+        elif options.compress is not None:
+            raise NotImplementedError(
+                f"GTiff compression {options.compress.value} needs an external "
+                "codec (none in this environment); options encode for parity"
+            )
+        if options.interleave == GTiff.Interleave.band:
+            raise NotImplementedError("BAND (planar) interleave not supported")
+        if options.predictor != 1:
+            kw.update(predictor=options.predictor)
         return kw
     if isinstance(options, RAW):
         return {"fmt": "raw"}

@@ -3426,6 +3426,48 @@ def q_recode_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def q_recode_stats_tiff_lzw(sf_dir: str):
+    """GeoTIFF LZW fidelity gate: decode -> re-encode through the
+    pure-python TIFF codec with LZW compression + the
+    horizontal-differencing predictor (kernels/gtiff.py — reference
+    ``GTiff.Compress.lzw``, reference options.py:66-80, the single
+    most common real-world GeoTIFF compression) -> decode -> per-image
+    stats; equals the closed-form pixel-field oracle iff the LZW +
+    predictor round trip is bit-exact.  Same actor-pool plumbing as
+    recode_stats; the whole corpus streams through it."""
+    from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def tiff_roundtrip_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            blob = gtiff_encode(np.ascontiguousarray(img), compress="lzw", predictor=2)
+            rt, _, _ = gtiff_decode(blob)
+            b0 = rt if rt.ndim == 2 else rt[0]
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(tiff_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+
+
 def q_recode_stats_jp2(sf_dir: str, n_tiles: int = 24):
     """Lossless JPEG 2000 fidelity gate: decode -> re-encode through
     the from-scratch JP2 codec (kernels/jp2: 5/3 DWT + EBCOT + MQ)
@@ -4473,10 +4515,16 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
     ``n``-gram with a held-out benchmark set (here the deterministic
     slice ``doc_id % mod == rem``).
 
-    Scale shape: the benchmark side is small by definition, so its
-    distinct shingle set is collected once and broadcast with
-    ``ray.put`` (one object-store copy per node, read by every task);
-    the unbounded training side streams through a stateless
+    Scale shape: the benchmark side must be O(1) relative to the
+    corpus — that is the operator's CONTRACT (a real decontamination
+    run broadcasts a fixed eval suite, not a corpus slice; the
+    ``doc_id % mod`` slice here only stands in for one).  Its distinct
+    shingle set is reduced once (vectorized mask + per-batch set
+    union, no per-row driver filter) and broadcast with ``ray.put``
+    (one object-store copy per node, read by every task);
+    ``max_bench_shingles`` enforces the contract and raises rather
+    than silently building an unbounded driver-side set.  The
+    unbounded training side streams through a stateless
     ``map_batches`` that intersects per-doc shingle sets against the
     broadcast set — no join shuffle, the corpus text never moves."""
     import pandas as pd
@@ -4485,24 +4533,29 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
 
     from gdal_boots_ray.kernels.text import _WORD_RE
 
+    max_bench_shingles = 2_000_000
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def doc_shingles(text: str):
         ws = _WORD_RE.findall(text.lower())
         return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
 
+    def bench_shingles(ba: pd.DataFrame) -> pd.DataFrame:
+        sel = ba["text"][ba["doc_id"] % mod == rem]
+        sh = set().union(*(doc_shingles(t) for t in sel)) if len(sel) else set()
+        return pd.DataFrame({"s": sorted(sh)})
+
     bench_sh = set()
-    for b in (
-        docs.filter(lambda r: r["doc_id"] % mod == rem)
-        .map_batches(
-            lambda ba: pd.DataFrame(
-                {"s": sorted(set().union(*(doc_shingles(t) for t in ba["text"])) if len(ba) else set())}
-            ),
-            batch_format="pandas",
-        )
-        .iter_batches(batch_format="pandas")
+    for b in docs.map_batches(bench_shingles, batch_format="pandas").iter_batches(
+        batch_format="pandas"
     ):
         bench_sh.update(b["s"])
+        if len(bench_sh) > max_bench_shingles:
+            raise ValueError(
+                "benchmark shingle set exceeds the broadcast contract "
+                f"({len(bench_sh)} > {max_bench_shingles}); decontamination "
+                "expects an O(1)-sized eval suite"
+            )
     bench_ref = ray.put(frozenset(bench_sh))
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
@@ -5522,6 +5575,18 @@ ORACLE_SQL: Dict[str, str] = {
         FROM tiles GROUP BY 1
     """,
     "recode_stats": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "recode_stats_tiff_lzw": f"""
         WITH {TILE_SQL_CTE},
         px AS (
             SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
@@ -7111,6 +7176,7 @@ QUERIES = {
     "tile_warp_bilinear": q_tile_warp_bilinear,
     "hilbert_partitions": q_hilbert_partitions,
     "tile_geohash": q_tile_geohash,
+    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     # -- regression-watch (plan touched in round 4) ----------------
     "tile_h3_cells": q_tile_h3_cells,
     "dedup_exact": q_dedup_exact,

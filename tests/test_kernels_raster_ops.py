@@ -92,6 +92,53 @@ class TestGTiff:
         _, _, epsg = gtiff_decode(gtiff_encode(img, gt=[1, 0, 0, 0, -1, 1], epsg=4326))
         assert epsg == 4326
 
+    def test_lzw_packbits_predictor_matrix(self):
+        # reference GTiff.Compress parity (reference options.py:66-80):
+        # LZW + PACKBITS through the pure-python codecs, with and
+        # without the horizontal-differencing predictor
+        rng = np.random.default_rng(777)
+        for dt in (np.uint8, np.uint16, np.int32, np.float32):
+            for compress in ("lzw", "packbits"):
+                preds = (1, 2) if np.dtype(dt).kind in "ui" else (1,)
+                for pred in preds:
+                    for bands in (1, 3):
+                        img = (rng.random((bands, 23, 31)) * 200).astype(dt)
+                        blob = gtiff_encode(img, compress=compress, predictor=pred)
+                        out, _, _ = gtiff_decode(blob)
+                        out = out if out.ndim == 3 else out[None]
+                        assert np.array_equal(out, img), (dt, compress, pred, bands)
+
+    def test_lzw_stream_shape(self):
+        from gdal_boots_ray.kernels.gtiff import lzw_decode, lzw_encode
+
+        # first 9-bit code is ClearCode(256) => first byte 0b1000_0000
+        assert lzw_encode(b"abc")[0] == 0x80
+        rng = np.random.default_rng(5)
+        for data in (b"", b"x", b"ab" * 5000, bytes(rng.integers(0, 256, 60000, dtype=np.uint8)),
+                     b"\x00" * 100000, bytes(range(256)) * 300):
+            assert lzw_decode(lzw_encode(data)) == data
+        # compressible input actually shrinks (table resets included)
+        assert len(lzw_encode(b"\x00" * 100000)) < 4000
+
+    def test_packbits_spec_vector(self):
+        from gdal_boots_ray.kernels.gtiff import packbits_decode, packbits_encode_row
+
+        # the worked example from the TIFF 6.0 spec PackBits section
+        src = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+                     0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+                     0xAA, 0xAA, 0xAA, 0xAA])
+        expect = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                        0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+        assert packbits_encode_row(src) == expect
+        assert packbits_decode(expect, len(src)) == src
+
+    def test_predictor_requires_compression_and_int(self):
+        img = np.zeros((4, 4), np.uint8)
+        with pytest.raises(ValueError):
+            gtiff_encode(img, predictor=2)  # pointless without compression
+        with pytest.raises(ValueError):
+            gtiff_encode(np.zeros((4, 4), np.float32), compress="lzw", predictor=2)
+
 
 class TestPolygonize:
     def test_label_components(self):
@@ -137,3 +184,13 @@ class TestOptions:
         assert codec_args(PNG(zlevel=3)) == {"fmt": "png", "zlevel": 3}
         assert codec_args(GTiff(compress=GTiff.Compress.deflate))["compress"] == "deflate"
         assert codec_args(RAW()) == {"fmt": "raw"}
+        assert codec_args(GTiff(compress=GTiff.Compress.lzw))["compress"] == "lzw"
+        kw = codec_args(GTiff(compress=GTiff.Compress.packbits, predictor=2))
+        assert kw["compress"] == "packbits" and kw["predictor"] == 2
+        # reference enum parity: external-codec members are a seam
+        with pytest.raises(NotImplementedError):
+            codec_args(GTiff(compress=GTiff.Compress.zstd))
+        with pytest.raises(NotImplementedError):
+            codec_args(GTiff(interleave=GTiff.Interleave.band))
+        enc = GTiff(compress=GTiff.Compress.lzw, predictor=2).encode()
+        assert "COMPRESS=LZW" in enc and "PREDICTOR=2" in enc
