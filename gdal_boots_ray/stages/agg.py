@@ -47,6 +47,22 @@ def _key_buckets(batch: pd.DataFrame, keys: Sequence[str], n_buckets: int) -> np
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _key_buckets_arrow(batch: pa.Table, keys: Sequence[str], n_buckets: int) -> np.ndarray:
+    """Arrow-native twin of :func:`_key_buckets` — same hash, same
+    bucket assignment, but reads the key columns straight off the
+    Arrow table (no DataFrame wrapper in the exchange hot path)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            arr = col.to_numpy(zero_copy_only=False).astype(str)
+            vals = pd.util.hash_array(arr).astype(np.uint64)
+        else:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        h = h * np.uint64(1000003) + vals
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def bucketed_aggregate(
     ds,
     keys: Sequence[str],
@@ -70,33 +86,35 @@ def bucketed_aggregate(
 
     spec_items = list(agg.items())
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(keys, sort=False)
-        outs = {}
-        for name, how in spec_items:
-            if how == "count":
-                outs[name] = g.size()
-            else:
-                outs[name] = getattr(g[name], how)()
-        out = pd.DataFrame(outs).reset_index()
-        return out
+    def _arrow_agg(batch: pa.Table, items) -> pa.Table:
+        """One pyarrow hash-aggregate pass; output columns are the key
+        columns followed by the agg dict's names.  Zero-copy in/out —
+        the exchange never sees a pandas frame."""
+        plan = []
+        for name, how in items:
+            plan.append((keys[0] if how == "count" else name, how))
+        res = batch.group_by(keys, use_threads=False).aggregate(plan)
+        # pyarrow names results "<col>_<func>" and puts keys last
+        cols = {k: res.column(k) for k in keys}
+        for (name, _), (src, how) in zip(items, plan):
+            cols[name] = res.column(f"{src}_{how}")
+        return pa.table(cols)
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_bucket"] = _key_buckets(batch, keys, n_buckets)
-        return batch
+    def partial(batch: pa.Table) -> pa.Table:
+        out = _arrow_agg(batch, spec_items)
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(out, keys, n_buckets), pa.int64())
+        )
 
     second = {"count": "sum"}  # counts combine by summing
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(keys, sort=False)
-        outs = {}
-        for name, how in spec_items:
-            outs[name] = getattr(gg[name], second.get(how, how))()
-        return pd.DataFrame(outs).reset_index()
+    final_items = [(name, second.get(how, how)) for name, how in spec_items]
 
-    partials = ds.map_batches(partial, batch_format="pandas").map_batches(add_bucket, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    def final(g: pa.Table) -> pa.Table:
+        return _arrow_agg(g.drop_columns(["_bucket"]), final_items)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 
 
 def grouped_top_k(

@@ -164,7 +164,6 @@ def cell_pip_join(
     """
     import json
 
-    import pandas as pd
     import ray.data as rd
 
     from gdal_boots_ray.kernels.cells import grid_cell_id, grid_cells_covering_bounds
@@ -222,17 +221,19 @@ def cell_pip_join(
         polygons.map_batches(explode_polys, batch_format="pyarrow")
     )
 
-    def group_pip(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {key_col: pd.Series([], dtype=np.int64), "poly_id": pd.Series([], dtype=np.int64)}
+    def group_pip(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
         )
-        pm = g["kind"].to_numpy() == 1
+        pm = g.column("kind").to_numpy() == 1
         if not pm.any() or pm.all():
             return empty
-        px = g["x"].to_numpy()[~pm]
-        py = g["y"].to_numpy()[~pm]
-        pids = g["id"].to_numpy()[~pm]
-        poly_rows = list(zip(g["id"].to_numpy()[pm], g["geom"].to_numpy()[pm]))
+        ids = g.column("id").to_numpy()
+        px = g.column("x").to_numpy()[~pm]
+        py = g.column("y").to_numpy()[~pm]
+        pids = ids[~pm]
+        geoms = g.column("geom").to_numpy(zero_copy_only=False)
+        poly_rows = list(zip(ids[pm], geoms[pm]))
         all_rings = [polygon_rings(json.loads(gj)) for _, gj in poly_rows]
         out_keys: List[np.ndarray] = []
         out_polys: List[np.ndarray] = []
@@ -262,14 +263,14 @@ def cell_pip_join(
                 out_polys.append(np.full(len(hits), poly_id, np.int64))
         if not out_keys:
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
-                key_col: np.concatenate(out_keys).astype(np.int64),
-                "poly_id": np.concatenate(out_polys),
+                key_col: pa.array(np.concatenate(out_keys).astype(np.int64), pa.int64()),
+                "poly_id": pa.array(np.concatenate(out_polys), pa.int64()),
             }
         )
 
-    return both.groupby("cell").map_groups(group_pip, batch_format="pandas")
+    return both.groupby("cell").map_groups(group_pip, batch_format="pyarrow")
 
 
 def asof_join(
@@ -293,7 +294,6 @@ def asof_join(
     Partitioning assumption: one ``by_col`` group fits a worker (same
     contract as any sessionization); salt hot keys upstream if not.
     """
-    import pandas as pd
 
     def _types(ds, cols):
         try:
@@ -322,25 +322,34 @@ def asof_join(
         right_ds.map_batches(lambda b: tag(b, 1), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lm = g["kind"].to_numpy() == 0
-        lg = g[lm].sort_values("ts", kind="mergesort")
-        rg = g[~lm].sort_values("ts", kind="mergesort")
-        cols = [by_col, *left_cols, *right_cols]
-        if not len(lg) or not len(rg):
-            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
-        idx = np.searchsorted(rg["ts"].to_numpy(), lg["ts"].to_numpy(), side="right") - 1
+    def merge(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        lidx = np.flatnonzero(kind == 0)
+        ridx = np.flatnonzero(kind == 1)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        lo = lidx[np.argsort(ts[lidx], kind="mergesort")]
+        ro = ridx[np.argsort(ts[ridx], kind="mergesort")]
+        if not len(lo) or not len(ro):
+            cols = {by_col: g.column("k").take(pa.array([], pa.int64()))}
+            for c in left_cols:
+                cols[c] = g.column(f"l_{c}").take(pa.array([], pa.int64()))
+            for c in right_cols:
+                cols[c] = g.column(f"r_{c}").take(pa.array([], pa.int64()))
+            return pa.table(cols)
+        idx = np.searchsorted(ts[ro], ts[lo], side="right") - 1
         keep = idx >= 0
-        lk = lg[keep]
-        rk = rg.iloc[idx[keep]]
-        out = {by_col: lk["k"].to_numpy()}
+        lrows = lo[keep]
+        rrows = ro[idx[keep]]
+        lt_tbl = g.take(pa.array(lrows, pa.int64()))
+        rt_tbl = g.take(pa.array(rrows, pa.int64()))
+        cols = {by_col: lt_tbl.column("k")}
         for c in left_cols:
-            out[c] = lk[f"l_{c}"].to_numpy()
+            cols[c] = lt_tbl.column(f"l_{c}")
         for c in right_cols:
-            out[c] = rk[f"r_{c}"].to_numpy()
-        return pd.DataFrame(out)
+            cols[c] = rt_tbl.column(f"r_{c}")
+        return pa.table(cols)
 
-    return both.groupby("k").map_groups(merge, batch_format="pandas")
+    return both.groupby("k").map_groups(merge, batch_format="pyarrow")
 
 
 def interval_join(
@@ -362,7 +371,6 @@ def interval_join(
 
     ``cell_width`` trades interval fan-out (hi-lo)/width against group
     sizes — same contract as cell_res in cell_pip_join."""
-    import pandas as pd
 
     def tag_points(batch: pa.Table) -> pa.Table:
         v = batch.column(val_col).to_numpy().astype(np.float64)
@@ -405,33 +413,33 @@ def interval_join(
         intervals_ds.map_batches(explode_intervals, batch_format="pyarrow")
     )
 
-    def group_join(g: pd.DataFrame) -> pd.DataFrame:
-        im = g["kind"].to_numpy() == 1
-        pts = g[~im]
-        ivs = g[im]
-        if not len(pts) or not len(ivs):
-            return pd.DataFrame(
-                {point_key_col: pd.Series([], dtype=np.int64), iv_key_col: pd.Series([], dtype=np.int64)}
+    def group_join(g: pa.Table) -> pa.Table:
+        im = g.column("kind").to_numpy() == 1
+        pm = np.flatnonzero(~im)
+        iv = np.flatnonzero(im)
+        if not len(pm) or not len(iv):
+            return pa.table(
+                {point_key_col: pa.array([], pa.int64()), iv_key_col: pa.array([], pa.int64())}
             )
         # sort points once, then each interval [lo, hi) is a
         # searchsorted slice — O((n+m) log n), no loop over intervals
-        v = pts["v"].to_numpy()
-        pid = pts["id"].to_numpy()
+        ids = g.column("id").to_numpy()
+        v = g.column("v").to_numpy()[pm]
         order = np.argsort(v, kind="mergesort")
         vs = v[order]
-        pids = pid[order]
-        start = np.searchsorted(vs, ivs["lo"].to_numpy(), side="left")
-        end = np.searchsorted(vs, ivs["hi"].to_numpy(), side="left")
+        pids = ids[pm][order]
+        start = np.searchsorted(vs, g.column("lo").to_numpy()[iv], side="left")
+        end = np.searchsorted(vs, g.column("hi").to_numpy()[iv], side="left")
         cnt = np.maximum(end - start, 0)
         idx = np.repeat(start, cnt) + _concat_ranges(cnt)
-        return pd.DataFrame(
+        return pa.table(
             {
-                point_key_col: pids[idx].astype(np.int64),
-                iv_key_col: np.repeat(ivs["id"].to_numpy(), cnt).astype(np.int64),
+                point_key_col: pa.array(pids[idx].astype(np.int64), pa.int64()),
+                iv_key_col: pa.array(np.repeat(ids[iv], cnt).astype(np.int64), pa.int64()),
             }
         )
 
-    return both.groupby("cell").map_groups(group_join, batch_format="pandas")
+    return both.groupby("cell").map_groups(group_join, batch_format="pyarrow")
 
 
 def hash_join(
@@ -453,7 +461,8 @@ def hash_join(
     Neither side is broadcast or driver-materialized: both stream
     through a key-hash bucketing stage (fan-out scales with the
     cluster via ``_default_n_buckets``), co-shuffle ONCE on the
-    bucket, and each bucket merges vectorized (``pd.merge``).  This is
+    bucket, and each bucket merges vectorized (Arrow take + numpy
+    searchsorted, no pandas frame in the exchange).  This is
     the partitioned hash join a SQL engine plans for orders ⋈
     customer — the exchange moves each row exactly once.
 
@@ -462,9 +471,7 @@ def hash_join(
     Skew: one hot key still lands in one bucket; salt upstream with
     ``stages.skew`` if a single key's rows exceed a worker.
     """
-    import pandas as pd
-
-    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
 
     if n_buckets is None:
         n_buckets = _default_n_buckets()
@@ -478,35 +485,6 @@ def hash_join(
 
     lt = _types(left_ds, left_cols)
     rt = _types(right_ds, right_cols)
-    kt = _types(left_ds, [on]).get(on)
-    if kt is not None and (pa.types.is_integer(kt) or pa.types.is_floating(kt)):
-        kt = pa.int64()
-
-    def _col(series, t):
-        """Typed arrow column from a pandas series.  Non-object dtypes
-        convert zero-copy-ish through numpy; list types and object
-        payloads (np arrays from pandas round trips) go through the
-        python-list path; unknown types fall back to inference."""
-        if t is not None and pa.types.is_list(t):
-            vals = [
-                None if v is None else (v.tolist() if hasattr(v, "tolist") else list(v))
-                for v in series.tolist()
-            ]
-            try:
-                return pa.array(vals, type=t)
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                return pa.array(vals)
-        arr = series.to_numpy()
-        if arr.dtype != object:
-            try:
-                return pa.array(arr, type=t)
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                pass
-        vals = series.tolist()
-        try:
-            return pa.array(vals, type=t)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-            return pa.array(vals)
 
     def tag(batch: pa.Table, kind: int) -> pa.Table:
         n = batch.num_rows
@@ -522,63 +500,78 @@ def hash_join(
         for c in right_cols:
             out[f"r_{c}"] = batch.column(c) if kind == 1 else pa.nulls(n, rt.get(c))
         t = pa.table(out)
-        df = pd.DataFrame({"k": t.column("k").to_pandas()})
-        bucket = _key_buckets(df, ["k"], n_buckets)
+        bucket = _key_buckets_arrow(t, ["k"], n_buckets)
         return t.append_column("_bucket", pa.array(bucket, pa.int64()))
 
     both = left_ds.map_batches(lambda b: tag(b, 0), batch_format="pyarrow").union(
         right_ds.map_batches(lambda b: tag(b, 1), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pa.Table:
-        # emits typed ARROW blocks so chained joins and the final sort
-        # see stable key/list/string types — never the per-group
-        # tensor-extension / null flip-flop of empty pandas frames
-        lm = g["kind"].to_numpy() == 0
-        lg = g.loc[lm, ["k"] + [f"l_{c}" for c in left_cols]]
-        rg = g.loc[~lm, ["k"] + [f"r_{c}" for c in right_cols]]
+    def _keys_np(tbl: pa.Table) -> np.ndarray:
+        k = tbl.column("k")
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
+            return k.to_numpy(zero_copy_only=False)
+        return k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
-        def emit(frame) -> pa.Table:
-            cols = {on: _col(frame["k"], kt)}
+    def merge(g: pa.Table) -> pa.Table:
+        # pure-Arrow bucket merge: keys match via one sort +
+        # searchsorted (numpy), payload moves via Table.take — column
+        # types survive untouched (list/string/int), no pandas frame
+        # and no per-value type fix-up anywhere in the exchange
+        kind = g.column("kind").to_numpy()
+        lidx = np.flatnonzero(kind == 0)
+        ridx = np.flatnonzero(kind == 1)
+        keys = _keys_np(g)
+        lk = keys[lidx]
+        rk = keys[ridx]
+        rorder = np.argsort(rk, kind="mergesort")
+        rks = rk[rorder]
+        start = np.searchsorted(rks, lk, side="left")
+        end = np.searchsorted(rks, lk, side="right")
+        cnt = end - start
+
+        def emit(tbl: pa.Table, rows: np.ndarray, with_right: bool = False,
+                 right_rows: Optional[np.ndarray] = None) -> pa.Table:
+            t = tbl.take(pa.array(rows, pa.int64()))
+            cols = {on: t.column("k")}
             for c in left_cols:
-                cols[c] = _col(frame[f"l_{c}"], lt.get(c))
-            if how == "inner":
-                for c in right_cols:
-                    cols[c] = _col(frame[f"r_{c}"], rt.get(c))
+                cols[c] = t.column(f"l_{c}")
+            if with_right:
+                if right_rows is None:
+                    for c in right_cols:
+                        cols[c] = t.column(f"r_{c}")
+                else:
+                    rt_tbl = tbl.take(pa.array(right_rows, pa.int64()))
+                    for c in right_cols:
+                        cols[c] = rt_tbl.column(f"r_{c}")
             return pa.table(cols)
 
-        if how in ("semi", "anti"):
-            if not len(lg):
-                return emit(lg)
-            has_match = lg["k"].isin(set(rg["k"].to_numpy()))
-            return emit(lg[has_match if how == "semi" else ~has_match])
+        if how == "semi":
+            return emit(g, lidx[cnt > 0])
+        if how == "anti":
+            return emit(g, lidx[cnt == 0])
+        # matched (left row i repeated cnt[i] times) x (right rows)
+        l_rows = np.repeat(lidx, cnt)
+        r_rows = ridx[rorder[np.repeat(start, cnt) + _concat_ranges(cnt)]]
+        inner = emit(g, l_rows, with_right=True, right_rows=r_rows)
+        if how == "inner":
+            return inner
         if how == "left":
-            m = lg.merge(rg, on="k", how="left")
-            cols = {on: _col(m["k"], kt)}
+            miss = lidx[cnt == 0]
+            if not len(miss):
+                return inner
+            lt_tbl = g.take(pa.array(miss, pa.int64()))
+            cols = {on: lt_tbl.column("k")}
             for c in left_cols:
-                cols[c] = _col(m[f"l_{c}"], lt.get(c))
+                cols[c] = lt_tbl.column(f"l_{c}")
             for c in right_cols:
-                t = rt.get(c)
-                s = m[f"r_{c}"]
-                # unmatched rows surface as NaN through the pandas
-                # merge; emit them as real Arrow nulls (and undo the
-                # int->float promotion NaN forces on int columns)
-                vals = []
-                for v in s.tolist():
-                    if v is None or (isinstance(v, float) and np.isnan(v)):
-                        vals.append(None)
-                    elif isinstance(v, float) and t is not None and pa.types.is_integer(t):
-                        vals.append(int(v))
-                    else:
-                        vals.append(v)
-                try:
-                    cols[c] = pa.array(vals, type=t)
-                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-                    cols[c] = pa.array(vals)
-            return pa.table(cols)
-        return emit(lg.merge(rg, on="k", how="inner"))
+                cols[c] = pa.nulls(len(miss), inner.schema.field(c).type)
+            # promote: unmatched-side nulls may carry the null type
+            # when upstream schema introspection had no field type
+            return pa.concat_tables([inner, pa.table(cols)], promote_options="default")
+        raise ValueError(f"unknown join how={how!r}")
 
-    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def knn_brute_force(embeddings_ds, queries: np.ndarray, k: int, query_ids: Optional[np.ndarray] = None):

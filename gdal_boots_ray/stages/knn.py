@@ -163,8 +163,6 @@ def spatial_knn_dataset(
     group like any other key and can be salted upstream with
     stages.skew if one cell dominates.
     """
-    import pandas as pd
-
     n_data = data_ds.count()
     if n_data <= broadcast_threshold:
         rows = data_ds.select_columns(["nid", "x", "y"]).take_all()
@@ -215,29 +213,23 @@ def spatial_knn_dataset(
 
         return fn
 
-    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
-        qm = g["is_q"].to_numpy() == 1
+    def local_topk(g: pa.Table) -> pa.Table:
+        isq = g.column("is_q").to_numpy()
+        ids_all = g.column("id").to_numpy()
+        xs = g.column("x").to_numpy()
+        ys = g.column("y").to_numpy()
+        qm = isq == 1
         dm = ~qm
         nd = int(dm.sum())
         # sentinel rows (nid=-1, d2=inf) for home-cell query copies:
         # guarantee every query appears in the per-qid merge
-        hids = g["id"].to_numpy()[qm & (g["home"].to_numpy() == 1)]
-        parts = [
-            pd.DataFrame(
-                {
-                    "qid": hids.astype(np.int64),
-                    "nid": np.full(len(hids), -1, np.int64),
-                    "d2": np.full(len(hids), np.inf),
-                }
-            )
-        ]
+        hids = ids_all[qm & (g.column("home").to_numpy() == 1)]
+        out_q = [hids.astype(np.int64)]
+        out_n = [np.full(len(hids), -1, np.int64)]
+        out_d = [np.full(len(hids), np.inf)]
         if nd and qm.any():
-            dx = g["x"].to_numpy()[dm]
-            dy = g["y"].to_numpy()[dm]
-            dids = g["id"].to_numpy()[dm]
-            qx = g["x"].to_numpy()[qm]
-            qy = g["y"].to_numpy()[qm]
-            qids = g["id"].to_numpy()[qm]
+            dx, dy, dids = xs[dm], ys[dm], ids_all[dm]
+            qx, qy, qids = xs[qm], ys[qm], ids_all[qm]
             kk = min(k, nd)
             # chunk queries so the pairwise matrix stays ~2M doubles
             step = max(1, 2_000_000 // nd)
@@ -248,59 +240,63 @@ def spatial_knn_dataset(
                 else:
                     part = np.broadcast_to(np.arange(nd), (d2.shape[0], nd))
                 rows = np.repeat(np.arange(d2.shape[0]), part.shape[1])
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.repeat(qids[s : s + step], part.shape[1]).astype(np.int64),
-                            "nid": dids[part.ravel()].astype(np.int64),
-                            "d2": d2[rows, part.ravel()],
-                        }
-                    )
-                )
-        return pd.concat(parts, ignore_index=True)
+                out_q.append(np.repeat(qids[s : s + step], part.shape[1]).astype(np.int64))
+                out_n.append(dids[part.ravel()].astype(np.int64))
+                out_d.append(d2[rows, part.ravel()])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "nid": pa.array(np.concatenate(out_n), pa.int64()),
+                "d2": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
 
     def make_merge(ring: int, accept_all: bool):
         """Vectorized per-BUCKET merge: every qid hashed into this
-        bucket is ranked/terminated in one pandas pass (C-level
-        groupby.head/cumcount) — never one Ray group per query, which
-        at 10^7 queries is the per-tiny-group trap the agg layer
-        documents."""
+        bucket is ranked/terminated in one numpy pass over the Arrow
+        group (lexsort + run boundaries) — never one Ray group per
+        query, which at 10^7 queries is the per-tiny-group trap the
+        agg layer documents."""
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            uq = np.unique(g["qid"].to_numpy())
-            gf = g.loc[np.isfinite(g["d2"].to_numpy()), ["qid", "nid", "d2"]]
-            n_cand = gf.groupby("qid").size().reindex(uq, fill_value=0).to_numpy()
-            top = (
-                gf.sort_values(["qid", "d2", "nid"], kind="mergesort")
-                .groupby("qid", sort=False)
-                .head(k)
-                .copy()
-            )
-            grp = top.groupby("qid", sort=False)
-            top["rank"] = (grp.cumcount() + 1).astype(np.int64)
-            # kth distance = max kept d2 per qid (rows are sorted)
-            kth = np.sqrt(grp["d2"].max()).reindex(uq, fill_value=np.inf).to_numpy()
+        def merge(g: pa.Table) -> pa.Table:
+            qid = g.column("qid").to_numpy()
+            nid = g.column("nid").to_numpy()
+            d2 = g.column("d2").to_numpy()
+            uq = np.unique(qid)
+            fin = np.isfinite(d2)
+            qf, nf, df_ = qid[fin], nid[fin], d2[fin]
+            n_cand = np.zeros(len(uq), np.int64)
+            np.add.at(n_cand, np.searchsorted(uq, qf), 1)
+            # top-k per qid: one lexsort, positions within runs
+            order = np.lexsort((nf, df_, qf))
+            qs, ns, ds_ = qf[order], nf[order], df_[order]
+            starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]]) if len(qs) else np.empty(0, np.int64)
+            runlen = np.diff(np.r_[starts, len(qs)]) if len(qs) else np.empty(0, np.int64)
+            pos = np.arange(len(qs)) - np.repeat(starts, runlen)
+            keep = pos < k
+            top_q, top_n, top_d = qs[keep], ns[keep], ds_[keep]
+            rank = pos[keep] + 1
+            # kth distance = max kept d2 per qid; inf when no candidates
+            mx = np.full(len(uq), -np.inf)
+            if len(top_q):
+                np.maximum.at(mx, np.searchsorted(uq, top_q), top_d)
+            kth = np.sqrt(np.where(np.isneginf(mx), np.inf, mx))
             done = accept_all | (n_cand >= n_data) | ((n_cand >= k) & (kth <= ring * cell_res))
-            done_map = pd.Series(done, index=uq)
-            top["dist"] = np.round(np.sqrt(top["d2"].to_numpy()), 6)
-            top["resolved"] = done_map.reindex(top["qid"].to_numpy()).to_numpy()
-            out = top[["qid", "rank", "nid", "dist", "d2", "resolved"]]
+            resolved = done[np.searchsorted(uq, top_q)] if len(top_q) else np.empty(0, bool)
             # sentinel rows keep candidate-less unresolved qids alive
             # through the filter/split into the retry set
             empty_unresolved = uq[(n_cand == 0) & ~done]
-            if len(empty_unresolved):
-                sent = pd.DataFrame(
-                    {
-                        "qid": empty_unresolved.astype(np.int64),
-                        "rank": np.zeros(len(empty_unresolved), np.int64),
-                        "nid": np.full(len(empty_unresolved), -1, np.int64),
-                        "dist": np.full(len(empty_unresolved), np.nan),
-                        "d2": np.full(len(empty_unresolved), np.nan),
-                        "resolved": np.zeros(len(empty_unresolved), bool),
-                    }
-                )
-                out = pd.concat([out, sent], ignore_index=True)
-            return out
+            ne = len(empty_unresolved)
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate([top_q, empty_unresolved]).astype(np.int64), pa.int64()),
+                    "rank": pa.array(np.concatenate([rank, np.zeros(ne, np.int64)]).astype(np.int64), pa.int64()),
+                    "nid": pa.array(np.concatenate([top_n, np.full(ne, -1, np.int64)]).astype(np.int64), pa.int64()),
+                    "dist": pa.array(np.concatenate([np.round(np.sqrt(top_d), 6), np.full(ne, np.nan)]), pa.float64()),
+                    "d2": pa.array(np.concatenate([top_d, np.full(ne, np.nan)]), pa.float64()),
+                    "resolved": pa.array(np.concatenate([resolved, np.zeros(ne, bool)]), pa.bool_()),
+                }
+            )
 
         return merge
 
@@ -319,19 +315,19 @@ def spatial_knn_dataset(
 
         fn = make_merge(ring, accept_all)
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return fn(g)
+        def merge(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns(["_qb"]))
 
         return (
             cand.map_batches(add_qb, batch_format="pyarrow")
             .groupby("_qb")
-            .map_groups(merge, batch_format="pandas")
+            .map_groups(merge, batch_format="pyarrow")
         )
 
     def probe(remaining_ds, ring: int):
         exploded = remaining_ds.map_batches(make_explode(ring), batch_format="pyarrow")
         both = tagged_data.union(exploded)
-        cand = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
+        cand = both.groupby("cell").map_groups(local_topk, batch_format="pyarrow")
         return merge_by_bucket(cand, ring, False)
 
     def fallback(remaining_ds):

@@ -280,16 +280,25 @@ def prefix_jaccard_candidate_pairs(
         sh = batch.column("sh").to_numpy()
         return batch.append_column("bucket", pa.array((sh % n_buckets).astype(np.int64), pa.int64()))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pa.Table) -> pa.Table:
+        # lexsort-run replacement for the per-shingle pandas groupby
+        sh = g.column("sh").to_numpy()
+        did = g.column("doc_id").to_numpy()
+        szs = g.column("sz").to_numpy().astype(np.float64)
+        order = np.lexsort((did, sh))
+        sh, did, szs = sh[order], did[order], szs[order]
+        keep_row = np.r_[True, (sh[1:] != sh[:-1]) | (did[1:] != did[:-1])]
+        sh, did, szs = sh[keep_row], did[keep_row], szs[keep_row]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], len(sh)]
         out_a: list = []
         out_b: list = []
         t = threshold
-        for _, sub in g.groupby("sh", sort=False):
-            sub = sub.drop_duplicates("doc_id").sort_values("doc_id", kind="mergesort")
-            ids = sub["doc_id"].to_numpy()
+        for s, e in zip(starts, ends):
+            ids = did[s:e]
             if len(ids) < 2:
                 continue
-            sz = sub["sz"].to_numpy().astype(np.float64)
+            sz = szs[s:e]
             if len(ids) > hot_cap:
                 out_a.append(np.full(len(ids) - 1, ids[0], np.int64))
                 out_b.append(ids[1:])
@@ -299,20 +308,20 @@ def prefix_jaccard_candidate_pairs(
             out_a.append(ids[a[keep]])
             out_b.append(ids[b[keep]])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.concatenate(out_a).astype(np.int64),
-                "doc_b": np.concatenate(out_b).astype(np.int64),
+                "doc_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
             }
         )
 
     cand = (
         rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
@@ -425,11 +434,22 @@ def band_pairs_from_rows(
         bk = batch.column("band_key").to_numpy()
         return batch.append_column("bucket", pa.array(bk % n_buckets, pa.int64()))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pa.Table) -> pa.Table:
+        # one lexsort replaces the per-band-key pandas groupby: band
+        # runs are contiguous slices, doc ids deduped + ascending
+        # within each run by construction of the sort
+        bk = g.column("band_key").to_numpy()
+        did = g.column("doc_id").to_numpy()
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        keep = np.r_[True, (bk[1:] != bk[:-1]) | (did[1:] != did[:-1])]
+        bk, did = bk[keep], did[keep]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
         out_a: list = []
         out_b: list = []
-        for _, sub in g.groupby("band_key", sort=False):
-            ids = np.sort(sub["doc_id"].unique())
+        for s, e in zip(starts, ends):
+            ids = did[s:e]
             if len(ids) < 2:
                 continue
             if len(ids) > hot_cap:
@@ -440,20 +460,20 @@ def band_pairs_from_rows(
             out_a.append(ids[a])
             out_b.append(ids[b])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.concatenate(out_a).astype(np.int64),
-                "doc_b": np.concatenate(out_b).astype(np.int64),
+                "doc_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
             }
         )
 
     cand = (
         band_rows.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
     # dedup pairs colliding in multiple bands: partial->bucketed final
     # count (a bare multi-key groupby.aggregate sort-reduces per tiny
