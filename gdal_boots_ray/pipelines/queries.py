@@ -73,6 +73,37 @@ pt_coords AS (
 """
 
 
+def _read(path: str, columns=None, min_block_bytes: int = 1 << 21, floor: int = 8, **kw):
+    """``read_parquet`` with a BYTES-scaled block count for small
+    inputs.  Ray's planner splits any file into >= ~2x-CPU blocks for
+    parallelism; for the small relational/doc tables that yields
+    hundreds of ~10 KB blocks and every downstream sort/groupby
+    exchange pays per-block fixed cost (measured: a 5000-row
+    bucketed aggregate spent ~6 s wall in 64x64 micro sort tasks).
+    Block count should track bytes — ceil(file_bytes / ~2 MB),
+    floored at ``floor`` for downstream per-batch parallelism —
+    while big inputs (>= 64 MB) keep Ray's default planning, so the
+    100 TB path is unchanged.  NOT used by ``_tiles_dataset``: the
+    tile reads intentionally keep high fan-out because each key row
+    explodes into synthesized pixel data downstream."""
+    import os as _os
+
+    import ray.data as rd
+
+    try:
+        if _os.path.isdir(path):
+            with _os.scandir(path) as it:
+                size = sum(e.stat().st_size for e in it if e.is_file())
+        else:
+            size = _os.path.getsize(path)
+    except OSError:
+        return rd.read_parquet(path, columns=columns, **kw)
+    if size < (64 << 20):
+        nb = max(floor, int(np.ceil(size / min_block_bytes)))
+        return rd.read_parquet(path, columns=columns, override_num_blocks=nb, **kw)
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
 def _tiles_dataset(sf_dir: str, decode: bool = True, concurrency=(1, 4), pre_decode_filter=None):
     """part keys -> synthesized input_hint images -> (optionally)
     decoded pixels.  The synth+decode both run distributed.
@@ -485,7 +516,7 @@ def q_point_values(sf_dir: str):
             }
         )
 
-    pts = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
+    pts = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).map_batches(
         tag_points, batch_format="pyarrow"
     )
 
@@ -509,7 +540,7 @@ def q_point_values(sf_dir: str):
 
         bloom_ref = ray.put(
             build_bloom(
-                rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]), point_keys
+                _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"]), point_keys
             )
         )
 
@@ -1059,7 +1090,7 @@ def _points_dataset(sf_dir: str, id_col: str = "pid"):
     from gdal_boots_ray.sources.fixtures import point_params
 
     n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    pts_ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    pts_ds = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def to_points(batch: pa.Table) -> pa.Table:
         p = point_params(batch.column("c_custkey").to_numpy(), n_part)
@@ -1126,7 +1157,7 @@ def q_knn_ivf(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     qids = qt.column("vec_id").to_numpy()
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # nprobe=6 of 16 lists: deterministic min per-query recall 0.4
     # across sf0.001/0.01/0.1 (measured) — the invariant's floor
     approx = knn_ivf(ds, qmat, k=k, nprobe=6, query_ids=qids)
@@ -1160,7 +1191,7 @@ def q_knn_lsh(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     qids = qt.column("vec_id").to_numpy()
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     approx = knn_lsh(ds, qmat, k=k, n_tables=4, n_bits=6, query_ids=qids)
     exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
 
@@ -1190,7 +1221,7 @@ def q_knn_pq(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     qids = qt.column("vec_id").to_numpy()
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     approx = knn_pq(ds, qmat, k=k, query_ids=qids)
     exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
 
@@ -1287,7 +1318,7 @@ def q_knn(sf_dir: str, k: int = 5, n_queries: int = 8):
     qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
     qids = qt.column("vec_id").to_numpy()
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, qmat, k=k, query_ids=qids)  # pandas (driver-side final top-k)
     out = out.astype({"q_id": "int64", "vec_id": "int64", "sim": "float64"})
     out["sim"] = out["sim"].round(4)
@@ -1299,7 +1330,7 @@ def q_dedup_exact(sf_dir: str):
 
     from gdal_boots_ray.stages.textstages import exact_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = exact_dedup(docs)
 
     def cast(batch: pa.Table) -> pa.Table:
@@ -1317,7 +1348,7 @@ def q_dedup_exact(sf_dir: str):
 def q_text_tokens(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1342,7 +1373,7 @@ def q_token_quantiles(sf_dir: str):
 
     from gdal_boots_ray.stages.agg import exact_quantiles
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1367,7 +1398,7 @@ def q_stratified_sample(sf_dir: str):
 
     from gdal_boots_ray.stages.sample import stratified_sample
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     out = stratified_sample(
         docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
     )
@@ -1392,7 +1423,7 @@ def q_top_terms(sf_dir: str, k: int = 10):
     from gdal_boots_ray.kernels.text import _WORD_RE
     from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def word_partials(batch: pd.DataFrame) -> pd.DataFrame:
         word_lists = [_WORD_RE.findall(t.lower()) for t in batch["text"]]
@@ -1428,7 +1459,7 @@ def q_token_quantiles_by_lang(sf_dir: str):
 
     from gdal_boots_ray.stages.agg import grouped_quantiles
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1470,7 +1501,7 @@ def q_bigram_pmi(sf_dir: str, k: int = 20):
     from gdal_boots_ray.kernels.text import _WORD_RE
     from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
         w1l, w2l = [], []
@@ -1536,7 +1567,7 @@ def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("vec_id").to_numpy().astype(np.int64)
@@ -1616,7 +1647,7 @@ def q_doc_keywords(sf_dir: str):
     from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_top_k
     from gdal_boots_ray.stages.joins import hash_join
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # row count from parquet footers — no extra read pass
     n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
@@ -1669,7 +1700,7 @@ def q_bm25_scores(sf_dir: str, k1: float = 1.2, b: float = 0.75):
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
     # three consumers (corpus token total, df aggregate, score pass)
@@ -1727,7 +1758,7 @@ def q_doc_logprob(sf_dir: str):
     from gdal_boots_ray.stages.agg import bucketed_aggregate
     from gdal_boots_ray.stages.joins import hash_join
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # two consumers (unigram table + join left side) share the
     # tokenize pass — pin the word-count partials once
     counts = docs.map_batches(_doc_word_counts, batch_format="pandas").materialize()
@@ -1783,7 +1814,7 @@ def q_kmeans(sf_dir: str, k: int = 8, iters: int = 6):
 
     from gdal_boots_ray.stages.kmeans import assign_clusters, kmeans
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cents, inertias = kmeans(ds, "vec_id", "embedding", k=k, iters=iters)
     monotone = all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
     assigned = assign_clusters(ds, "embedding", cents)
@@ -1808,7 +1839,7 @@ def q_price_quantiles(sf_dir: str):
 
     from gdal_boots_ray.stages.agg import continuous_quantiles
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
     out = continuous_quantiles(orders, "o_totalprice", [0.25, 0.5, 0.75, 0.95])
     out["o_totalprice"] = np.round(out["o_totalprice"], 4)
     return out
@@ -1826,7 +1857,7 @@ def q_capped_sample(sf_dir: str, cap: int = 50):
 
     from gdal_boots_ray.stages.agg import grouped_top_k
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def rank(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -1864,11 +1895,11 @@ def q_approx_distinct(sf_dir: str):
     from gdal_boots_ray.kernels.text import _WORD_RE
     from gdal_boots_ray.stages.agg import approx_count_distinct, bucketed_aggregate
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     est_cust = approx_count_distinct(orders, "o_custkey")
     exact_cust = bucketed_aggregate(orders, ["o_custkey"], {"n": "count"}).count()
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def words(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -1909,7 +1940,7 @@ def _round_half_away(x: float, d: int) -> float:
 def q_text_quality(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1938,7 +1969,7 @@ def q_lang_id(sf_dir: str):
 
     from gdal_boots_ray.kernels.text import lang_id, quality_score, token_count_bpe
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1965,7 +1996,7 @@ def q_lang_id_pred(sf_dir: str):
 
     from gdal_boots_ray.kernels.text import lang_id
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pred(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1999,7 +2030,7 @@ def q_minhash_pairs(sf_dir: str, doc_cap: int = 1500):
     from gdal_boots_ray.stages.textstages import MD5MinHashStage, band_pairs_from_rows
 
     n_docs = min(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows, doc_cap)
-    docs = rd.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filter=pc.field("doc_id") < doc_cap,
@@ -2046,7 +2077,7 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
     from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(docs, num_perm=64, bands=32, n_docs=n_docs).select_columns(
         ["doc_a", "doc_b"]
     )
@@ -2109,7 +2140,7 @@ def q_jaccard_neardup(sf_dir: str, threshold: float = 0.6):
     )
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = prefix_jaccard_candidate_pairs(docs, threshold=threshold, n_docs=n_docs).select_columns(
         ["doc_a", "doc_b"]
     )
@@ -2145,7 +2176,7 @@ def q_corpus_clean(
     from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def feat_filter(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -2171,23 +2202,29 @@ def q_corpus_clean(
     # and the min-per-h reduce is vectorized per BUCKET (thousands of
     # h groups each), never per tiny h group (the per-group pandas
     # overhead trap at 10^9 distinct texts)
-    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
 
     n_buckets = _default_n_buckets()
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_bucket"] = _key_buckets(batch, ["h"], n_buckets)
-        return batch
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(batch, ["h"], n_buckets), pa.int64())
+        )
 
-    def keep_min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values("doc_id", kind="mergesort").groupby("h", sort=False).head(1)
-        return out.drop(columns=["_bucket"])
+    def keep_min_per_hash(g: pa.Table) -> pa.Table:
+        # rows in doc_id order, then the first occurrence of each hash
+        # is the min-doc_id survivor (np.unique returns first indices)
+        did = g.column("doc_id").to_numpy()
+        order = np.argsort(did, kind="mergesort")
+        h = g.column("h").to_numpy(zero_copy_only=False)[order]
+        _, first = np.unique(h, return_index=True)
+        rows = order[np.sort(first)]
+        return g.drop_columns(["_bucket"]).take(pa.array(rows, pa.int64()))
 
     unique = (
-        filtered.map_batches(add_bucket, batch_format="pandas")
+        filtered.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(keep_min_per_hash, batch_format="pandas")
+        .map_groups(keep_min_per_hash, batch_format="pyarrow")
     )
 
     # checkpoint the cleaned-survivor set once: three downstream
@@ -2219,7 +2256,7 @@ def q_corpus_clean(
         unique.write_parquet(tmp)
         os.makedirs(os.path.dirname(checkpoint_dir), exist_ok=True)
         os.rename(tmp, checkpoint_dir)  # atomic publish = completion marker
-    unique = rd.read_parquet(checkpoint_dir)
+    unique = _read(checkpoint_dir)
 
     cand = minhash_candidate_pairs(
         unique, num_perm=64, bands=32, n_docs=n_docs
@@ -2270,7 +2307,7 @@ def q_simhash(sf_dir: str):
 
     from gdal_boots_ray.stages.textstages import SimHashStage
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = docs.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "simhash"])
 
@@ -2287,7 +2324,7 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     from gdal_boots_ray.kernels.text import simhash64
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def sim_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -2357,7 +2394,7 @@ def q_event_gaps(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -2386,7 +2423,7 @@ def q_running_total(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
 
     def cumsum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -2412,7 +2449,7 @@ def q_events_window(sf_dir: str):
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def win(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -2453,7 +2490,7 @@ def q_events_sliding(sf_dir: str):
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def fanout(batch: pa.Table) -> pa.Table:
         us = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -2509,7 +2546,7 @@ def q_q1_pricing(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -2586,7 +2623,7 @@ def q_revenue_by_nation(sf_dir: str):
 
     lookup_ref = ray.put(_custkey_to_nation_name(sf_dir))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     class AttachNation:
         def __init__(self):
@@ -2619,7 +2656,7 @@ def q_revenue_by_nation(sf_dir: str):
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     out = orders.sort("o_totalprice", descending=True).limit(10)
 
     def cast(batch: pa.Table) -> pa.Table:
@@ -2649,7 +2686,7 @@ def q_top_orders_per_nation(sf_dir: str, k: int = 3):
 
     lookup_ref = ray.put(_custkey_to_nation_name(sf_dir))
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
@@ -2692,10 +2729,10 @@ def q_revenue_rollup(sf_dir: str):
     from gdal_boots_ray.stages.agg import bucketed_aggregate
     from gdal_boots_ray.stages.joins import hash_join
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderstatus"]
     )
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def key_o(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -2750,8 +2787,8 @@ def q_revenue_by_segment(sf_dir: str):
     from gdal_boots_ray.stages.agg import bucketed_aggregate
     from gdal_boots_ray.stages.joins import hash_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def key_o(batch: pa.Table) -> pa.Table:
         # the price column is pre-named 'revenue' so the aggregate's
@@ -2801,8 +2838,8 @@ def q_customer_order_counts(sf_dir: str):
     from gdal_boots_ray.stages.agg import bucketed_aggregate
     from gdal_boots_ray.stages.joins import hash_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def key_c(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -2860,8 +2897,8 @@ def q_customers_without_orders(sf_dir: str, min_price: float = 400000.0):
 
     from gdal_boots_ray.stages.joins import hash_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    orders = rd.read_parquet(
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=_pc.field("o_totalprice") > min_price,
@@ -2904,8 +2941,8 @@ def q_customers_with_big_orders(sf_dir: str, min_price: float = 420000.0):
 
     from gdal_boots_ray.stages.joins import hash_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    orders = rd.read_parquet(
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey"],
         filter=_pc.field("o_totalprice") > min_price,
@@ -3051,7 +3088,7 @@ def q_dup_components(sf_dir: str, max_iters: int = 30):
         raise RuntimeError(f"components did not converge in {max_iters} rounds")
 
     # singleton nodes (no incident edge) are their own component
-    nodes = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+    nodes = _read(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
         lambda b: pa.table({"k": b.column("p_partkey").cast(pa.int64())}),
         batch_format="pyarrow",
     )
@@ -3109,7 +3146,7 @@ def q_semdedup(
 
     from gdal_boots_ray.stages.kmeans import kmeans
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # metadata-only row count; planted copies double the population
     k = max(k, int(np.ceil(2 * ds.count() / target_cluster)))
 
@@ -3250,7 +3287,7 @@ def q_embedding_neardup(
     planes = rng.normal(size=(n_tables, n_planes, 64))
     planes_ref = ray.put(planes)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     if plant:
         # non-vacuous variant: union with a scaled copy of every
@@ -3582,7 +3619,7 @@ def q_doc_fingerprints(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
 
     from gdal_boots_ray.kernels.text import md5_fingerprints
 
-    docs = rd.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filter=pc.field("doc_id") < doc_cap,
@@ -3616,7 +3653,7 @@ def q_video_motion(sf_dir: str, n_media: int = 100):
 
     from gdal_boots_ray.stages.multimodal import VideoMotion
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def synth_y4m(batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.media import y4m_encode
@@ -3673,7 +3710,7 @@ def q_fingerprint_dups(sf_dir: str, doc_cap: int = 1500, keep: int = 4):
     from gdal_boots_ray.stages.textstages import band_pairs_from_rows
 
     n_docs = min(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows, doc_cap)
-    docs = rd.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         filter=pc.field("doc_id") < doc_cap,
@@ -3720,7 +3757,7 @@ def q_audio_rms(sf_dir: str, n_media: int = 200):
 
     from gdal_boots_ray.stages.multimodal import AudioFeatures
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def synth_wav(batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.media import wav_encode
@@ -3761,7 +3798,7 @@ def q_audio_spectrum(sf_dir: str, n_media: int = 200):
     header, or windowing bug breaks the hash.  Pure map stage."""
     import ray.data as rd
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def synth_wav(batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.media import wav_encode
@@ -3829,7 +3866,7 @@ def q_video_frames(sf_dir: str, n_media: int = 100):
     from gdal_boots_ray.stages.decode import batch_pixel_views
     from gdal_boots_ray.stages.multimodal import VideoFrameSampler
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
     def synth_y4m(batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.kernels.media import y4m_encode
@@ -3959,7 +3996,7 @@ def q_asof_join(sf_dir: str):
 
     from gdal_boots_ray.stages.joins import asof_join
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
 
     def split(batch: pa.Table, etype: str) -> pa.Table:
         m = pc.equal(batch.column("event_type"), etype)
@@ -3996,8 +4033,8 @@ def q_range_join(sf_dir: str):
 
     from gdal_boots_ray.stages.joins import interval_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
-    bands = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    bands = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.column("n_nationkey").to_numpy().astype(np.int64)
@@ -4040,7 +4077,7 @@ def q_sessionize(sf_dir: str, gap_minutes: int = 30):
     import pandas as pd
     import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -4434,7 +4471,7 @@ def q_text_normalize(sf_dir: str):
     import pandas as pd
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["text"].str.lower()
@@ -4469,7 +4506,7 @@ def q_doc_pack(sf_dir: str, budget: int = 256, range_size: int = 512):
     from gdal_boots_ray.kernels.text import _WORD_RE
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def tok(batch: pd.DataFrame) -> pd.DataFrame:
         n = [len(_WORD_RE.findall(t.lower())) for t in batch["text"]]
@@ -4534,7 +4571,7 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
     from gdal_boots_ray.kernels.text import _WORD_RE
 
     max_bench_shingles = 2_000_000
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def doc_shingles(text: str):
         ws = _WORD_RE.findall(text.lower())
@@ -4589,7 +4626,7 @@ def q_doc_repetition(sf_dir: str):
 
     from gdal_boots_ray.kernels.text import _WORD_RE
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def rep(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -4635,7 +4672,7 @@ def q_inverted_index(sf_dir: str, min_df: int = 5):
     from gdal_boots_ray.kernels.text import _WORD_RE
     from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_buckets = _default_n_buckets()
 
     def postings_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -4982,7 +5019,7 @@ def q_poly_grid_cover(sf_dir: str, res: float = 1000.0):
     from gdal_boots_ray.kernels.geometry import points_in_rings, polygon_rings
     from gdal_boots_ray.sources.fixtures import nation_polygons
 
-    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    ds = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
 
     def cover(batch: pa.Table) -> pa.Table:
         keys = batch.column("n_nationkey").to_numpy()
@@ -5023,7 +5060,7 @@ def q_poly_metrics(sf_dir: str):
     from gdal_boots_ray.kernels.geometry import polygon_rings, ring_metrics
     from gdal_boots_ray.sources.fixtures import nation_polygons
 
-    ds = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    ds = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
 
     def metrics(batch: pa.Table) -> pa.Table:
         keys = batch.column("n_nationkey").to_numpy()
@@ -5206,7 +5243,7 @@ def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
 
     from gdal_boots_ray.stages.agg import _default_n_buckets
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     nb = _default_n_buckets()
 
     def add_bucket(batch: pa.Table) -> pa.Table:

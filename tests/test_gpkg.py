@@ -94,8 +94,8 @@ def test_rasterize_minsk_histogram_golden():
 def test_osm_reader():
     """OSM XML reader on the reference's minsk-boundary.osm fixture:
     the 7 tagged nodes match the OGR-converted GPKG points layer; the
-    boundary relation and named features are present.  (Way merging /
-    relation assembly is a documented subset vs OGR's OSM driver.)"""
+    type=boundary relation is assembled into the multipolygons layer
+    (OGR osm-driver layering)."""
     import collections
 
     from gdal_boots_ray.sources.osm import read_osm_table
@@ -103,6 +103,45 @@ def test_osm_reader():
     t = read_osm_table("/root/reference/tests/fixtures/minsk-boundary.osm")
     layers = collections.Counter(t.column("layer").to_pylist())
     assert layers["points"] == 7  # == the GPKG points layer
-    assert layers["multipolygons"] >= 1 and layers["other_relations"] >= 1
+    assert layers["multipolygons"] >= 1
     names = [json.loads(p).get("name:en") for p in t.column("props").to_pylist()]
     assert "Minsk" in names
+
+
+def _norm_ring(r):
+    pts = [tuple(p) for p in r[:-1]]
+    i = pts.index(min(pts))
+    fwd = tuple(pts[i:] + pts[:i])
+    rev_pts = pts[::-1]
+    j = rev_pts.index(min(rev_pts))
+    rev = tuple(rev_pts[j:] + rev_pts[:j])
+    return min(fwd, rev)
+
+
+def test_osm_relation_assembly_geometry_parity():
+    """The minsk boundary relation (type=boundary, 61 outer + 13
+    inner way members in arbitrary order) assembles into EXACTLY the
+    MultiPolygon of the fixture's GeoJSON twin (OGR-converted):
+    same 3 polygons, same ring-per-polygon grouping, same coordinates
+    up to ring rotation/orientation."""
+    from gdal_boots_ray.sources.osm import read_osm_table
+
+    t = read_osm_table("/root/reference/tests/fixtures/minsk-boundary.osm")
+    rel = [
+        r
+        for r in t.to_pylist()
+        if r["layer"] == "multipolygons" and json.loads(r["props"]).get("osm_id") == "59195"
+    ]
+    assert len(rel) == 1
+    g = json.loads(rel[0]["geom"])
+    assert g["type"] == "MultiPolygon"
+    ref = json.load(open("/root/reference/tests/fixtures/minsk-boundary.geojson"))
+    rg = ref["features"][0]["geometry"]
+    assert rg["type"] == "MultiPolygon"
+
+    def norm_poly(p):
+        return (_norm_ring(p[0]), frozenset(_norm_ring(r) for r in p[1:]))
+
+    mine = sorted(map(str, (norm_poly(p) for p in g["coordinates"])))
+    theirs = sorted(map(str, (norm_poly(p) for p in rg["coordinates"])))
+    assert mine == theirs
