@@ -145,32 +145,48 @@ def grouped_top_k(
     by = [order_col] + list(tie_cols)
     ascending = [not descending] + [True] * len(tie_cols)
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            out = batch.copy()
-            out["_bucket"] = pd.Series([], dtype=np.int64)
-            return out
-        out = (
-            batch.sort_values(by, ascending=ascending, kind="mergesort")
-            .groupby(keys, sort=False)
-            .head(k)
-        )
-        out = out.copy()
-        out["_bucket"] = _key_buckets(out, keys, n_buckets)
-        return out
+    def _codes(arr: np.ndarray) -> np.ndarray:
+        # rank codes for string/object columns keep lexsort numeric;
+        # order-preserving, so descending works by negation too
+        if arr.dtype == object or arr.dtype.kind in "US":
+            _, inv = np.unique(arr, return_inverse=True)
+            return inv
+        return arr
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.sort_values(by, ascending=ascending, kind="mergesort")
-            .groupby(keys, sort=False)
-            .head(k)
+    def _topk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if not n:
+            return t
+        key_arrs = [_codes(t.column(c).to_numpy(zero_copy_only=False)) for c in keys]
+        order_arrs = []
+        for c, asc in zip(by, ascending):
+            v = _codes(t.column(c).to_numpy(zero_copy_only=False))
+            order_arrs.append(v if asc else -v)
+        # lexsort: LAST key is primary -> keys outermost, then by[]
+        order = np.lexsort(list(reversed(order_arrs)) + list(reversed(key_arrs)))
+        change = np.zeros(n, bool)
+        change[0] = True
+        for a in key_arrs:
+            s = a[order]
+            change[1:] |= s[1:] != s[:-1]
+        starts = np.flatnonzero(change)
+        runlen = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, runlen)
+        return t.take(pa.array(order[pos < k], pa.int64()))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        out = _topk(batch)
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(out, keys, n_buckets), pa.int64())
         )
-        return out.drop(columns=["_bucket"])
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        return _topk(g.drop_columns(["_bucket"]))
 
     return (
-        ds.map_batches(partial_topk, batch_format="pandas")
+        ds.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
