@@ -82,13 +82,14 @@ def salted_cell_aggregate(ds, agg: Dict[str, str], cell_col: str = "cell", hot_t
     salted = ds.map_batches(make_add_salted_cell(salts, cell_col, salt_source), batch_format="pyarrow")
     phase1 = bucketed_aggregate(salted, ["cell_salted"], agg)
 
-    def unsalt(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[cell_col] = batch["cell_salted"] // 64
-        return batch.drop(columns=["cell_salted"])
+    def unsalt(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell_salted").to_numpy() // 64
+        return batch.drop_columns(["cell_salted"]).append_column(
+            cell_col, pa.array(cells, pa.int64())
+        )
 
     second = {k: ("sum" if how in ("sum", "count") else how) for k, how in agg.items()}
     phase2 = bucketed_aggregate(
-        phase1.map_batches(unsalt, batch_format="pandas"), [cell_col], second
+        phase1.map_batches(unsalt, batch_format="pyarrow"), [cell_col], second
     )
     return phase2
