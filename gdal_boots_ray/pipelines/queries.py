@@ -2976,7 +2976,7 @@ def q_customers_with_big_orders(sf_dir: str, min_price: float = 420000.0):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
-def q_dup_components(sf_dir: str, max_iters: int = 30):
+def q_dup_components(sf_dir: str, max_iters: int = 30, broadcast_threshold: int = 5_000_000):
     """Connected components over the near-duplicate graph — the step a
     production dedup pipeline needs after pair generation to elect one
     canonical row per duplicate CLUSTER (pairs alone under-delete on
@@ -2999,7 +2999,17 @@ def q_dup_components(sf_dir: str, max_iters: int = 30):
     DuckDB twin is a recursive-CTE min-reach.  Labels are
     driver-materialized per round (node-count rows); a petabyte run
     would write them to the manifested parquet checkpoint dir like
-    pipelines/flagship.py."""
+    pipelines/flagship.py.
+
+    Two physical plans behind one semantics (the knn
+    broadcast_threshold precedent): an edge set at or under
+    ``broadcast_threshold`` rows — output-scale, k pairs per dup
+    cluster, NOT corpus-scale — collects to the driver and resolves
+    with one exact numpy union-find pass (min-id root labels, no
+    per-round exchanges); a larger graph runs the distributed
+    pointer-jumping loop.  Both return min-reachable-id labels, so
+    the oracle is plan-independent (test_dup_components_plans forces
+    the loop and compares)."""
     import ray.data as rd
 
     from gdal_boots_ray.stages.agg import _default_n_buckets, bucketed_aggregate
@@ -3007,6 +3017,42 @@ def q_dup_components(sf_dir: str, max_iters: int = 30):
 
     n_parts = max(8, _default_n_buckets() // 8)
     edges = q_phash_neardup(sf_dir)
+
+    if edges.count() <= broadcast_threshold:
+        pairs = edges.select_columns(["key_a", "key_b"]).to_pandas()
+        a = pairs["key_a"].to_numpy(np.int64)
+        b = pairs["key_b"].to_numpy(np.int64)
+        nodes_np, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        parent = np.arange(len(nodes_np), dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for ia, ib in zip(inv[: len(a)], inv[len(a) :]):
+            ra, rb = find(int(ia)), find(int(ib))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-index root
+        roots = np.array([find(i) for i in range(len(nodes_np))], np.int64)
+        # component label = min node id; roots are min-index, and
+        # nodes_np is sorted, so the root's node id IS the min id
+        labels_np = nodes_np[roots]
+        all_keys = (
+            _read(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+            .to_pandas()["p_partkey"]
+            .to_numpy(np.int64)
+        )
+        singles = np.setdiff1d(all_keys, nodes_np, assume_unique=False)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array(np.concatenate([nodes_np, singles]), pa.int64()),
+                    "component": pa.array(np.concatenate([labels_np, singles]), pa.int64()),
+                }
+            )
+        )
 
     def both_dirs(b: pa.Table) -> pa.Table:
         a = b.column("key_a").to_numpy()

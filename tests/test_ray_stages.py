@@ -465,3 +465,21 @@ def test_build_bloom_or_tree(ray_mod):
     assert bloom_test(words, keys).all()
     absent = np.arange(1, 4000, dtype=np.int64) * 7919 + 3
     assert bloom_test(words, absent).mean() < 0.05
+
+
+def test_dup_components_plans(ray_mod):
+    """The union-find small-graph plan and the distributed
+    pointer-jumping loop return IDENTICAL (key, component) labels —
+    broadcast_threshold only changes the physical plan."""
+    from gdal_boots_ray.pipelines.queries import q_dup_components
+
+    sf = "/root/testdata/sf0.001"
+    small = q_dup_components(sf).to_pandas().sort_values("key").reset_index(drop=True)
+    looped = (
+        q_dup_components(sf, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert small["key"].tolist() == looped["key"].tolist()
+    assert small["component"].tolist() == looped["component"].tolist()
