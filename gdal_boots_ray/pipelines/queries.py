@@ -2074,16 +2074,14 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
+    from gdal_boots_ray.stages.textstages import attach_pair_columns, minhash_candidate_pairs
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs(docs, num_perm=64, bands=32, n_docs=n_docs).select_columns(
         ["doc_a", "doc_b"]
     )
-    withtext = attach_doc_column(
-        attach_doc_column(cand, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
-    )
+    withtext = attach_pair_columns(cand, docs)
     return _exact_jaccard_verify(withtext, threshold)
 
 
@@ -2135,7 +2133,7 @@ def q_jaccard_neardup(sf_dir: str, threshold: float = 0.6):
     import ray.data as rd
 
     from gdal_boots_ray.stages.textstages import (
-        attach_doc_column,
+        attach_pair_columns,
         prefix_jaccard_candidate_pairs,
     )
 
@@ -2144,9 +2142,7 @@ def q_jaccard_neardup(sf_dir: str, threshold: float = 0.6):
     cand = prefix_jaccard_candidate_pairs(docs, threshold=threshold, n_docs=n_docs).select_columns(
         ["doc_a", "doc_b"]
     )
-    withtext = attach_doc_column(
-        attach_doc_column(cand, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
-    )
+    withtext = attach_pair_columns(cand, docs)
     return _exact_jaccard_verify(withtext, threshold)
 
 
@@ -2173,7 +2169,7 @@ def q_corpus_clean(
 
     from gdal_boots_ray.kernels.text import lang_id
     from gdal_boots_ray.stages.joins import hash_join
-    from gdal_boots_ray.stages.textstages import attach_doc_column, minhash_candidate_pairs
+    from gdal_boots_ray.stages.textstages import attach_pair_columns, minhash_candidate_pairs
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2261,9 +2257,7 @@ def q_corpus_clean(
     cand = minhash_candidate_pairs(
         unique, num_perm=64, bands=32, n_docs=n_docs
     ).select_columns(["doc_a", "doc_b"])
-    withtext = attach_doc_column(
-        attach_doc_column(cand, unique, "doc_a", "text_a"), unique, "doc_b", "text_b"
-    )
+    withtext = attach_pair_columns(cand, unique)
 
     def verify_drop(batch: pa.Table) -> pa.Table:
         db = batch.column("doc_b").to_numpy().astype(np.int64)
@@ -2356,11 +2350,9 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 3):
     )
     dedup = bucketed_aggregate(cand, ["doc_a", "doc_b"], {"n": "count"}).select_columns(["doc_a", "doc_b"])
 
-    from gdal_boots_ray.stages.textstages import attach_doc_column
+    from gdal_boots_ray.stages.textstages import attach_pair_columns
 
-    withtext = attach_doc_column(
-        attach_doc_column(dedup, docs, "doc_a", "text_a"), docs, "doc_b", "text_b"
-    )
+    withtext = attach_pair_columns(dedup, docs)
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -3406,7 +3398,7 @@ def q_embedding_neardup(
         return pd.DataFrame({"vec_a": ids[a].astype(np.int64), "vec_b": ids[b].astype(np.int64)})
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
-    from gdal_boots_ray.stages.textstages import attach_doc_column
+    from gdal_boots_ray.stages.textstages import attach_pair_columns
 
     cand = (
         ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
@@ -3427,13 +3419,8 @@ def q_embedding_neardup(
         )
 
     vecs = ds.map_batches(to_vec_rows, batch_format="pyarrow")
-    withvec = attach_doc_column(
-        attach_doc_column(cand, vecs, "vec_a", "vec_va", val_col="v", pair_cols=["vec_a", "vec_b"]),
-        vecs,
-        "vec_b",
-        "vec_vb",
-        val_col="v",
-        pair_cols=["vec_a", "vec_b", "vec_va"],
+    withvec = attach_pair_columns(
+        cand, vecs, key_a="vec_a", key_b="vec_b", out_a="vec_va", out_b="vec_vb", val_col="v"
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -484,6 +484,146 @@ def band_pairs_from_rows(
     return out.select_columns(["doc_a", "doc_b", "n_bands"])
 
 
+def attach_pair_columns(
+    pairs_ds,
+    docs_ds,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+    out_a: str = "text_a",
+    out_b: str = "text_b",
+    val_col: str = "text",
+    n_buckets: Optional[int] = None,
+):
+    """Fused BOTH-ENDS payload attach for (key_a, key_b) pair rows —
+    replaces the two sequential ``attach_doc_column`` joins, so the
+    document table crosses the wire ONCE instead of twice and the
+    first end's payload is never re-shipped through the second join.
+
+    Exchange 1 keys on the doc id: every pair explodes to two probes
+    (k=end, a, b, side) unioned with the tagged docs (k=doc_id,
+    payload); each bucket binary-searches its local docs once and
+    emits (a, b, side, payload).  Exchange 2 keys on the pair and
+    zips side 0/1 into (out_a, out_b).  Inner semantics: a pair
+    missing either end is dropped (same as the chained joins)."""
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
+
+    if n_buckets is None:
+        n_buckets = _default_n_buckets()
+    try:
+        vt = docs_ds.schema().base_schema.field(val_col).type
+    except Exception:
+        vt = pa.string()
+
+    def probes(batch: pa.Table) -> pa.Table:
+        a = batch.column(key_a).cast(pa.int64())
+        b = batch.column(key_b).cast(pa.int64())
+        n = batch.num_rows
+        a_np = a.to_numpy()
+        b_np = b.to_numpy()
+        t = pa.table(
+            {
+                "k": pa.array(np.concatenate([a_np, b_np]), pa.int64()),
+                "a": pa.array(np.concatenate([a_np, a_np]), pa.int64()),
+                "b": pa.array(np.concatenate([b_np, b_np]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "val": pa.nulls(2 * n, vt),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(t, ["k"], n_buckets), pa.int64())
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "k": batch.column("doc_id").cast(pa.int64()),
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.full(n, -1, np.int8)),
+                "val": batch.column(val_col),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(t, ["k"], n_buckets), pa.int64())
+        )
+
+    both = pairs_ds.map_batches(probes, batch_format="pyarrow").union(
+        docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    )
+
+    def fetch(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy()
+        k = g.column("k").to_numpy()
+        didx = np.flatnonzero(side < 0)
+        pidx = np.flatnonzero(side >= 0)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "val": pa.nulls(0, vt),
+            }
+        )
+        if not len(didx) or not len(pidx):
+            return empty.append_column("_pb", pa.array([], pa.int64()))
+        order = np.argsort(k[didx], kind="mergesort")
+        dks = k[didx][order]
+        pos = np.searchsorted(dks, k[pidx])
+        ok = (pos < len(dks)) & (dks[np.minimum(pos, len(dks) - 1)] == k[pidx])
+        rows = pidx[ok]
+        drows = didx[order[pos[ok]]]
+        t = g.take(pa.array(rows, pa.int64()))
+        out = pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "side": t.column("side"),
+                "val": g.column("val").take(pa.array(drows, pa.int64())),
+            }
+        )
+        return out.append_column(
+            "_pb", pa.array(_key_buckets_arrow(out, ["a", "b"], n_buckets), pa.int64())
+        )
+
+    fetched = both.groupby("_bucket").map_groups(fetch, batch_format="pyarrow")
+
+    def zip_pair(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy()
+        b = g.column("b").to_numpy()
+        side = g.column("side").to_numpy()
+        n = len(a)
+        if not n:
+            return pa.table(
+                {
+                    key_a: pa.array([], pa.int64()),
+                    key_b: pa.array([], pa.int64()),
+                    out_a: pa.nulls(0, vt),
+                    out_b: pa.nulls(0, vt),
+                }
+            )
+        order = np.lexsort((side, b, a))
+        As, Bs, Ss = a[order], b[order], side[order]
+        starts = np.flatnonzero(np.r_[True, (As[1:] != As[:-1]) | (Bs[1:] != Bs[:-1])])
+        runlen = np.diff(np.r_[starts, n])
+        # both ends found <=> run of exactly (side 0, side 1)
+        good = (runlen == 2) & (Ss[starts] == 0) & (Ss[np.minimum(starts + 1, n - 1)] == 1)
+        s = starts[good]
+        val = g.column("val")
+        return pa.table(
+            {
+                key_a: pa.array(As[s], pa.int64()),
+                key_b: pa.array(Bs[s], pa.int64()),
+                out_a: val.take(pa.array(order[s], pa.int64())),
+                out_b: val.take(pa.array(order[s + 1], pa.int64())),
+            }
+        )
+
+    return fetched.groupby("_pb").map_groups(zip_pair, batch_format="pyarrow")
+
+
 def attach_doc_column(
     pairs_ds, docs_ds, key_col: str, out_col: str, val_col: str = "text", pair_cols=None
 ):

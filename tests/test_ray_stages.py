@@ -483,3 +483,47 @@ def test_dup_components_plans(ray_mod):
     )
     assert small["key"].tolist() == looped["key"].tolist()
     assert small["component"].tolist() == looped["component"].tolist()
+
+
+def test_attach_pair_columns(ray_mod):
+    """Fused both-ends attach: payloads land on the right ends, pairs
+    missing either end are dropped (inner), list payloads survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_boots_ray.stages.textstages import attach_pair_columns
+
+    pairs = rd.from_arrow(
+        pa.table({"doc_a": pa.array([1, 2, 5], pa.int64()), "doc_b": pa.array([3, 4, 6], pa.int64())})
+    )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["t1", "t2", "t3", "t4"], pa.string()),
+            }
+        )
+    )
+    out = attach_pair_columns(pairs, docs).to_pandas().sort_values("doc_a").reset_index(drop=True)
+    assert out["doc_a"].tolist() == [1, 2]  # pair (5,6) has no docs -> dropped
+    assert out["text_a"].tolist() == ["t1", "t2"]
+    assert out["text_b"].tolist() == ["t3", "t4"]
+
+    vecs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3], pa.int64()),
+                "v": pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out2 = attach_pair_columns(
+        rd.from_arrow(pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([3], pa.int64())})),
+        vecs,
+        key_a="a",
+        key_b="b",
+        out_a="va",
+        out_b="vb",
+        val_col="v",
+    ).to_pandas()
+    assert list(out2["va"][0]) == [1.0, 2.0] and list(out2["vb"][0]) == [3.0, 4.0]
