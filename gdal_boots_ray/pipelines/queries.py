@@ -556,33 +556,55 @@ def q_point_values(sf_dir: str):
         tag_tiles, batch_format="pyarrow"
     )
 
-    def sample_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"pid": pd.Series([], dtype=np.int64), "value": pd.Series([], dtype=np.int64)}
+    def sample_bucket(g: pa.Table) -> pa.Table:
+        # Arrow group: tile pixel payloads stay zero-copy buffer views
+        # (never pandas object cells); points sort once per bucket and
+        # each tile's points are a searchsorted slice
+        from gdal_boots_ray.stages.decode import binary_column_views
+
+        empty = pa.table(
+            {"pid": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}
         )
-        tm = g["kind"].to_numpy() == 1
-        tiles_g = g[tm]
-        pts_g = g[~tm]
-        if not len(tiles_g) or not len(pts_g):
+        kind = g.column("kind").to_numpy()
+        tm = np.flatnonzero(kind == 1)
+        pm = np.flatnonzero(kind == 0)
+        if not len(tm) or not len(pm):
             return empty
+        k = g.column("k").to_numpy()
+        xs = g.column("x").to_numpy()
+        ys = g.column("y").to_numpy()
+        pid = g.column("pid").to_numpy()
+        order = np.argsort(k[pm], kind="mergesort")
+        pks = k[pm][order]
+        views = binary_column_views(g.column("pixels"))
+        gts = g.column("gt").to_pylist()
+        ws = g.column("w").to_numpy()
+        hs = g.column("h").to_numpy()
+        bs = g.column("bands").to_numpy()
         out_pid, out_val = [], []
-        groups = {k: sub for k, sub in pts_g.groupby("k", sort=False)}
-        for trow in tiles_g.itertuples(index=False):
-            sub = groups.get(trow.k)
-            if sub is None:
+        for ti in tm:
+            lo = np.searchsorted(pks, k[ti], side="left")
+            hi = np.searchsorted(pks, k[ti], side="right")
+            if lo == hi:
                 continue
-            img = pixels_view(trow.pixels, int(trow.bands), int(trow.h), int(trow.w))
-            gt = np.asarray(trow.gt, np.float64)
+            rows = pm[order[lo:hi]]
+            img = pixels_view(views[ti], int(bs[ti]), int(hs[ti]), int(ws[ti]))
+            gt = np.asarray(gts[ti], np.float64)
             vals, ok = sample_points(
-                img if img.ndim == 2 else img[0], gt, sub["x"].to_numpy(), sub["y"].to_numpy()
+                img if img.ndim == 2 else img[0], gt, xs[rows], ys[rows]
             )
-            out_pid.append(sub["pid"].to_numpy()[ok].astype(np.int64))
+            out_pid.append(pid[rows][ok].astype(np.int64))
             out_val.append(vals[ok].astype(np.int64))
         if not out_pid:
             return empty
-        return pd.DataFrame({"pid": np.concatenate(out_pid), "value": np.concatenate(out_val)})
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate(out_pid), pa.int64()),
+                "value": pa.array(np.concatenate(out_val), pa.int64()),
+            }
+        )
 
-    return pts.union(tiles).groupby("b").map_groups(sample_bucket, batch_format="pandas")
+    return pts.union(tiles).groupby("b").map_groups(sample_bucket, batch_format="pyarrow")
 
 
 def q_zonal_stats(sf_dir: str):
