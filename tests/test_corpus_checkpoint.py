@@ -49,3 +49,26 @@ def test_corpus_clean_partial_checkpoint_is_ignored(ray_session, tmp_path):
     assert len(out) > 0
     assert os.path.isdir(ckpt)
     assert not os.path.exists(tmp_dir)  # stale tmp cleared by the rerun
+
+
+def test_corpus_clean_job_entrypoint(ray_session, tmp_path):
+    """jobs.corpus_clean writes the clean corpus as partitioned
+    parquet under --out and reports the row count (the ray-job
+    operational form of the pipeline)."""
+    import json
+
+    import ray.data as rd
+
+    from gdal_boots_ray.jobs.corpus_clean import main
+
+    out_root = tmp_path / "job_out"
+    rc = main(["--docs", "/root/testdata/sf0.001", "--out", str(out_root)])
+    assert rc == 0
+    clean = rd.read_parquet(str(out_root / "clean"))
+    n = clean.count()
+    assert n > 0
+    # matches the oracle-checked query result size
+    from gdal_boots_ray.pipelines.queries import q_corpus_clean
+
+    ref = q_corpus_clean("/root/testdata/sf0.001", checkpoint_dir=str(tmp_path / "ck2"))
+    assert n == len(ref.to_pandas() if hasattr(ref, "to_pandas") else ref)
