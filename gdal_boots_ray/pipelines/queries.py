@@ -2064,6 +2064,58 @@ def q_lang_id_pred(sf_dir: str):
     return docs.map_batches(pred, batch_format="pyarrow")
 
 
+def q_domain_mix(sf_dir: str):
+    """Deterministic domain-balancing sampler — the data-MIXING stage
+    of a training pipeline (downsample over-represented languages to
+    the smallest language's count, in expectation): pass 1 predicts
+    the language per doc (the oracle-checked stopword argmax) and
+    reduces PER-LANGUAGE counts (a handful of rows — the only
+    driver-side materialization); pass 2 keeps a doc iff
+    ``md5(doc_id) ppm < floor(min_count * 1e6 / count_lang)`` — a
+    deterministic integer-ppm hash gate, so the sample is
+    reproducible row-for-row, resumable, and SQL-replayable (no RNG).
+    ``und`` docs are dropped (unknown domain).  At 100 TB this is two
+    streaming passes with one tiny aggregate between them; the
+    broadcast is a <=5-entry dict."""
+    import hashlib as _hashlib
+
+    from gdal_boots_ray.kernels.text import lang_id
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pred(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang_pred": pa.array([lang_id(t)[0] for t in texts], pa.string()),
+            }
+        )
+
+    langs = docs.map_batches(pred, batch_format="pyarrow")
+    counts = bucketed_aggregate(langs, ["lang_pred"], {"n": "count"}).to_pandas()
+    counts = counts[counts["lang_pred"] != "und"]
+    min_cnt = int(counts["n"].min())
+    thresh = {
+        r.lang_pred: (min_cnt * 1_000_000) // int(r.n) for r in counts.itertuples(index=False)
+    }
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        lp = batch.column("lang_pred").to_pylist()
+        keep = np.zeros(len(ids), bool)
+        for i, (d, l) in enumerate(zip(ids, lp)):
+            t = thresh.get(l)
+            if t is None:
+                continue
+            ppm = int(_hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) % 1_000_000
+            keep[i] = ppm < t
+        return batch.filter(pa.array(keep))
+
+    return langs.map_batches(sample, batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str, doc_cap: int = 1500):
     """ORACLE-CHECKED MinHash-LSH band construction: md5-based shingle
     hash + mod-(2^31-1) permutations (exact 64-bit integer arithmetic
@@ -6760,6 +6812,42 @@ ORACLE_SQL: Dict[str, str] = {
                  ELSE 'es' END AS lang_pred
         FROM scores
     """,
+    "domain_mix": """
+        WITH words AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w FROM documents
+            )
+        ),
+        hits AS (
+            SELECT doc_id,
+                sum(CASE WHEN w IN ('a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with') THEN 1 ELSE 0 END) / 14.0 AS s_en,
+                sum(CASE WHEN w IN ('auf', 'das', 'der', 'die', 'ein', 'eine', 'ist', 'mit', 'und', 'von', 'zu') THEN 1 ELSE 0 END) / 11.0 AS s_de,
+                sum(CASE WHEN w IN ('avec', 'dans', 'est', 'et', 'la', 'le', 'les', 'pour', 'sur', 'un', 'une') THEN 1 ELSE 0 END) / 11.0 AS s_fr,
+                sum(CASE WHEN w IN ('con', 'el', 'en', 'es', 'la', 'las', 'los', 'para', 'por', 'un', 'una', 'y') THEN 1 ELSE 0 END) / 12.0 AS s_es
+            FROM words GROUP BY doc_id
+        ),
+        scores AS (
+            SELECT d.doc_id, coalesce(s_en,0) AS s_en, coalesce(s_de,0) AS s_de,
+                   coalesce(s_fr,0) AS s_fr, coalesce(s_es,0) AS s_es
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        ),
+        langs AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+            FROM scores
+        ),
+        known AS (SELECT * FROM langs WHERE lang_pred != 'und'),
+        cnts AS (SELECT lang_pred, count(*) AS n FROM known GROUP BY 1),
+        mn AS (SELECT min(n) AS m FROM cnts),
+        th AS (SELECT lang_pred, CAST((m * 1000000) // n AS BIGINT) AS t FROM cnts, mn)
+        SELECT k.doc_id, k.lang_pred
+        FROM known k JOIN th USING (lang_pred)
+        WHERE CAST(CAST('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 1000000 AS BIGINT) < t
+    """,
     "simhash": rf"""
         WITH {_SIMHASH_SQL_CTE}
         SELECT doc_id, simhash FROM sims
@@ -7515,13 +7603,14 @@ QUERIES = {
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
     "quality_pred": q_quality_pred,
+    "domain_mix": q_domain_mix,
     # -- regression-watch (plans rewritten by the round-4 Arrow
     #    exchange refactor; long-green entries with 3 driver rounds
     #    on record sit below the window) ---------------------------
-    "dedup_exact": q_dedup_exact,
     "point_values": q_point_values,
     "knn_ivfpq": q_knn_ivfpq,
     # ---- driver window ends around here (first 50 entries) -------
+    "dedup_exact": q_dedup_exact,
     "knn": q_knn,
     "tile_h3_cells": q_tile_h3_cells,
     "q1_pricing": q_q1_pricing,
