@@ -1297,7 +1297,7 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
 
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = _read(f"{sf_dir}/part.parquet", columns=["p_partkey"])
 
     def phash_rows(batch: pa.Table) -> pa.Table:
         from gdal_boots_ray.sources.fixtures import tile_phash
@@ -1318,17 +1318,35 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
             out_b.extend((band_val + (b << 40)).tolist())
         return pa.table({"key": pa.array(out_k, pa.int64()), "bucket": pa.array(out_b, pa.int64())})
 
-    import pandas as pd
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["key"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"key_a": pd.Series([], dtype=np.int64), "key_b": pd.Series([], dtype=np.int64)})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"key_a": ids[a].astype(np.int64), "key_b": ids[b].astype(np.int64)})
+    def pairs(g: pa.Table) -> pa.Table:
+        bk = g.column("bucket").to_numpy()
+        did = g.column("key").to_numpy()
+        order = np.lexsort((did, bk))
+        bk, did = bk[order], did[order]
+        keep = np.r_[True, (bk[1:] != bk[:-1]) | (did[1:] != did[:-1])]
+        bk, did = bk[keep], did[keep]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts, ends):
+            ids = did[s:e]
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pa.table({"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "key_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
+                "key_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+            }
+        )
 
     cand = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
-        pairs, batch_format="pandas"
+        pairs, batch_format="pyarrow"
     )
     dedup = bucketed_aggregate(cand, ["key_a", "key_b"], {"n": "count"})
 
@@ -2062,6 +2080,70 @@ def q_lang_id_pred(sf_dir: str):
         )
 
     return docs.map_batches(pred, batch_format="pyarrow")
+
+
+def q_multimodal_neardup(sf_dir: str, max_ph_ham: int = 3, max_sh_ham: int = 12):
+    """JOINT image+caption near-duplicate pairs over the north-star
+    image+caption table: a pair survives only if the IMAGES are
+    phash-near (banded LSH + exact hamming <= ``max_ph_ham``, the
+    oracle-exact q_phash_neardup) AND the CAPTIONS are simhash-near
+    (hamming <= ``max_sh_ham``) — the multimodal dedup rule (a meme
+    re-uploaded with a new caption, or one caption on two images, is
+    NOT a joint duplicate).  Plan: image pairs from the banded phash
+    path; caption simhashes attach to BOTH ends through ONE doc
+    shuffle (attach_pair_columns); the final filter recomputes both
+    hammings vectorized.  The twin replays phash closed-form + the
+    caption simhash CTE quadratically, so banding + attach + filter
+    are all hash-checked."""
+    from gdal_boots_ray.kernels.text import simhash64
+    from gdal_boots_ray.stages.textstages import attach_pair_columns
+
+    pairs = q_phash_neardup(sf_dir, max_hamming=max_ph_ham).select_columns(["key_a", "key_b"])
+
+    caps = _read(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def cap_sh(batch: pa.Table) -> pa.Table:
+        ks = batch.column("p_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ks, pa.int64()),
+                "sh": pa.array([simhash64(f"tile img-{int(k):08d}") for k in ks], pa.int64()),
+            }
+        )
+
+    withsh = attach_pair_columns(
+        pairs,
+        caps.map_batches(cap_sh, batch_format="pyarrow"),
+        key_a="key_a",
+        key_b="key_b",
+        out_a="sh_a",
+        out_b="sh_b",
+        val_col="sh",
+    )
+
+    def popcount64(v: np.ndarray) -> np.ndarray:
+        return np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+
+    def joint(batch: pa.Table) -> pa.Table:
+        ka = batch.column("key_a").to_numpy()
+        kb = batch.column("key_b").to_numpy()
+        pha = (ka * 1000003 + 12345) % 1048576
+        phb = (kb * 1000003 + 12345) % 1048576
+        ph_ham = popcount64((pha ^ phb).astype(np.uint64))
+        sha = batch.column("sh_a").to_numpy().astype(np.int64)
+        shb = batch.column("sh_b").to_numpy().astype(np.int64)
+        sh_ham = popcount64((sha ^ shb).astype(np.uint64))
+        keep = sh_ham <= max_sh_ham
+        return pa.table(
+            {
+                "key_a": pa.array(ka[keep], pa.int64()),
+                "key_b": pa.array(kb[keep], pa.int64()),
+                "ph_ham": pa.array(ph_ham[keep], pa.int64()),
+                "sh_ham": pa.array(sh_ham[keep], pa.int64()),
+            }
+        )
+
+    return withsh.map_batches(joint, batch_format="pyarrow")
 
 
 def q_domain_mix(sf_dir: str):
@@ -3114,7 +3196,10 @@ def q_dup_components(sf_dir: str, max_iters: int = 30, broadcast_threshold: int 
     from gdal_boots_ray.stages.joins import hash_join
 
     n_parts = max(8, _default_n_buckets() // 8)
-    edges = q_phash_neardup(sf_dir)
+    # edge sets are pair-scale (banding caps bound them), so one
+    # object-store materialization avoids re-executing the phash
+    # lineage for the size probe AND the collect/loop that follows
+    edges = q_phash_neardup(sf_dir).materialize()
 
     if edges.count() <= broadcast_threshold:
         pairs = edges.select_columns(["key_a", "key_b"]).to_pandas()
@@ -6812,6 +6897,39 @@ ORACLE_SQL: Dict[str, str] = {
                  ELSE 'es' END AS lang_pred
         FROM scores
     """,
+    "multimodal_neardup": """
+        WITH t AS (
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   CAST((p_partkey * 1000003 + 12345) % 1048576 AS BIGINT) AS ph,
+                   printf('tile img-%08d', p_partkey) AS cap
+            FROM part
+        ),
+        words AS (
+            SELECT k, unnest(regexp_extract_all(lower(cap), '[a-z0-9'']+')) AS w FROM t
+        ),
+        wh AS (
+            SELECT k, CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) AS h FROM words
+        ),
+        bits AS (
+            SELECT k, b.b AS bit,
+                   sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+            FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) b
+            GROUP BY k, b.b
+        ),
+        sh AS (
+            SELECT k,
+                   sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS us
+            FROM bits GROUP BY k
+        ),
+        s AS (SELECT t.k, t.ph, CAST(sh.us AS UBIGINT) AS ush FROM t JOIN sh USING (k))
+        SELECT a.k AS key_a, b.k AS key_b,
+               CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS ph_ham,
+               CAST(bit_count(xor(a.ush, b.ush)) AS BIGINT) AS sh_ham
+        FROM s a, s b
+        WHERE a.k < b.k
+          AND bit_count(xor(a.ph, b.ph)) <= 3
+          AND bit_count(xor(a.ush, b.ush)) <= 12
+    """,
     "domain_mix": """
         WITH words AS (
             SELECT DISTINCT doc_id, w FROM (
@@ -7604,12 +7722,13 @@ QUERIES = {
     "tile_patches": q_tile_patches,
     "quality_pred": q_quality_pred,
     "domain_mix": q_domain_mix,
+    "multimodal_neardup": q_multimodal_neardup,
     # -- regression-watch (plans rewritten by the round-4 Arrow
     #    exchange refactor; long-green entries with 3 driver rounds
     #    on record sit below the window) ---------------------------
-    "point_values": q_point_values,
     "knn_ivfpq": q_knn_ivfpq,
     # ---- driver window ends around here (first 50 entries) -------
+    "point_values": q_point_values,
     "dedup_exact": q_dedup_exact,
     "knn": q_knn,
     "tile_h3_cells": q_tile_h3_cells,
