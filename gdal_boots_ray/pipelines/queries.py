@@ -3341,6 +3341,7 @@ def q_semdedup(
     iters: int = 4,
     tau: float = 0.92,
     target_cluster: int = 4096,
+    block: int = 4096,
 ):
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
     embeddings with spherical k-means, then dropping, within each
@@ -3434,7 +3435,7 @@ def q_semdedup(
     assigned = planted.map_batches(assign, batch_format="pyarrow")
 
     def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        B = 4096  # panel width: memory O(B^2 + B*d) even on skewed clusters
+        B = block  # panel width: memory O(B^2 + B*d) even on skewed clusters
         ids = g["vec_id"].to_numpy().astype(np.int64)
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         order = np.argsort(ids)

@@ -527,3 +527,26 @@ def test_attach_pair_columns(ray_mod):
         val_col="v",
     ).to_pandas()
     assert list(out2["va"][0]) == [1.0, 2.0] and list(out2["vb"][0]) == [3.0, 4.0]
+
+
+def test_semdedup_scale_paths(ray_mod):
+    """The blocked gram walk (tiny panels force the multi-panel code
+    path) and the scaled-k clustering return the SAME drop decisions
+    as the defaults — the 100 TB shape is semantics-preserving."""
+    from gdal_boots_ray.pipelines.queries import q_semdedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(out):
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return df.sort_values("vec_id").reset_index(drop=True)
+
+    base = norm(q_semdedup(sf))
+    blocked = norm(q_semdedup(sf, block=16))  # forces panel iteration
+    assert base["vec_id"].tolist() == blocked["vec_id"].tolist()
+    assert base["n_dups"].tolist() == blocked["n_dups"].tolist()
+    # scaled k (tiny target cluster -> many clusters): the planted
+    # bit-identical copies still land with their originals, so the
+    # survivor set is identical
+    scaled = norm(q_semdedup(sf, target_cluster=64))
+    assert base["vec_id"].tolist() == scaled["vec_id"].tolist()
