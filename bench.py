@@ -145,6 +145,14 @@ def run_bench() -> dict:
         "tile_focal_sum",
         "tile_hillshade",
         "zorder_partitions",
+        # round-4 additions
+        "tile_overviews",
+        "tile_patches",
+        "quality_pred",
+        "domain_mix",
+        "multimodal_neardup",
+        "knn_ivfpq",
+        "recode_stats_tiff_lzw",
     )
     for name in query_names:
         t = time.perf_counter()
