@@ -1292,7 +1292,16 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     """Near-duplicate images by phash hamming distance <= 3 over the
     20-bit phash: LSH banding (4 bands x 5 bits — pigeonhole-exact for
     hamming<=3: 3 errors cannot dirty all 4 bands) + verify.  The oracle is the quadratic
-    bit_count(xor()) join, so this checks EXACTNESS of the banding."""
+    bit_count(xor()) join, so this checks EXACTNESS of the banding.
+
+    Scale note: exact banding's candidate volume is governed by the
+    HASH WIDTH — 5-bit bands give 32 buckets, so bucket population is
+    N/32 and the per-bucket all-pairs grows quadratically with the
+    corpus.  The fixture's phash is 20-bit by construction; a
+    production 64-bit phash yields 16-bit bands (65,536 buckets per
+    band), which keeps expected bucket population ~N/65k while
+    staying pigeonhole-exact.  Capping buckets here would break the
+    exact-recall contract the oracle checks, so none is applied."""
     import ray.data as rd
 
     from gdal_boots_ray.stages.agg import bucketed_aggregate
