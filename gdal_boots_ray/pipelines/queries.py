@@ -1357,10 +1357,13 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
     cand = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs, batch_format="pyarrow"
     )
-    dedup = bucketed_aggregate(cand, ["key_a", "key_b"], {"n": "count"})
 
     from gdal_boots_ray.sources.fixtures import tile_phash as _ph
 
+    # verify BEFORE the dedup exchange: the exact-hamming filter is a
+    # stateless closed-form map, so running it on the raw band
+    # candidates cuts the dedup shuffle volume to true pairs only
+    # (~5x at sf0.1) instead of shipping every band collision
     def verify(batch: pa.Table) -> pa.Table:
         a = batch.column("key_a").to_numpy()
         b = batch.column("key_b").to_numpy()
@@ -1380,7 +1383,10 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
             }
         )
 
-    return dedup.map_batches(verify, batch_format="pyarrow")
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    # dedup band-duplicate pairs; hamming is identical per pair so min
+    # is a no-op combine that carries it through the exchange
+    return bucketed_aggregate(verified, ["key_a", "key_b"], {"hamming": "min"})
 
 
 # ---------------------------------------------------------------------------
