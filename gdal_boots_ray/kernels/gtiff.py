@@ -220,8 +220,13 @@ def gtiff_encode(
     compress: Optional[str] = None,
     zlevel: int = 6,
     predictor: int = 1,
+    jpeg_quality: int = 95,
 ) -> bytes:
-    """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave)."""
+    """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
+
+    ``compress="jpeg"`` embeds one baseline JFIF stream
+    (kernels/jpeg.py) as a single strip with Compression=7
+    ("new-style" JPEG-in-TIFF) — lossy, uint8 only."""
     if img.ndim == 2:
         img = img[None]
     bands, h, w = img.shape
@@ -250,6 +255,15 @@ def gtiff_encode(
             packbits_encode_row(payload[r * row_bytes : (r + 1) * row_bytes])
             for r in range(h)
         )
+    elif compress == "jpeg":
+        if dt != np.dtype(np.uint8):
+            raise ValueError("JPEG-in-TIFF is 8-bit only")
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG compression")
+        from gdal_boots_ray.kernels.jpeg import jpeg_encode
+
+        comp_id = 7
+        payload = jpeg_encode(img, quality=jpeg_quality)
     elif compress in (None, "", "none"):
         comp_id = 1
     else:
@@ -381,6 +395,11 @@ def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optiona
         elif comp == 32773:
             rows = min(rows_per_strip, h - si * rows_per_strip)
             raw = packbits_decode(raw, rows * row_bytes)
+        elif comp == 7:
+            from gdal_boots_ray.kernels.jpeg import jpeg_decode
+
+            strip = jpeg_decode(raw)  # (bands,h,w)
+            raw = np.ascontiguousarray(np.transpose(strip, (1, 2, 0))).tobytes()
         elif comp != 1:
             raise ValueError(f"unsupported TIFF compression {comp}")
         chunks.append(raw)

@@ -245,6 +245,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from gdal_boots_ray.kernels.jp2.codestream import decode_jp2
 
         return decode_jp2(data)
+    if fmt in ("jpeg", "jpg"):
+        from gdal_boots_ray.kernels.jpeg import jpeg_decode
+
+        img = jpeg_decode(data)
+        return img if img.shape[0] > 1 else img[0]
     raise ValueError(f"unsupported image format {fmt!r}")
 
 
@@ -261,6 +266,10 @@ def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
         from gdal_boots_ray.kernels.jp2.codestream import encode_jp2
 
         return encode_jp2(img, **kw)
+    if fmt in ("jpeg", "jpg"):
+        from gdal_boots_ray.kernels.jpeg import jpeg_encode
+
+        return jpeg_encode(img, **kw)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

@@ -67,10 +67,13 @@ class GTiff(DriverOptions):
     """reference options.py:58-92.  The full reference ``Compress``
     enum is mirrored; our pure-NumPy codec honors DEFLATE (+zlevel),
     LZW and PACKBITS (kernels/gtiff.py), each optionally with the
-    horizontal-differencing predictor; JPEG/ZSTD/WEBP/LERC need
-    external codecs absent from this environment and raise
-    NotImplementedError at codec_args time (documented seam).
-    Block/tile options are accepted but output is single-strip."""
+    horizontal-differencing predictor; JPEG is the from-scratch
+    baseline T.81 codec (kernels/jpeg.py, Compression=7 single-strip,
+    ``jpeg_quality`` is an engine extension like ``predictor``);
+    ZSTD/WEBP/LERC need external codecs absent from this environment
+    and raise NotImplementedError at codec_args time (documented
+    seam).  Block/tile options are accepted but output is
+    single-strip."""
 
     class Compress(Enum):
         lzw = "LZW"
@@ -95,6 +98,7 @@ class GTiff(DriverOptions):
     nbits: Optional[int] = None
     zlevel: int = 6
     predictor: int = 1
+    jpeg_quality: int = 95
 
     def encode(self) -> List[str]:
         values = dict(vars(self))
@@ -102,6 +106,8 @@ class GTiff(DriverOptions):
             values.pop("zlevel", None)
         if self.predictor == 1:
             values.pop("predictor", None)
+        if self.compress != self.Compress.jpeg:
+            values.pop("jpeg_quality", None)
         return _encode(values)
 
 
@@ -161,6 +167,8 @@ def codec_args(options: DriverOptions) -> dict:
             kw.update(compress="lzw")
         elif options.compress == GTiff.Compress.packbits:
             kw.update(compress="packbits")
+        elif options.compress == GTiff.Compress.jpeg:
+            kw.update(compress="jpeg", jpeg_quality=options.jpeg_quality)
         elif options.compress is not None:
             raise NotImplementedError(
                 f"GTiff compression {options.compress.value} needs an external "
