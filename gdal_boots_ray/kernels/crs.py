@@ -53,6 +53,7 @@ _ELLIPSOIDS = {
     "GRS80": (6378137.0, 298.257222101),
     "aust_SA": (6378160.0, 298.25),
     "airy": (6377563.396, 299.3249646),
+    "evrstSS": (6377298.556, 300.8017),  # Everest 1830 (1967: Sabah & Sarawak)
     "sphere": (6370997.0, 0.0),
 }
 
@@ -600,6 +601,101 @@ def _sinu_inverse(c: _SinuConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815 variant B;
+# proj4 +proj=omerc, alpha case).  Formulas: Snyder, "Map Projections —
+# A Working Manual" (USGS PP 1395, 1987), eqs 9-11..9-39, and EPSG
+# Guidance Note 7-2.  The skew azimuth alpha_c is taken at the
+# projection centre (lat0, lonc); gamma_c (rectified-to-skew angle)
+# defaults to alpha_c.  Variant B (uc_offset=True, PROJ's default)
+# measures u from the projection centre; +no_uoff / variant A keeps
+# the natural aposphere origin.
+# ---------------------------------------------------------------------------
+
+
+class _OmercConsts:
+    __slots__ = (
+        "a", "e", "e2", "B", "A", "H", "gamma0", "lam0", "uc",
+        "k0", "singc", "cosgc", "fe", "fn",
+    )
+
+    def __init__(self, a, f, lat0, lonc, alpha_c, gamma_c, k0, fe, fn, uc_offset=True):
+        e2 = f * (2.0 - f)
+        e = math.sqrt(e2)
+        phi0 = math.radians(lat0)
+        lamc = math.radians(lonc)
+        alpha = math.radians(alpha_c)
+        gamma = math.radians(gamma_c)
+        sphi0 = math.sin(phi0)
+        cphi0 = math.cos(phi0)
+        B = math.sqrt(1.0 + e2 * cphi0**4 / (1.0 - e2))
+        A = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sphi0 * sphi0)
+        t0 = math.tan(math.pi / 4 - phi0 / 2) / (
+            (1.0 - e * sphi0) / (1.0 + e * sphi0)
+        ) ** (e / 2)
+        D = B * math.sqrt(1.0 - e2) / (cphi0 * math.sqrt(1.0 - e2 * sphi0 * sphi0))
+        D2 = max(D * D, 1.0)
+        sign = -1.0 if phi0 < 0 else 1.0
+        F = D + math.sqrt(D2 - 1.0) * sign
+        H = F * t0**B
+        G = (F - 1.0 / F) / 2.0
+        gamma0 = math.asin(math.sin(alpha) / D)
+        lam0 = lamc - math.asin(G * math.tan(gamma0)) / B
+        if uc_offset:
+            if abs(alpha_c) == 90.0:
+                uc = A * (lamc - lam0)
+            else:
+                uc = (A / B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(alpha)) * sign
+        else:
+            uc = 0.0
+        self.a, self.e, self.e2 = a, e, e2
+        self.B, self.A, self.H = B, A, H
+        self.gamma0, self.lam0, self.uc = gamma0, lam0, uc
+        self.k0 = k0
+        self.singc, self.cosgc = math.sin(gamma), math.cos(gamma)
+        self.fe, self.fn = fe, fn
+
+
+def _omerc_forward(c: _OmercConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    sphi = np.clip(np.sin(phi), -1.0 + 1e-15, 1.0 - 1e-15)
+    t = np.tan(math.pi / 4 - phi / 2) / ((1.0 - c.e * sphi) / (1.0 + c.e * sphi)) ** (c.e / 2)
+    Q = c.H / np.maximum(t, 1e-300) ** c.B
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    dlam = (lam - c.lam0 + math.pi) % (2 * math.pi) - math.pi
+    V = np.sin(c.B * dlam)
+    U = np.clip((-V * math.cos(c.gamma0) + S * math.sin(c.gamma0)) / T, -1.0 + 1e-15, 1.0 - 1e-15)
+    v = c.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * c.B)
+    u = c.A * np.arctan2(S * math.cos(c.gamma0) + V * math.sin(c.gamma0), np.cos(c.B * dlam)) / c.B
+    u = u - c.uc
+    x = v * c.cosgc + u * c.singc + c.fe
+    y = u * c.cosgc - v * c.singc + c.fn
+    return x, y
+
+
+def _omerc_inverse(c: _OmercConsts, x, y):
+    xr = np.asarray(x, dtype=np.float64) - c.fe
+    yr = np.asarray(y, dtype=np.float64) - c.fn
+    v = xr * c.cosgc - yr * c.singc
+    u = yr * c.cosgc + xr * c.singc + c.uc
+    Q = np.exp(-c.B * v / c.A)
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(c.B * u / c.A)
+    U = np.clip((V * math.cos(c.gamma0) + S * math.sin(c.gamma0)) / T, -1.0 + 1e-15, 1.0 - 1e-15)
+    t = (c.H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / c.B)
+    # Mercator latitude from isometric t by fixed-point iteration
+    phi = math.pi / 2 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        es = c.e * np.sin(phi)
+        phi = math.pi / 2 - 2.0 * np.arctan(t * ((1.0 - es) / (1.0 + es)) ** (c.e / 2))
+    lam = c.lam0 - np.arctan2(S * math.cos(c.gamma0) - V * math.sin(c.gamma0), np.cos(c.B * u / c.A)) / c.B
+    lon_out = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+    return lon_out, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # CRS registry / dispatch
 # ---------------------------------------------------------------------------
 
@@ -683,6 +779,16 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
         )
+    elif epsg in _EPSG_OMERC:
+        ellps, lat0, lonc, alpha_c, gamma_c, k0, fe, fn = _EPSG_OMERC[epsg]
+        a, rf = _ELLIPSOIDS[ellps]
+        consts = _OmercConsts(a, 1.0 / rf, lat0, lonc, alpha_c, gamma_c, k0, fe, fn)
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _omerc_forward(c, lon, lat),
+            lambda x, y, c=consts: _omerc_inverse(c, x, y),
+        )
     elif epsg == 3395:  # WGS 84 / World Mercator (ellipsoidal, EPSG 9804)
         consts = _MercConsts(WGS84_A, WGS84_F, 0.0, 0.0, 0.0, 0.0)
         crs = CRS(
@@ -712,7 +818,7 @@ def crs_from_epsg(epsg: int) -> CRS:
         raise ValueError(
             f"unsupported EPSG:{epsg} (supported: 4326, 3857, 3395, 4087, 32662, "
             f"UTM 326xx/327xx, LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
-            f"polar stereo {sorted(_EPSG_PS)})"
+            f"polar stereo {sorted(_EPSG_PS)}, omerc {sorted(_EPSG_OMERC)})"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -733,6 +839,18 @@ _EPSG_PS = {
     3413: (70.0, -45.0, 0.0, 0.0, True),  # WGS84 / NSIDC Sea Ice Polar North
     3976: (-70.0, 0.0, 0.0, 0.0, False),  # WGS84 / NSIDC Sea Ice Polar South
     3031: (-71.0, 0.0, 0.0, 0.0, False),  # WGS84 / Antarctic Polar Stereographic
+}
+
+# Hotine Oblique Mercator variant B instances:
+# (ellps, lat0, lonc, alpha_c, gamma_c, k0, fe, fn).  The Borneo RSO
+# azimuth 53°18'56.9537" / skew 53°07'48.3685" and the Peninsular RSO
+# azimuth 323°01'32.8458" / skew 323°07'48.3685" come from the EPSG
+# registry (method 9815; worked example in EPSG Guidance Note 7-2).
+_D2 = lambda d, m, s: d + m / 60.0 + s / 3600.0  # noqa: E731
+_EPSG_OMERC = {
+    3375: ("GRS80", 4.0, 102.25, _D2(323, 1, 32.8458), _D2(323, 7, 48.3685), 0.99984, 804671.0, 0.0),  # GDM2000 / Peninsular RSO
+    3376: ("GRS80", 4.0, 115.0, _D2(53, 18, 56.9537), _D2(53, 7, 48.3685), 0.99984, 0.0, 0.0),  # GDM2000 / East Malaysia BRSO
+    29873: ("evrstSS", 4.0, 115.0, _D2(53, 18, 56.9537), _D2(53, 7, 48.3685), 0.99984, 590476.87, 442857.65),  # Timbalai 1948 / RSO Borneo (m)
 }
 
 
@@ -918,6 +1036,29 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _tm_forward(c, lon, lat),
             lambda x, y, c=consts: _tm_inverse(c, x, y),
+        )
+    elif proj == "omerc":
+        # Hotine Oblique Mercator, alpha case (+lonc/+alpha[/+gamma]);
+        # PROJ applies the centre offset u_c unless +no_uoff is given
+        a, f = _p4_ellipsoid(params)
+        alpha_c = float(params.get("alpha", 0))
+        consts = _OmercConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lonc", 0)),
+            alpha_c,
+            float(params.get("gamma", alpha_c)),
+            float(params.get("k", params.get("k_0", 1.0))),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+            uc_offset="no_uoff" not in proj4,
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _omerc_forward(c, lon, lat),
+            lambda x, y, c=consts: _omerc_inverse(c, x, y),
         )
     elif proj == "utm":
         zone = int(params["zone"])

@@ -457,3 +457,87 @@ class TestTransverseMercatorGeneral:
         assert np.all(np.diff(y) > 0)
         lo, la = gk.to_lonlat(x, y)
         assert np.allclose(lo, 12.0, atol=1e-12) and np.allclose(la, lats, atol=1e-12)
+
+
+class TestOmerc:
+    """Hotine Oblique Mercator (EPSG 9812/9815; +proj=omerc alpha case).
+
+    The reference reaches this family through OSR (reference
+    geometry.py:122-126); the engine implements Snyder eqs 9-11..9-39
+    directly.  Anchored on the published EPSG Guidance Note 7-2
+    worked example (Timbalai 1948 / RSO Borneo)."""
+
+    def _dms(self, d, m, s):
+        return d + m / 60 + s / 3600
+
+    def test_epsg_gn7_2_worked_example(self):
+        # EPSG GN 7-2, method 9815 example: Timbalai 1948 / RSO Borneo (m)
+        # (EPSG:29873, Everest 1830 1967-definition ellipsoid).
+        # lat 5d23'14.1129"N lon 115d48'19.8196"E
+        #   -> E 679245.73, N 596562.78 (and B/A intermediates).
+        from gdal_boots_ray.kernels.crs import _OmercConsts, crs_from_epsg
+
+        crs = crs_from_epsg(29873)
+        lat = self._dms(5, 23, 14.1129)
+        lon = self._dms(115, 48, 19.8196)
+        x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+        assert abs(x[0] - 679245.73) < 0.015
+        assert abs(y[0] - 596562.78) < 0.015
+        lo, la = crs.to_lonlat(x, y)
+        assert abs(lo[0] - lon) < 1e-12 and abs(la[0] - lat) < 1e-12
+        c = _OmercConsts(6377298.556, 1 / 300.8017, 4.0, 115.0,
+                         self._dms(53, 18, 56.9537), self._dms(53, 7, 48.3685),
+                         0.99984, 590476.87, 442857.65)
+        assert abs(c.B - 1.003303209) < 1e-9
+        assert abs(c.A - 6376278.686) < 1e-3
+
+    def test_registry_roundtrips(self):
+        from gdal_boots_ray.kernels.crs import crs_from_epsg
+
+        grids = {
+            3375: (101.0, 104.5, 1.5, 6.5),   # Peninsular Malaysia
+            3376: (110.0, 119.0, 0.5, 7.5),   # East Malaysia (Borneo)
+            29873: (109.5, 119.0, 0.8, 7.2),  # RSO Borneo
+        }
+        for epsg, (lo0, lo1, la0, la1) in grids.items():
+            crs = crs_from_epsg(epsg)
+            lons, lats = np.meshgrid(np.linspace(lo0, lo1, 7), np.linspace(la0, la1, 7))
+            x, y = crs.from_lonlat(lons.ravel(), lats.ravel())
+            assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+            lo, la = crs.to_lonlat(x, y)
+            assert np.allclose(lo, lons.ravel(), atol=1e-11)
+            assert np.allclose(la, lats.ravel(), atol=1e-11)
+
+    def test_proj4_matches_registry_and_no_uoff(self):
+        from gdal_boots_ray.kernels.crs import crs_from_epsg, crs_from_proj4
+
+        p4 = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.315820472222224 "
+              "+gamma=53.13010236111111 +k=0.99984 +x_0=0 +y_0=0 +ellps=GRS80")
+        a = crs_from_proj4(p4)
+        b = crs_from_epsg(3376)
+        lons = np.array([113.0, 115.0, 117.5])
+        lats = np.array([1.0, 4.0, 6.5])
+        ax, ay = a.from_lonlat(lons, lats)
+        bx, by = b.from_lonlat(lons, lats)
+        assert np.allclose(ax, bx, atol=1e-6) and np.allclose(ay, by, atol=1e-6)
+        # variant A (+no_uoff): same grid rotated u by the centre offset
+        na = crs_from_proj4(p4 + " +no_uoff")
+        nx, ny = na.from_lonlat(lons, lats)
+        du = np.hypot(nx - ax, ny - ay)
+        assert np.allclose(du, du[0], atol=1e-6) and du[0] > 1e5
+        lo, la = na.to_lonlat(nx, ny)
+        assert np.allclose(lo, lons, atol=1e-11) and np.allclose(la, lats, atol=1e-11)
+
+    def test_gamma_defaults_to_alpha_and_transform_points(self):
+        from gdal_boots_ray.kernels.crs import crs_from_proj4
+
+        g = crs_from_proj4("+proj=omerc +lat_0=45 +lonc=10 +alpha=30 +k=1 +ellps=WGS84")
+        lons = np.linspace(5.0, 15.0, 5)
+        lats = np.linspace(42.0, 48.0, 5)
+        x, y = g.from_lonlat(lons, lats)
+        lo, la = g.to_lonlat(x, y)
+        assert np.allclose(lo, lons, atol=1e-11) and np.allclose(la, lats, atol=1e-11)
+        # full transform_points path (engine API surface)
+        x2, y2 = transform_points(4326, 29873, np.array([115.8]), np.array([5.4]))
+        lo2, la2 = transform_points(29873, 4326, x2, y2)
+        assert abs(lo2[0] - 115.8) < 1e-11 and abs(la2[0] - 5.4) < 1e-11
