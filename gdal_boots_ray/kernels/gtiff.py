@@ -43,6 +43,7 @@ T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTO = 256, 257, 258, 259, 262
 T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
 T_PLANAR, T_SAMPLE_FORMAT = 284, 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
+T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZES = {3: 2, 4: 4, 12: 8}
@@ -221,12 +222,21 @@ def gtiff_encode(
     zlevel: int = 6,
     predictor: int = 1,
     jpeg_quality: int = 95,
+    tiled: bool = False,
+    blockxsize: int = 256,
+    blockysize: int = 256,
 ) -> bytes:
     """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
 
-    ``compress="jpeg"`` embeds one baseline JFIF stream
-    (kernels/jpeg.py) as a single strip with Compression=7
-    ("new-style" JPEG-in-TIFF) — lossy, uint8 only."""
+    ``compress="jpeg"`` embeds baseline JFIF chunks (kernels/jpeg.py)
+    with Compression=7 ("new-style" JPEG-in-TIFF) — lossy, uint8 only.
+
+    ``tiled=True`` writes the TIFF 6.0 tiled layout (TileWidth/
+    TileLength/TileOffsets/TileByteCounts, each tile compressed
+    independently, edge tiles padded by edge replication) — the
+    cloud-optimized-GeoTIFF chunking that lets
+    :func:`gtiff_decode_window` decode O(window) tiles instead of the
+    whole strip.  Block sizes must be multiples of 16 (TIFF spec)."""
     if img.ndim == 2:
         img = img[None]
     bands, h, w = img.shape
@@ -234,42 +244,69 @@ def gtiff_encode(
     if dt not in _DTYPES:
         raise ValueError(f"GTiff codec does not support dtype {dt}")
     bits, fmt = _DTYPES[dt]
-    inter = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))  # h,w,bands
-    payload = inter.astype(dt.newbyteorder("<"), copy=False).tobytes()
+    dtle = np.dtype("<" + dt.str[1:])
     if predictor == 2:
         if compress in (None, "", "none"):
             raise ValueError("Predictor=2 without compression is pointless")
-        payload = _predict2(payload, w, h, bands, np.dtype("<" + dt.str[1:]))
     elif predictor != 1:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if compress == "deflate":
         comp_id = 8
-        payload = zlib.compress(payload, zlevel)
     elif compress == "lzw":
         comp_id = 5
-        payload = lzw_encode(payload)
     elif compress == "packbits":
         comp_id = 32773
-        row_bytes = w * bands * dt.itemsize
-        payload = b"".join(
-            packbits_encode_row(payload[r * row_bytes : (r + 1) * row_bytes])
-            for r in range(h)
-        )
     elif compress == "jpeg":
         if dt != np.dtype(np.uint8):
             raise ValueError("JPEG-in-TIFF is 8-bit only")
         if predictor != 1:
             raise ValueError("predictor does not apply to JPEG compression")
-        from gdal_boots_ray.kernels.jpeg import jpeg_encode
-
         comp_id = 7
-        payload = jpeg_encode(img, quality=jpeg_quality)
     elif compress in (None, "", "none"):
         comp_id = 1
     else:
         raise ValueError(f"unsupported GTiff compression {compress!r}")
 
-    entries = []  # (tag, type, count, value_or_bytes)
+    def encode_chunk(chunk: np.ndarray) -> bytes:
+        """(bands, ch, cw) -> compressed bytes for one strip/tile."""
+        _, ch, cw = chunk.shape
+        if comp_id == 7:
+            from gdal_boots_ray.kernels.jpeg import jpeg_encode
+
+            return jpeg_encode(np.ascontiguousarray(chunk), quality=jpeg_quality)
+        inter = np.ascontiguousarray(np.transpose(chunk, (1, 2, 0)))
+        payload = inter.astype(dtle, copy=False).tobytes()
+        if predictor == 2:
+            payload = _predict2(payload, cw, ch, bands, dtle)
+        if comp_id == 8:
+            return zlib.compress(payload, zlevel)
+        if comp_id == 5:
+            return lzw_encode(payload)
+        if comp_id == 32773:
+            row_bytes = cw * bands * dt.itemsize
+            return b"".join(
+                packbits_encode_row(payload[r * row_bytes : (r + 1) * row_bytes])
+                for r in range(ch)
+            )
+        return payload
+
+    if tiled:
+        if blockxsize % 16 or blockysize % 16 or blockxsize <= 0 or blockysize <= 0:
+            raise ValueError("TIFF tile sizes must be positive multiples of 16")
+        ntx = (w + blockxsize - 1) // blockxsize
+        nty = (h + blockysize - 1) // blockysize
+        pad_x, pad_y = ntx * blockxsize - w, nty * blockysize - h
+        padded = np.pad(img, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+        chunks = [
+            encode_chunk(padded[:, ty * blockysize : (ty + 1) * blockysize,
+                                tx * blockxsize : (tx + 1) * blockxsize])
+            for ty in range(nty)
+            for tx in range(ntx)
+        ]
+    else:
+        chunks = [encode_chunk(img)]
+
+    entries = []  # (tag, type, values)
 
     def entry(tag, typ, values):
         if not isinstance(values, (list, tuple)):
@@ -281,11 +318,17 @@ def gtiff_encode(
     entry(T_BITS, _TYPE_SHORT, [bits] * bands)
     entry(T_COMPRESSION, _TYPE_SHORT, comp_id)
     entry(T_PHOTO, _TYPE_SHORT, 2 if bands >= 3 else 1)
-    entry(T_STRIP_OFFSETS, _TYPE_LONG, 0)  # patched below
     entry(T_SPP, _TYPE_SHORT, bands)
-    entry(T_ROWS_PER_STRIP, _TYPE_LONG, h)
-    entry(T_STRIP_COUNTS, _TYPE_LONG, len(payload))
     entry(T_PLANAR, _TYPE_SHORT, 1)
+    if tiled:
+        entry(T_TILE_WIDTH, _TYPE_LONG, blockxsize)
+        entry(T_TILE_LENGTH, _TYPE_LONG, blockysize)
+        entry(T_TILE_OFFSETS, _TYPE_LONG, [0] * len(chunks))  # patched below
+        entry(T_TILE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
+    else:
+        entry(T_STRIP_OFFSETS, _TYPE_LONG, 0)  # patched below
+        entry(T_ROWS_PER_STRIP, _TYPE_LONG, h)
+        entry(T_STRIP_COUNTS, _TYPE_LONG, len(chunks[0]))
     if predictor == 2:
         entry(T_PREDICTOR, _TYPE_SHORT, 2)
     entry(T_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
@@ -307,7 +350,6 @@ def gtiff_encode(
     ifd_offset = 8
     data_offset = ifd_offset + 2 + n * 12 + 4  # after IFD
     # lay out out-of-line values
-    out_of_line = b""
     packed = []
     for tag, typ, values in entries:
         size = _TYPE_SIZES[typ] * len(values)
@@ -326,12 +368,24 @@ def gtiff_encode(
             pos += len(raw) + (len(raw) % 2)
         else:
             blob_positions.append(None)
-    strip_offset = pos
-    # patch StripOffsets value
+    # chunk data positions (2-byte aligned, starting after the blobs)
+    chunk_positions = []
+    cpos = pos
+    for c in chunks:
+        chunk_positions.append(cpos)
+        cpos += len(c) + (len(c) % 2)
+    # patch StripOffsets / TileOffsets values now that positions exist
     final_entries = []
-    for (tag, typ, cnt, inline, raw), bpos in zip(packed, blob_positions):
+    for i, ((tag, typ, cnt, inline, raw), bpos) in enumerate(zip(packed, blob_positions)):
         if tag == T_STRIP_OFFSETS:
-            inline = struct.pack("<I", strip_offset)
+            inline = struct.pack("<I", chunk_positions[0])
+        elif tag == T_TILE_OFFSETS:
+            patched = struct.pack(f"<{len(chunk_positions)}I", *chunk_positions)
+            if raw is not None:
+                packed[i] = (tag, typ, cnt, inline, patched)
+                raw = patched
+            else:
+                inline = patched.ljust(4, b"\x00")
         if inline is not None:
             final_entries.append(struct.pack("<HHI", tag, typ, cnt) + inline)
         else:
@@ -347,12 +401,15 @@ def gtiff_encode(
             out += raw
             if len(raw) % 2:
                 out += b"\x00"
-    out += payload
+    for c in chunks:
+        out += c
+        if len(c) % 2:
+            out += b"\x00"
     return bytes(out)
 
 
-def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
-    """TIFF bytes -> (img (bands,h,w) or (h,w), gt or None, epsg or None)."""
+def _parse_ifd(data: bytes) -> dict:
+    """First IFD of a little-endian TIFF -> {tag: values}."""
     if data[:4] not in (b"II*\x00",):
         raise ValueError("not a little-endian TIFF stream")
     (ifd_off,) = struct.unpack_from("<I", data, 4)
@@ -371,44 +428,32 @@ def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optiona
             tags[tag] = data[voff : voff + cnt]
         else:
             tags[tag] = list(struct.unpack_from(f"<{cnt}{fmt_ch}", data, voff))
-    w = tags[T_WIDTH][0]
-    h = tags[T_HEIGHT][0]
-    bands = tags.get(T_SPP, [1])[0]
-    bits = tags.get(T_BITS, [8])[0]
-    sfmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
-    comp = tags.get(T_COMPRESSION, [1])[0]
-    planar = tags.get(T_PLANAR, [1])[0]
-    if planar != 1:
-        raise ValueError("planar (band-interleaved) TIFF not supported")
-    dt = np.dtype("<" + _SAMPLE_TO_DTYPE[(bits, sfmt)])
-    offs = tags[T_STRIP_OFFSETS]
-    counts = tags[T_STRIP_COUNTS]
-    rows_per_strip = tags.get(T_ROWS_PER_STRIP, [h])[0]
-    row_bytes = w * bands * dt.itemsize
-    chunks = []
-    for si, (o, cc) in enumerate(zip(offs, counts)):
-        raw = data[o : o + cc]
-        if comp == 8 or comp == 32946:
-            raw = zlib.decompress(raw)
-        elif comp == 5:
-            raw = lzw_decode(raw)
-        elif comp == 32773:
-            rows = min(rows_per_strip, h - si * rows_per_strip)
-            raw = packbits_decode(raw, rows * row_bytes)
-        elif comp == 7:
-            from gdal_boots_ray.kernels.jpeg import jpeg_decode
+    return tags
 
-            strip = jpeg_decode(raw)  # (bands,h,w)
-            raw = np.ascontiguousarray(np.transpose(strip, (1, 2, 0))).tobytes()
-        elif comp != 1:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-        chunks.append(raw)
-    payload = b"".join(chunks)
-    if tags.get(T_PREDICTOR, [1])[0] == 2:
-        payload = _unpredict2(payload, w, h, bands, dt)
-    flat = np.frombuffer(payload, dtype=dt, count=h * w * bands)
-    img = flat.reshape(h, w, bands).astype(dt.newbyteorder("="), copy=False)
-    img = np.transpose(img, (2, 0, 1))
+
+def _decode_chunk(raw: bytes, comp: int, rows: int, cols: int, bands: int,
+                  dt: np.dtype, predictor: int) -> np.ndarray:
+    """One strip/tile -> (rows, cols, bands) array."""
+    if comp == 7:
+        from gdal_boots_ray.kernels.jpeg import jpeg_decode
+
+        return np.transpose(jpeg_decode(raw), (1, 2, 0))
+    row_bytes = cols * bands * dt.itemsize
+    if comp == 8 or comp == 32946:
+        raw = zlib.decompress(raw)
+    elif comp == 5:
+        raw = lzw_decode(raw)
+    elif comp == 32773:
+        raw = packbits_decode(raw, rows * row_bytes)
+    elif comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if predictor == 2:
+        raw = _unpredict2(raw, cols, rows, bands, dt)
+    flat = np.frombuffer(raw, dtype=dt, count=rows * cols * bands)
+    return flat.reshape(rows, cols, bands)
+
+
+def _geo_from_tags(tags: dict) -> Tuple[Optional[np.ndarray], Optional[int]]:
     gt = None
     if T_MODEL_PIXEL_SCALE in tags and T_MODEL_TIEPOINT in tags:
         sx, sy = tags[T_MODEL_PIXEL_SCALE][0], tags[T_MODEL_PIXEL_SCALE][1]
@@ -420,5 +465,92 @@ def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optiona
         for i in range(4, len(keys), 4):
             if keys[i] in (3072, 2048):
                 epsg = keys[i + 3]
+    return gt, epsg
+
+
+def _decode_tiled(data: bytes, tags: dict, dt: np.dtype, bands: int, comp: int,
+                  predictor: int, win: Optional[Tuple[int, int, int, int]]) -> np.ndarray:
+    """Tiled layout: decode only the tiles intersecting ``win``
+    (x0, y0, w, h; None = full image) into an (h, w, bands) canvas."""
+    w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
+    bx, by = tags[T_TILE_WIDTH][0], tags[T_TILE_LENGTH][0]
+    offs, counts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
+    ntx = (w + bx - 1) // bx
+    x0, y0, ww, wh = win if win is not None else (0, 0, w, h)
+    if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h and ww > 0 and wh > 0):
+        raise ValueError(f"window ({x0},{y0},{ww},{wh}) outside image {w}x{h}")
+    out = np.empty((wh, ww, bands), dtype=dt.newbyteorder("="))
+    for ty in range(y0 // by, (y0 + wh - 1) // by + 1):
+        for tx in range(x0 // bx, (x0 + ww - 1) // bx + 1):
+            ti = ty * ntx + tx
+            tile = _decode_chunk(
+                data[offs[ti] : offs[ti] + counts[ti]], comp, by, bx, bands, dt, predictor
+            )
+            # intersection of this tile with the window, both coordinate frames
+            ix0, iy0 = max(x0, tx * bx), max(y0, ty * by)
+            ix1, iy1 = min(x0 + ww, (tx + 1) * bx), min(y0 + wh, (ty + 1) * by)
+            out[iy0 - y0 : iy1 - y0, ix0 - x0 : ix1 - x0] = tile[
+                iy0 - ty * by : iy1 - ty * by, ix0 - tx * bx : ix1 - tx * bx
+            ]
+    return out
+
+
+def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]]):
+    tags = _parse_ifd(data)
+    w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
+    bands = tags.get(T_SPP, [1])[0]
+    bits = tags.get(T_BITS, [8])[0]
+    sfmt = tags.get(T_SAMPLE_FORMAT, [1])[0]
+    comp = tags.get(T_COMPRESSION, [1])[0]
+    planar = tags.get(T_PLANAR, [1])[0]
+    predictor = tags.get(T_PREDICTOR, [1])[0]
+    if planar != 1:
+        raise ValueError("planar (band-interleaved) TIFF not supported")
+    dt = np.dtype("<" + _SAMPLE_TO_DTYPE[(bits, sfmt)])
+    if T_TILE_OFFSETS in tags:
+        img = _decode_tiled(data, tags, dt, bands, comp, predictor, win)
+    else:
+        offs, counts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
+        rows_per_strip = tags.get(T_ROWS_PER_STRIP, [h])[0]
+        parts = [
+            _decode_chunk(
+                data[o : o + cc], comp, min(rows_per_strip, h - si * rows_per_strip),
+                w, bands, dt, predictor,
+            )
+            for si, (o, cc) in enumerate(zip(offs, counts))
+        ]
+        img = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+        if win is not None:
+            x0, y0, ww, wh = win
+            if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h and ww > 0 and wh > 0):
+                raise ValueError(f"window ({x0},{y0},{ww},{wh}) outside image {w}x{h}")
+            img = img[y0 : y0 + wh, x0 : x0 + ww]
+    img = np.transpose(img.astype(dt.newbyteorder("="), copy=False), (2, 0, 1))
+    gt, epsg = _geo_from_tags(tags)
     out = img if bands > 1 else img[0]
     return np.ascontiguousarray(out), gt, epsg
+
+
+def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
+    """TIFF bytes -> (img (bands,h,w) or (h,w), gt or None, epsg or None).
+    Handles the strip layout and the tiled layout (TileOffsets)."""
+    return _decode_common(data, None)
+
+
+def gtiff_decode_window(
+    data: bytes, x0: int, y0: int, w: int, h: int
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
+    """Decode only the (x0, y0, w, h) pixel window.
+
+    On a tiled file this touches O(intersecting tiles) — the
+    cloud-optimized-GeoTIFF access pattern a 100 TB scan wants
+    (crop_by_geometry / fast_warp read a sub-window, not the whole
+    raster); on a strip file it decodes the strip(s) then crops.
+    The returned ``gt`` is translated to the window origin so the
+    crop stays georeferenced."""
+    img, gt, epsg = _decode_common(data, (int(x0), int(y0), int(w), int(h)))
+    if gt is not None:
+        gt = gt.copy()
+        gt[2] += gt[0] * x0 + gt[1] * y0
+        gt[5] += gt[3] * x0 + gt[4] * y0
+    return img, gt, epsg

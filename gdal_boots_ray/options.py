@@ -72,8 +72,9 @@ class GTiff(DriverOptions):
     ``jpeg_quality`` is an engine extension like ``predictor``);
     ZSTD/WEBP/LERC need external codecs absent from this environment
     and raise NotImplementedError at codec_args time (documented
-    seam).  Block/tile options are accepted but output is
-    single-strip."""
+    seam).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
+    TIFF 6.0 tiled layout (kernels/gtiff.py) so windowed reads decode
+    O(touched tiles) — the cloud-optimized-GeoTIFF access pattern."""
 
     class Compress(Enum):
         lzw = "LZW"
@@ -178,6 +179,12 @@ def codec_args(options: DriverOptions) -> dict:
             raise NotImplementedError("BAND (planar) interleave not supported")
         if options.predictor != 1:
             kw.update(predictor=options.predictor)
+        if options.tiled:
+            kw.update(
+                tiled=True,
+                blockxsize=options.blockxsize,
+                blockysize=options.blockysize,
+            )
         return kw
     if isinstance(options, RAW):
         return {"fmt": "raw"}

@@ -3745,6 +3745,56 @@ def q_recode_stats_tiff_lzw(sf_dir: str):
     return ds.map_batches(tiff_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
 
 
+def q_window_stats_cog(sf_dir: str):
+    """Cloud-optimized-GeoTIFF windowed-read gate: re-encode each
+    image through the TIFF 6.0 *tiled* layout (kernels/gtiff.py —
+    TileWidth/TileLength/TileOffsets/TileByteCounts, the reference's
+    ``GTiff(tiled=True, blockxsize, blockysize)`` creation options,
+    reference options.py:80-82), then decode ONLY the centre-quarter
+    window via ``gtiff_decode_window`` — the O(touched tiles) access
+    pattern a 100 TB scan relies on to read sub-windows without
+    paying whole-raster decode.  Window stats equal the closed-form
+    pixel field restricted to [w//4, w//4+w//2) x [h//4, h//4+h//2)
+    iff tile chunking, edge-tile padding and window intersection are
+    all pixel-exact.  Embarrassingly parallel map_batches; nothing
+    crosses a shuffle."""
+    from gdal_boots_ray.kernels.gtiff import gtiff_decode_window, gtiff_encode
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def window_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            blob = gtiff_encode(
+                np.ascontiguousarray(img), compress="deflate",
+                tiled=True, blockxsize=16, blockysize=16,
+            )
+            _, h, w = img.shape
+            win, _, _ = gtiff_decode_window(blob, w // 4, h // 4, w // 2, h // 2)
+            b0 = win if win.ndim == 2 else win[0]
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(window_stats, batch_format="pyarrow", num_cpus=1)
+
+
 def q_tile_overviews(sf_dir: str, levels=(2, 4)):
     """Overview pyramid (the gdaladdo / BuildOverviews family the
     reference's GDAL backend provides): per image, AVERAGE-resampled
@@ -6084,6 +6134,22 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "window_stats_cog": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(
+                     CAST(tiles.w // 4 AS INT),
+                     CAST(tiles.w // 4 + tiles.w // 2 - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(
+                     CAST(tiles.h // 4 AS INT),
+                     CAST(tiles.h // 4 + tiles.h // 2 - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
     "tile_overviews": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -7761,7 +7827,6 @@ QUERIES = {
     "semdedup": q_semdedup,
     "dup_components": q_dup_components,
     "embedding_neardup": q_embedding_neardup,
-    "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
     "jaccard_neardup": q_jaccard_neardup,
     "doc_keywords": q_doc_keywords,
     "bm25_scores": q_bm25_scores,
@@ -7799,6 +7864,7 @@ QUERIES = {
     "tile_warp_bilinear": q_tile_warp_bilinear,
     "tile_geohash": q_tile_geohash,
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
+    "window_stats_cog": q_window_stats_cog,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
@@ -7884,4 +7950,7 @@ QUERIES = {
     "top_orders_per_nation": q_top_orders_per_nation,
     "token_quantiles": q_token_quantiles,
     "stratified_sample": q_stratified_sample,
+    # recall-proof variant of embedding_neardup (kept outside the
+    # driver's 50-entry window; embedding_neardup itself stays in)
+    "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
 }

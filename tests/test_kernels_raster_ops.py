@@ -139,6 +139,59 @@ class TestGTiff:
         with pytest.raises(ValueError):
             gtiff_encode(np.zeros((4, 4), np.float32), compress="lzw", predictor=2)
 
+    def test_tiled_layout_roundtrip(self):
+        # TIFF 6.0 tiled layout (TileWidth/TileLength/TileOffsets/
+        # TileByteCounts) — the reference's GTiff(tiled=True,
+        # blockxsize, blockysize) options (reference options.py:80-82)
+        rng = np.random.default_rng(271828)
+        img = rng.integers(0, 256, size=(3, 100, 130), dtype=np.uint8)
+        gt = np.array([0.5, 0.0, 100.0, 0.0, -0.5, 200.0])
+        for compress in (None, "deflate", "lzw", "packbits"):
+            for pred in (1, 2) if compress else (1,):
+                blob = gtiff_encode(img, gt=gt, epsg=3857, compress=compress,
+                                    predictor=pred, tiled=True,
+                                    blockxsize=48, blockysize=32)
+                out, gt2, epsg = gtiff_decode(blob)
+                assert np.array_equal(out, img), (compress, pred)
+                assert epsg == 3857 and np.allclose(gt2, gt)
+        # non-uint8 dtypes through the tiled path
+        for dt in (np.uint16, np.int32, np.float32):
+            im = (rng.random((2, 64, 80)) * 1000).astype(dt)
+            blob = gtiff_encode(im, compress="deflate", tiled=True,
+                                blockxsize=32, blockysize=16)
+            out, _, _ = gtiff_decode(blob)
+            assert np.array_equal(out, im), dt
+        with pytest.raises(ValueError, match="multiples of 16"):
+            gtiff_encode(img, tiled=True, blockxsize=30)
+
+    def test_decode_window(self):
+        from gdal_boots_ray.kernels.gtiff import gtiff_decode_window
+
+        rng = np.random.default_rng(161803)
+        img = rng.integers(0, 256, size=(3, 100, 130), dtype=np.uint8)
+        gt = np.array([0.5, 0.0, 100.0, 0.0, -0.5, 200.0])
+        # tiled file: window spanning tile boundaries decodes only
+        # intersecting tiles (the cloud-optimized-GeoTIFF access path)
+        blob = gtiff_encode(img, gt=gt, epsg=3857, compress="lzw", tiled=True,
+                            blockxsize=48, blockysize=32)
+        win, wgt, epsg = gtiff_decode_window(blob, 30, 20, 70, 55)
+        assert np.array_equal(win, img[:, 20:75, 30:100])
+        # window gt is translated to the window origin
+        assert np.isclose(wgt[2], gt[2] + gt[0] * 30)
+        assert np.isclose(wgt[5], gt[5] + gt[4] * 20)
+        assert epsg == 3857
+        # strip file: same API, decode-then-crop
+        strip = gtiff_encode(img, gt=gt, epsg=3857, compress="deflate")
+        win2, wgt2, _ = gtiff_decode_window(strip, 30, 20, 70, 55)
+        assert np.array_equal(win2, img[:, 20:75, 30:100])
+        assert np.allclose(wgt, wgt2)
+        # single-band 2-D stays 2-D
+        blob1 = gtiff_encode(img[0], tiled=True, blockxsize=16, blockysize=16)
+        w1, _, _ = gtiff_decode_window(blob1, 3, 4, 20, 21)
+        assert w1.ndim == 2 and np.array_equal(w1, img[0, 4:25, 3:23])
+        with pytest.raises(ValueError, match="outside image"):
+            gtiff_decode_window(blob, 100, 90, 40, 20)
+
 
 class TestPolygonize:
     def test_label_components(self):
@@ -194,3 +247,7 @@ class TestOptions:
             codec_args(GTiff(interleave=GTiff.Interleave.band))
         enc = GTiff(compress=GTiff.Compress.lzw, predictor=2).encode()
         assert "COMPRESS=LZW" in enc and "PREDICTOR=2" in enc
+        # tiled options flow through to the codec
+        kw = codec_args(GTiff(tiled=True, blockxsize=64, blockysize=48))
+        assert kw["tiled"] is True and kw["blockxsize"] == 64 and kw["blockysize"] == 48
+        assert "tiled" not in codec_args(GTiff())
