@@ -214,58 +214,51 @@ def _unpredict2(payload: bytes, w: int, h: int, spp: int, dt: np.dtype) -> bytes
     return arr.tobytes()
 
 
-def gtiff_encode(
+def overview_average(img: np.ndarray, lv: int) -> np.ndarray:
+    """(bands,h,w) -> (bands, ceil(h/lv), ceil(w/lv)) AVERAGE-resampled
+    overview: integer dtypes use floor division of the block sum by the
+    count of CONTRIBUTING pixels (partial edge blocks average over what
+    exists — GDAL's integer AVERAGE behavior, same rule as the
+    ``tile_overviews`` oracle), floats use the true mean."""
+    bands, h, w = img.shape
+    ri = np.arange(0, h, lv)
+    ci = np.arange(0, w, lv)
+    integer = img.dtype.kind in "ui"
+    acc = img.astype(np.int64 if integer else np.float64, copy=False)
+    sums = np.add.reduceat(np.add.reduceat(acc, ri, axis=1), ci, axis=2)
+    rcnt = np.minimum(ri + lv, h) - ri
+    ccnt = np.minimum(ci + lv, w) - ci
+    counts = rcnt[:, None] * ccnt[None, :]
+    out = sums // counts if integer else sums / counts
+    return out.astype(img.dtype)
+
+
+T_NEW_SUBFILE_TYPE = 254
+
+
+def _build_page(
     img: np.ndarray,
-    gt=None,
-    epsg: Optional[int] = None,
-    compress: Optional[str] = None,
-    zlevel: int = 6,
-    predictor: int = 1,
-    jpeg_quality: int = 95,
-    tiled: bool = False,
-    blockxsize: int = 256,
-    blockysize: int = 256,
-) -> bytes:
-    """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
-
-    ``compress="jpeg"`` embeds baseline JFIF chunks (kernels/jpeg.py)
-    with Compression=7 ("new-style" JPEG-in-TIFF) — lossy, uint8 only.
-
-    ``tiled=True`` writes the TIFF 6.0 tiled layout (TileWidth/
-    TileLength/TileOffsets/TileByteCounts, each tile compressed
-    independently, edge tiles padded by edge replication) — the
-    cloud-optimized-GeoTIFF chunking that lets
-    :func:`gtiff_decode_window` decode O(window) tiles instead of the
-    whole strip.  Block sizes must be multiples of 16 (TIFF spec)."""
-    if img.ndim == 2:
-        img = img[None]
+    gt,
+    epsg: Optional[int],
+    comp_id: int,
+    zlevel: int,
+    predictor: int,
+    jpeg_quality: int,
+    tiled: bool,
+    blockxsize: int,
+    blockysize: int,
+    base_offset: int,
+    reduced: bool,
+) -> Tuple[bytes, int]:
+    """One TIFF page (IFD + out-of-line values + pixel chunks) laid
+    out at absolute ``base_offset``.  Returns (page bytes, position of
+    the 4-byte next-IFD pointer relative to the page start); the
+    pointer is written as 0 and patched by the caller when pages are
+    chained (overview pyramid)."""
     bands, h, w = img.shape
     dt = np.dtype(img.dtype)
-    if dt not in _DTYPES:
-        raise ValueError(f"GTiff codec does not support dtype {dt}")
     bits, fmt = _DTYPES[dt]
     dtle = np.dtype("<" + dt.str[1:])
-    if predictor == 2:
-        if compress in (None, "", "none"):
-            raise ValueError("Predictor=2 without compression is pointless")
-    elif predictor != 1:
-        raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if compress == "deflate":
-        comp_id = 8
-    elif compress == "lzw":
-        comp_id = 5
-    elif compress == "packbits":
-        comp_id = 32773
-    elif compress == "jpeg":
-        if dt != np.dtype(np.uint8):
-            raise ValueError("JPEG-in-TIFF is 8-bit only")
-        if predictor != 1:
-            raise ValueError("predictor does not apply to JPEG compression")
-        comp_id = 7
-    elif compress in (None, "", "none"):
-        comp_id = 1
-    else:
-        raise ValueError(f"unsupported GTiff compression {compress!r}")
 
     def encode_chunk(chunk: np.ndarray) -> bytes:
         """(bands, ch, cw) -> compressed bytes for one strip/tile."""
@@ -291,8 +284,6 @@ def gtiff_encode(
         return payload
 
     if tiled:
-        if blockxsize % 16 or blockysize % 16 or blockxsize <= 0 or blockysize <= 0:
-            raise ValueError("TIFF tile sizes must be positive multiples of 16")
         ntx = (w + blockxsize - 1) // blockxsize
         nty = (h + blockysize - 1) // blockysize
         pad_x, pad_y = ntx * blockxsize - w, nty * blockysize - h
@@ -313,6 +304,8 @@ def gtiff_encode(
             values = [values]
         entries.append((tag, typ, values))
 
+    if reduced:
+        entry(T_NEW_SUBFILE_TYPE, _TYPE_LONG, 1)  # reduced-resolution page
     entry(T_WIDTH, _TYPE_LONG, w)
     entry(T_HEIGHT, _TYPE_LONG, h)
     entry(T_BITS, _TYPE_SHORT, [bits] * bands)
@@ -347,8 +340,7 @@ def gtiff_encode(
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_offset = 8
-    data_offset = ifd_offset + 2 + n * 12 + 4  # after IFD
+    data_offset = base_offset + 2 + n * 12 + 4  # after IFD
     # lay out out-of-line values
     packed = []
     for tag, typ, values in entries:
@@ -391,11 +383,11 @@ def gtiff_encode(
         else:
             final_entries.append(struct.pack("<HHII", tag, typ, cnt, bpos))
     out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_offset)
     out += struct.pack("<H", n)
     for e in final_entries:
         out += e
-    out += struct.pack("<I", 0)  # next IFD
+    next_ptr_pos = len(out)
+    out += struct.pack("<I", 0)  # next IFD (patched by the caller)
     for (tag, typ, cnt, inline, raw), bpos in zip(packed, blob_positions):
         if raw is not None:
             out += raw
@@ -405,14 +397,105 @@ def gtiff_encode(
         out += c
         if len(c) % 2:
             out += b"\x00"
+    return bytes(out), next_ptr_pos
+
+
+def gtiff_encode(
+    img: np.ndarray,
+    gt=None,
+    epsg: Optional[int] = None,
+    compress: Optional[str] = None,
+    zlevel: int = 6,
+    predictor: int = 1,
+    jpeg_quality: int = 95,
+    tiled: bool = False,
+    blockxsize: int = 256,
+    blockysize: int = 256,
+    overviews=(),
+) -> bytes:
+    """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
+
+    ``compress="jpeg"`` embeds baseline JFIF chunks (kernels/jpeg.py)
+    with Compression=7 ("new-style" JPEG-in-TIFF) — lossy, uint8 only.
+
+    ``tiled=True`` writes the TIFF 6.0 tiled layout (TileWidth/
+    TileLength/TileOffsets/TileByteCounts, each tile compressed
+    independently, edge tiles padded by edge replication) — the
+    cloud-optimized-GeoTIFF chunking that lets
+    :func:`gtiff_decode_window` decode O(window) tiles instead of the
+    whole strip.  Block sizes must be multiples of 16 (TIFF spec).
+
+    ``overviews=(2, 4, ...)`` appends one reduced-resolution page per
+    integer factor (IFD chain, NewSubfileType=1, AVERAGE resampling
+    via :func:`overview_average`, geotransform scaled per level) — the
+    in-file pyramid gdaladdo / BuildOverviews produce, so a zoomed-out
+    read touches the small page instead of the full raster."""
+    if img.ndim == 2:
+        img = img[None]
+    dt = np.dtype(img.dtype)
+    if dt not in _DTYPES:
+        raise ValueError(f"GTiff codec does not support dtype {dt}")
+    if predictor == 2:
+        if compress in (None, "", "none"):
+            raise ValueError("Predictor=2 without compression is pointless")
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if compress == "deflate":
+        comp_id = 8
+    elif compress == "lzw":
+        comp_id = 5
+    elif compress == "packbits":
+        comp_id = 32773
+    elif compress == "jpeg":
+        if dt != np.dtype(np.uint8):
+            raise ValueError("JPEG-in-TIFF is 8-bit only")
+        if predictor != 1:
+            raise ValueError("predictor does not apply to JPEG compression")
+        comp_id = 7
+    elif compress in (None, "", "none"):
+        comp_id = 1
+    else:
+        raise ValueError(f"unsupported GTiff compression {compress!r}")
+    if tiled and (blockxsize % 16 or blockysize % 16 or blockxsize <= 0 or blockysize <= 0):
+        raise ValueError("TIFF tile sizes must be positive multiples of 16")
+
+    def scaled_gt(lv: int):
+        if gt is None:
+            return None
+        a, b, c, d, e, f = [float(v) for v in gt]
+        return [a * lv, b * lv, c, d * lv, e * lv, f]
+
+    pages = [(img, gt, False)]
+    for lv in overviews:
+        lv = int(lv)
+        if lv < 2:
+            raise ValueError(f"overview factor must be >= 2, got {lv}")
+        pages.append((overview_average(img, lv), scaled_gt(lv), True))
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    next_ptr_abs = None
+    for pimg, pgt, reduced in pages:
+        base = len(out)
+        if next_ptr_abs is not None:  # chain the previous page to this one
+            out[next_ptr_abs : next_ptr_abs + 4] = struct.pack("<I", base)
+        page, rel = _build_page(
+            pimg, pgt, epsg, comp_id, zlevel, predictor, jpeg_quality,
+            tiled, blockxsize, blockysize, base, reduced,
+        )
+        next_ptr_abs = base + rel
+        out += page
+        if len(out) % 2:
+            out += b"\x00"
     return bytes(out)
 
 
-def _parse_ifd(data: bytes) -> dict:
-    """First IFD of a little-endian TIFF -> {tag: values}."""
+def _parse_ifd(data: bytes, ifd_off: Optional[int] = None) -> Tuple[dict, int]:
+    """One IFD of a little-endian TIFF (default: the first) ->
+    ({tag: values}, next-IFD offset; 0 = end of chain)."""
     if data[:4] not in (b"II*\x00",):
         raise ValueError("not a little-endian TIFF stream")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
     (n,) = struct.unpack_from("<H", data, ifd_off)
     tags = {}
     for i in range(n):
@@ -428,7 +511,21 @@ def _parse_ifd(data: bytes) -> dict:
             tags[tag] = data[voff : voff + cnt]
         else:
             tags[tag] = list(struct.unpack_from(f"<{cnt}{fmt_ch}", data, voff))
-    return tags
+    (nxt,) = struct.unpack_from("<I", data, ifd_off + 2 + n * 12)
+    return tags, nxt
+
+
+def _ifd_chain(data: bytes, max_pages: int = 64) -> list:
+    """All IFD tag dicts in chain order (page 0 = full resolution)."""
+    pages = []
+    off = None
+    while len(pages) < max_pages:
+        tags, nxt = _parse_ifd(data, off)
+        pages.append(tags)
+        if not nxt:
+            break
+        off = nxt
+    return pages
 
 
 def _decode_chunk(raw: bytes, comp: int, rows: int, cols: int, bands: int,
@@ -495,8 +592,14 @@ def _decode_tiled(data: bytes, tags: dict, dt: np.dtype, bands: int, comp: int,
     return out
 
 
-def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]]):
-    tags = _parse_ifd(data)
+def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]], page: int = 0):
+    if page == 0:
+        tags, _ = _parse_ifd(data)
+    else:
+        chain = _ifd_chain(data)
+        if page >= len(chain):
+            raise ValueError(f"TIFF has {len(chain)} page(s), no page {page}")
+        tags = chain[page]
     w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
     bands = tags.get(T_SPP, [1])[0]
     bits = tags.get(T_BITS, [8])[0]
@@ -533,8 +636,32 @@ def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]]):
 
 def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
     """TIFF bytes -> (img (bands,h,w) or (h,w), gt or None, epsg or None).
-    Handles the strip layout and the tiled layout (TileOffsets)."""
+    Handles the strip layout and the tiled layout (TileOffsets);
+    decodes the full-resolution page (page 0 of the IFD chain)."""
     return _decode_common(data, None)
+
+
+def gtiff_overviews(data: bytes) -> list:
+    """(w, h) of every reduced-resolution page in the IFD chain, in
+    order — the pyramid written by ``gtiff_encode(overviews=...)``."""
+    return [
+        (t[T_WIDTH][0], t[T_HEIGHT][0])
+        for t in _ifd_chain(data)[1:]
+        if t.get(T_NEW_SUBFILE_TYPE, [0])[0] & 1
+    ]
+
+
+def gtiff_decode_overview(
+    data: bytes, index: int
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
+    """Decode reduced-resolution page ``index`` (0 = first overview).
+
+    A zoomed-out render reads the overview page's few KB instead of
+    the full-resolution raster — with ``tiled=True`` pages the
+    overview bytes sit in their own chunk range, so the read is
+    O(overview), not O(file).  The page carries its own level-scaled
+    geotransform."""
+    return _decode_common(data, None, page=index + 1)
 
 
 def gtiff_decode_window(

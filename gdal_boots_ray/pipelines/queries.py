@@ -3795,6 +3795,55 @@ def q_window_stats_cog(sf_dir: str):
     return ds.map_batches(window_stats, batch_format="pyarrow", num_cpus=1)
 
 
+def q_cog_pyramid(sf_dir: str, levels=(2, 4)):
+    """In-file overview pyramid gate (the gdaladdo / BuildOverviews
+    output structure): encode each image as a tiled GeoTIFF whose IFD
+    chain carries AVERAGE-resampled reduced-resolution pages
+    (kernels/gtiff.py ``overviews=`` + ``gtiff_decode_overview``),
+    then decode every overview PAGE back out of the container and
+    report per (image, level) dims + BIGINT sum of pooled values.
+    Matches the closed-form pooling twin iff the multi-IFD chain,
+    per-page chunk layout and floor-average pooling are all exact —
+    unlike ``tile_overviews`` this round-trips the bytes, so it gates
+    the container format, not just the pooling math.  Embarrassingly
+    parallel; nothing crosses a shuffle."""
+    from gdal_boots_ray.kernels.gtiff import gtiff_decode_overview, gtiff_encode
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    lvs = tuple(int(lv) for lv in levels)
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def pyramid_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        out_id, out_lv, out_w, out_h, out_sum = [], [], [], [], []
+        for i in range(len(ids)):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            blob = gtiff_encode(
+                np.ascontiguousarray(img), compress="deflate",
+                tiled=True, blockxsize=16, blockysize=16, overviews=lvs,
+            )
+            for oi, lv in enumerate(lvs):
+                ov, _, _ = gtiff_decode_overview(blob, oi)
+                b0 = ov if ov.ndim == 2 else ov[0]
+                out_id.append(ids[i])
+                out_lv.append(lv)
+                out_h.append(b0.shape[0])
+                out_w.append(b0.shape[1])
+                out_sum.append(int(b0.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "level": pa.array(out_lv, pa.int64()),
+                "ovr_w": pa.array(out_w, pa.int64()),
+                "ovr_h": pa.array(out_h, pa.int64()),
+                "sum_pooled": pa.array(out_sum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pyramid_stats, batch_format="pyarrow", num_cpus=1)
+
+
 def q_tile_overviews(sf_dir: str, levels=(2, 4)):
     """Overview pyramid (the gdaladdo / BuildOverviews family the
     reference's GDAL backend provides): per image, AVERAGE-resampled
@@ -6134,6 +6183,29 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "cog_pyramid": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.w, tiles.h, gx.x AS x, gy.y AS y,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        lv AS (SELECT unnest([2, 4]) AS lv),
+        pooled AS (
+            SELECT image_id, lv, x // lv AS bx, y // lv AS by,
+                   CAST(sum(v) AS BIGINT) // (lv * lv) AS pv
+            FROM px, lv
+            WHERE x < (w // lv) * lv AND y < (h // lv) * lv
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT image_id, CAST(lv AS BIGINT) AS level,
+               CAST(max(bx) + 1 AS BIGINT) AS ovr_w,
+               CAST(max(by) + 1 AS BIGINT) AS ovr_h,
+               CAST(sum(pv) AS BIGINT) AS sum_pooled
+        FROM pooled GROUP BY 1, 2
+    """,
     "window_stats_cog": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -7849,7 +7921,6 @@ QUERIES = {
     "recode_stats_jp2": q_recode_stats_jp2,
     "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
     "audio_rms": q_audio_rms,
-    "audio_spectrum": q_audio_spectrum,
     "video_frames": q_video_frames,
     "video_motion": q_video_motion,
     "event_gaps": q_event_gaps,
@@ -7865,6 +7936,7 @@ QUERIES = {
     "tile_geohash": q_tile_geohash,
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "window_stats_cog": q_window_stats_cog,
+    "cog_pyramid": q_cog_pyramid,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
@@ -7953,4 +8025,6 @@ QUERIES = {
     # recall-proof variant of embedding_neardup (kept outside the
     # driver's 50-entry window; embedding_neardup itself stays in)
     "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
+    # DSP variant of audio_rms (audio_rms itself stays in the window)
+    "audio_spectrum": q_audio_spectrum,
 }

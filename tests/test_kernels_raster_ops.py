@@ -192,6 +192,51 @@ class TestGTiff:
         with pytest.raises(ValueError, match="outside image"):
             gtiff_decode_window(blob, 100, 90, 40, 20)
 
+    def test_overview_pyramid(self):
+        # in-file pyramid: IFD chain of reduced-resolution pages
+        # (NewSubfileType=1), AVERAGE pooling, level-scaled gt — the
+        # gdaladdo / BuildOverviews output structure
+        from gdal_boots_ray.kernels.gtiff import (
+            gtiff_decode_overview,
+            gtiff_decode_window,
+            gtiff_overviews,
+            overview_average,
+        )
+
+        rng = np.random.default_rng(314159)
+        img = rng.integers(0, 256, size=(3, 100, 130), dtype=np.uint8)
+        gt = np.array([0.5, 0.0, 100.0, 0.0, -0.5, 200.0])
+        for tiled in (False, True):
+            blob = gtiff_encode(img, gt=gt, epsg=3857, compress="deflate",
+                                predictor=2, tiled=tiled, blockxsize=48,
+                                blockysize=32, overviews=(2, 4))
+            # page 0 (full res) is what plain decode + window decode see
+            out, gt0, epsg = gtiff_decode(blob)
+            assert np.array_equal(out, img) and epsg == 3857 and np.allclose(gt0, gt)
+            win, _, _ = gtiff_decode_window(blob, 30, 20, 70, 55)
+            assert np.array_equal(win, img[:, 20:75, 30:100])
+            # overview pages: ceil dims, AVERAGE pooling, scaled gt
+            assert gtiff_overviews(blob) == [(65, 50), (33, 25)]
+            for oi, lv in enumerate((2, 4)):
+                ov, ogt, oepsg = gtiff_decode_overview(blob, oi)
+                assert np.array_equal(ov, overview_average(img, lv)), (tiled, lv)
+                assert oepsg == 3857
+                assert np.allclose(ogt, [gt[0] * lv, 0, gt[2], 0, gt[4] * lv, gt[5]])
+        # pooling: partial edge blocks average over contributing pixels
+        m = np.arange(30, dtype=np.uint8).reshape(1, 5, 6)
+        p = overview_average(m, 4)
+        assert p.shape == (1, 2, 2)
+        assert p[0, 0, 0] == m[0, :4, :4].sum() // 16
+        assert p[0, 1, 1] == (28 + 29) // 2  # 1x2 corner block
+        # floats use the true mean
+        assert np.allclose(overview_average(np.full((1, 5, 6), 2.5, np.float32), 4), 2.5)
+        # plain files have no overview pages
+        assert gtiff_overviews(gtiff_encode(img)) == []
+        with pytest.raises(ValueError, match="overview factor"):
+            gtiff_encode(img, overviews=(1,))
+        with pytest.raises(ValueError, match="no page"):
+            gtiff_decode_overview(gtiff_encode(img), 0)
+
 
 class TestPolygonize:
     def test_label_components(self):
