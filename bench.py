@@ -153,6 +153,8 @@ def run_bench() -> dict:
         "multimodal_neardup",
         "knn_ivfpq",
         "recode_stats_tiff_lzw",
+        "window_stats_cog",
+        "cog_pyramid",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -23,6 +23,15 @@ series implementations from public literature:
   +proj=eqc; Snyder 3-21/3-26 meridian arc + Newton polish), and
   sinusoidal (+proj=sinu, Snyder 30-8..30-11) including the MODIS
   authalic sphere ``+R=6371007.181``.
+- Lambert cylindrical equal-area (EPSG 6933 EASE-Grid 2.0 Global,
+  +proj=cea; Snyder 10-1/10-2, EPSG method 9835) — golden: the
+  published EASE-Grid 2.0 x extent ±17,367,530.45 m at lon ±180.
+- Geostationary satellite view (+proj=geos, both sweep axes: GOES-R
+  ABI fixed grid sweep=x, MSG SEVIRI sweep=y) — the CGMS LRIT/HRIT
+  normalized geostationary projection; scan-angle coordinates scaled
+  by satellite height, ray/ellipsoid intersection inverse, NaN
+  outside the visible disk.  Verified against an independent ECEF
+  ray-trace in tests.
 - General ``+proj=tmerc`` (national grids: OSGB, Gauss-Krüger, NZTM)
   — the same Krüger series with arbitrary lat_0/lon_0/k/x_0/y_0;
   nonzero lat_0 folds the projected meridian arc into the false
@@ -600,6 +609,145 @@ def _sinu_inverse(c: _SinuConsts, x, y):
     return lon_out, np.degrees(phi)
 
 
+class _CeaConsts:
+    """Lambert cylindrical equal-area, ellipsoidal form (Snyder,
+    "Map Projections — A Working Manual", eq. 10-1/10-2 with the
+    authalic-latitude inverse): x = a k0 (λ−λ0); y = a q(φ)/(2 k0);
+    k0 = cos(φts)/sqrt(1−e² sin²φts).  EPSG method 9835 — the
+    EASE-Grid 2.0 family (EPSG 6933, lat_ts=30)."""
+
+    __slots__ = ("a", "e2", "e", "k0", "lon0", "x0", "y0", "qp")
+
+    def __init__(self, a, f, lat_ts, lon0, x0, y0):
+        self.a = a
+        e2 = f * (2.0 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        ts = math.radians(lat_ts)
+        self.k0 = math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) ** 2)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.qp = float(self.q_arr(np.array([math.pi / 2]))[0])
+
+    def q_arr(self, phi):
+        s = np.sin(phi)
+        if self.e2 == 0:
+            return 2 * s
+        return (1 - self.e2) * (
+            s / (1 - self.e2 * s * s) - (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+        )
+
+    def phi_from_q(self, q):
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        if self.e2 > 0:
+            for _ in range(8):
+                s = np.sin(phi)
+                one = 1 - self.e2 * s * s
+                phi = phi + (one**2 / (2 * np.cos(phi))) * (
+                    q / (1 - self.e2) - s / one + (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+                )
+        return phi
+
+
+def _cea_forward(c: _CeaConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    x = c.x0 + c.a * c.k0 * (lon - c.lon0)
+    y = c.y0 + c.a * c.q_arr(lat) / (2 * c.k0)
+    return x, y
+
+
+def _cea_inverse(c: _CeaConsts, x, y):
+    x = np.asarray(x, dtype=np.float64) - c.x0
+    y = np.asarray(y, dtype=np.float64) - c.y0
+    q = np.clip(2 * c.k0 * y / c.a, -c.qp, c.qp)
+    phi = c.phi_from_q(q)
+    lam = c.lon0 + x / (c.a * c.k0)
+    lon_out = (np.degrees(lam) + 180.0) % 360.0 - 180.0
+    return lon_out, np.degrees(phi)
+
+
+class _GeosConsts:
+    """Geostationary satellite view (proj4 ``+proj=geos``): the GOES-R
+    ABI fixed grid (sweep=x) and MSG SEVIRI full-disk grid (sweep=y).
+    Coordinates are the instrument scan angles scaled by the satellite
+    height h: x = h·θx, y = h·θy, a line-of-sight intersection with
+    the ellipsoid.  Same model as PROJ's geos projection / the CGMS
+    LRIT/HRIT normalized geostationary projection (public specs); all
+    quantities below are normalized by the semi-major axis."""
+
+    __slots__ = ("a", "e2", "lon0", "x0", "y0", "h", "radius_g", "radius_g_1",
+                 "C", "radius_p", "radius_p2", "radius_p_inv2", "flip_axis")
+
+    def __init__(self, a, f, h, lon0, x0, y0, sweep: str = "y"):
+        if h <= 0:
+            raise ValueError("geos projection needs satellite height +h > 0")
+        if sweep not in ("x", "y"):
+            raise ValueError(f"geos sweep must be 'x' or 'y', got {sweep!r}")
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        self.h = h
+        self.radius_g_1 = h / a
+        self.radius_g = 1.0 + self.radius_g_1
+        self.C = self.radius_g**2 - 1.0
+        self.radius_p2 = 1.0 - self.e2
+        self.radius_p = math.sqrt(self.radius_p2)
+        self.radius_p_inv2 = 1.0 / self.radius_p2
+        self.flip_axis = sweep == "x"
+
+
+def _geos_forward(c: _GeosConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - c.lon0
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    # geocentric latitude on the normalized ellipse, surface radius r
+    phi = np.arctan(c.radius_p2 * np.tan(lat))
+    r = c.radius_p / np.hypot(c.radius_p * np.cos(phi), np.sin(phi))
+    vx = r * np.cos(lam) * np.cos(phi)
+    vy = r * np.sin(lam) * np.cos(phi)
+    vz = r * np.sin(phi)
+    # the point is visible iff the satellite->point ray does not pass
+    # through the ellipsoid first (dot of view ray with local normal)
+    visible = ((c.radius_g - vx) * vx - vy * vy - vz * vz * c.radius_p_inv2) >= 0
+    tmp = c.radius_g - vx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if c.flip_axis:
+            x = c.radius_g_1 * np.arctan(vy / np.hypot(vz, tmp))
+            y = c.radius_g_1 * np.arctan(vz / tmp)
+        else:
+            x = c.radius_g_1 * np.arctan(vy / tmp)
+            y = c.radius_g_1 * np.arctan(vz / np.hypot(vy, tmp))
+    x = np.where(visible, c.x0 + c.a * x, np.nan)
+    y = np.where(visible, c.y0 + c.a * y, np.nan)
+    return x, y
+
+
+def _geos_inverse(c: _GeosConsts, x, y):
+    xn = (np.asarray(x, dtype=np.float64) - c.x0) / (c.a * c.radius_g_1)
+    yn = (np.asarray(y, dtype=np.float64) - c.y0) / (c.a * c.radius_g_1)
+    vx = np.full(np.broadcast(xn, yn).shape, -1.0)
+    if c.flip_axis:
+        vz = np.tan(yn)
+        vy = np.tan(xn) * np.hypot(1.0, vz)
+    else:
+        vy = np.tan(xn)
+        vz = np.tan(yn) * np.hypot(1.0, vy)
+    # quadratic for the ray/ellipsoid intersection nearest the satellite
+    qa = vy * vy + (vz / c.radius_p) ** 2 + vx * vx
+    qb = 2 * c.radius_g * vx
+    det = qb * qb - 4 * qa * c.C
+    with np.errstate(invalid="ignore"):
+        k = (-qb - np.sqrt(np.where(det < 0, np.nan, det))) / (2 * qa)
+        px = c.radius_g + k * vx
+        py = k * vy
+        pz = k * vz
+        lon = np.degrees(np.arctan2(py, px) + c.lon0)
+        lat = np.degrees(np.arctan(c.radius_p_inv2 * pz / np.hypot(px, py)))
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815 variant B;
 # proj4 +proj=omerc, alpha case).  Formulas: Snyder, "Map Projections —
@@ -814,11 +962,20 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _eqc_forward(c, lon, lat),
             lambda x, y, c=consts: _eqc_inverse(c, x, y),
         )
+    elif epsg in _EPSG_CEA:
+        consts = _CeaConsts(WGS84_A, WGS84_F, *_EPSG_CEA[epsg])
+        crs = CRS(
+            "projected",
+            epsg,
+            lambda lon, lat, c=consts: _cea_forward(c, lon, lat),
+            lambda x, y, c=consts: _cea_inverse(c, x, y),
+        )
     else:
         raise ValueError(
             f"unsupported EPSG:{epsg} (supported: 4326, 3857, 3395, 4087, 32662, "
             f"UTM 326xx/327xx, LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
-            f"polar stereo {sorted(_EPSG_PS)}, omerc {sorted(_EPSG_OMERC)})"
+            f"polar stereo {sorted(_EPSG_PS)}, CEA {sorted(_EPSG_CEA)}, "
+            f"omerc {sorted(_EPSG_OMERC)})"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -833,6 +990,11 @@ _EPSG_LCC = {
 # (lat0, lon0, x0, y0)
 _EPSG_LAEA = {
     3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89 / LAEA Europe
+}
+# (lat_ts, lon0, x0, y0) — WGS84, EPSG method 9835 (the polar
+# EASE-Grid 2.0 members 6931/6932 are LAEA, reachable via proj4)
+_EPSG_CEA = {
+    6933: (30.0, 0.0, 0.0, 0.0),  # WGS 84 / NSIDC EASE-Grid 2.0 Global
 }
 # (lat_ts, lon0, x0, y0, north)
 _EPSG_PS = {
@@ -1013,6 +1175,43 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _sinu_forward(c, lon, lat),
             lambda x, y, c=consts: _sinu_inverse(c, x, y),
+        )
+    elif proj == "cea":
+        # EASE-Grid 2.0 global (EPSG 6933): +proj=cea +lat_ts=30
+        a, f = _p4_ellipsoid(params)
+        consts = _CeaConsts(
+            a,
+            f,
+            float(params.get("lat_ts", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _cea_forward(c, lon, lat),
+            lambda x, y, c=consts: _cea_inverse(c, x, y),
+        )
+    elif proj == "geos":
+        # geostationary full-disk grids: GOES-R ABI (+sweep=x) and
+        # MSG SEVIRI (+sweep=y, the proj4 default), +h = satellite
+        # height above the ellipsoid surface (35785831..36000000 m)
+        a, f = _p4_ellipsoid(params)
+        consts = _GeosConsts(
+            a,
+            f,
+            float(params.get("h", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+            sweep=params.get("sweep", "y"),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _geos_forward(c, lon, lat),
+            lambda x, y, c=consts: _geos_inverse(c, x, y),
         )
     elif proj == "tmerc":
         # general Transverse Mercator (national grids: OSGB, Gauss-

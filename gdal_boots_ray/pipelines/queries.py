@@ -211,6 +211,39 @@ def q_tile_bounds_3395(sf_dir: str):
     return ds.map_batches(to3395, batch_format="pyarrow")
 
 
+def q_tile_bounds_6933(sf_dir: str):
+    """Tile bounds reprojected 3857 -> 4326 -> 6933 (EASE-Grid 2.0
+    Global, ellipsoidal cylindrical equal-area — the NSIDC/earth-
+    science grid).  The DuckDB twin replays Snyder 10-1/10-2
+    (x = a k0 λ, y = a q(φ)/(2 k0)) with the kernel's exact float
+    constants, so the new CEA registry entry (kernels/crs.py
+    _CeaConsts) is oracle-checked end to end."""
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to6933(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy()
+        miny = batch.column("miny").to_numpy()
+        maxx = batch.column("maxx").to_numpy()
+        maxy = batch.column("maxy").to_numpy()
+        lon_min, lat_min = transform_points(3857, 4326, minx, miny)
+        lon_max, lat_max = transform_points(3857, 4326, maxx, maxy)
+        x_min, y_min = transform_points(4326, 6933, lon_min, lat_min)
+        x_max, y_max = transform_points(4326, 6933, lon_max, lat_max)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "ex_min": pa.array(np.round(x_min, 6)),
+                "ey_min": pa.array(np.round(y_min, 6)),
+                "ex_max": pa.array(np.round(x_max, 6)),
+                "ey_max": pa.array(np.round(y_max, 6)),
+            }
+        )
+
+    return ds.map_batches(to6933, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -6183,6 +6216,34 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "tile_bounds_6933": f"""
+        WITH {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        ),
+        q AS (
+            SELECT image_id, lon_min, lon_max,
+                   sin(radians(lat_min)) AS s1, sin(radians(lat_max)) AS s2
+            FROM ll
+        )
+        SELECT image_id,
+            round((6378137.0 * 8.667510025721987e-1) * radians(lon_min), 6) AS ex_min,
+            round((6378137.0 * ((1 - 6.6943799901413165e-3) * (s1 / (1 - 6.6943799901413165e-3 * s1 * s1)
+                - (1 / (2 * 8.181919084262149e-2))
+                  * ln((1 - 8.181919084262149e-2 * s1) / (1 + 8.181919084262149e-2 * s1)))))
+                / (2 * 8.667510025721987e-1), 6) AS ey_min,
+            round((6378137.0 * 8.667510025721987e-1) * radians(lon_max), 6) AS ex_max,
+            round((6378137.0 * ((1 - 6.6943799901413165e-3) * (s2 / (1 - 6.6943799901413165e-3 * s2 * s2)
+                - (1 / (2 * 8.181919084262149e-2))
+                  * ln((1 - 8.181919084262149e-2 * s2) / (1 + 8.181919084262149e-2 * s2)))))
+                / (2 * 8.667510025721987e-1), 6) AS ey_max
+        FROM q
+    """,
     "cog_pyramid": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -7962,6 +8023,7 @@ QUERIES = {
     "tile_bounds": q_tile_bounds,
     "tile_bounds_4326": q_tile_bounds_4326,
     "tile_bounds_3395": q_tile_bounds_3395,
+    "tile_bounds_6933": q_tile_bounds_6933,
     "tile_grid_cells": q_tile_grid_cells,
     "tile_s2_cells": q_tile_s2_cells,
     "tile_pip_join": q_tile_pip_join,

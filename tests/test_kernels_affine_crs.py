@@ -541,3 +541,100 @@ class TestOmerc:
         x2, y2 = transform_points(4326, 29873, np.array([115.8]), np.array([5.4]))
         lo2, la2 = transform_points(29873, 4326, x2, y2)
         assert abs(lo2[0] - 115.8) < 1e-11 and abs(la2[0] - 5.4) < 1e-11
+
+
+class TestCeaGeos:
+    """Cylindrical equal-area (EASE-Grid 2.0) and the geostationary
+    satellite projection."""
+
+    def test_cea_ease2_published_extent(self):
+        # NSIDC EASE-Grid 2.0 Global (EPSG 6933) publishes the map
+        # extent: x = +/-17,367,530.45 m at lon +/-180 (NSIDC grid
+        # documentation) — an external golden for k0 = cos(30)/W(30)
+        crs = resolve_crs(6933)
+        x, y = crs.from_lonlat(np.array([180.0, -180.0]), np.array([0.0, 0.0]))
+        assert abs(x[0] - 17367530.45) < 0.01 and abs(x[1] + 17367530.45) < 0.01
+        assert abs(y[0]) < 1e-9
+
+    def test_cea_equal_area_jacobian(self):
+        # the defining property: the numeric Jacobian determinant of
+        # the forward map equals the ellipsoidal area element exactly
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F
+
+        crs = resolve_crs(6933)
+        e2 = WGS84_F * (2 - WGS84_F)
+        rng = np.random.default_rng(33)
+        lon = rng.uniform(-170, 170, 64)
+        lat = rng.uniform(-84, 84, 64)
+        d = 1e-6
+        x0, y0 = crs.from_lonlat(lon, lat)
+        xl, _ = crs.from_lonlat(lon + d, lat)
+        _, yp = crs.from_lonlat(lon, lat + d)
+        det = np.abs((xl - x0) * (yp - y0))  # off-diagonal terms are 0
+        s2 = np.sin(np.radians(lat)) ** 2
+        m = WGS84_A * (1 - e2) / (1 - e2 * s2) ** 1.5
+        n = WGS84_A / np.sqrt(1 - e2 * s2)
+        truth = np.radians(d) ** 2 * m * n * np.cos(np.radians(lat))
+        assert np.allclose(det / truth, 1.0, atol=1e-4)
+
+    def test_cea_roundtrip_and_proj4(self):
+        rng = np.random.default_rng(34)
+        lon = rng.uniform(-179.0, 179.0, 200)
+        lat = rng.uniform(-85.0, 85.0, 200)
+        x, y = transform_points(4326, 6933, lon, lat)
+        lon2, lat2 = transform_points(6933, 4326, x, y)
+        assert np.abs(lon - lon2).max() < 1e-9 and np.abs(lat - lat2).max() < 1e-9
+        # proj4 spelling resolves to the same map
+        x2, y2 = transform_points(4326, "+proj=cea +lat_ts=30 +lon_0=0", lon, lat)
+        assert np.allclose(x, x2, atol=1e-9) and np.allclose(y, y2, atol=1e-9)
+
+    def test_geos_ecef_ray_trace_parity(self):
+        # independent derivation: satellite at (a+h, 0, 0) in ECEF,
+        # scan angles from the satellite->surface view vector computed
+        # with the standard geodetic->ECEF formulas (N(phi) prime
+        # vertical radius).  Both sweep conventions must match the
+        # projection to sub-millimeter.
+        from gdal_boots_ray.kernels.crs import WGS84_A, WGS84_F
+
+        a = WGS84_A
+        e2 = WGS84_F * (2 - WGS84_F)
+        h = 35786023.0  # GOES-R perspective point height
+        rng = np.random.default_rng(35)
+        lon = rng.uniform(-140, -10, 100)
+        lat = rng.uniform(-60, 60, 100)
+        phi = np.radians(lat)
+        lam = np.radians(lon + 75.0)  # satellite at lon_0 = -75
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        PX = N * np.cos(phi) * np.cos(lam)
+        PY = N * np.cos(phi) * np.sin(lam)
+        PZ = N * (1 - e2) * np.sin(phi)
+        dx = (a + h) - PX
+        for sweep in ("x", "y"):
+            crs = resolve_crs(f"+proj=geos +h=35786023 +lon_0=-75 +sweep={sweep}")
+            x, y = crs.from_lonlat(lon, lat)
+            if sweep == "x":
+                xs = h * np.arctan(PY / np.hypot(PZ, dx))
+                ys = h * np.arctan(PZ / dx)
+            else:
+                xs = h * np.arctan(PY / dx)
+                ys = h * np.arctan(PZ / np.hypot(PY, dx))
+            assert np.abs(x - xs).max() < 1e-3 and np.abs(y - ys).max() < 1e-3
+            lo, la = crs.to_lonlat(x, y)
+            assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-8
+
+    def test_geos_disk_properties(self):
+        # sub-satellite point maps to the origin; the far side of the
+        # Earth is not visible (NaN); Meteosat default sweep is y
+        crs = resolve_crs("+proj=geos +h=35785831 +lon_0=0")
+        x, y = crs.from_lonlat(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+        assert np.isnan(x[1]) and np.isnan(y[1])
+        # limb visibility: ~81 deg away is over the horizon, ~60 is not
+        x, y = crs.from_lonlat(np.array([60.0, 85.0]), np.array([0.0, 0.0]))
+        assert np.isfinite(x[0]) and np.isnan(x[1])
+        import pytest
+
+        with pytest.raises(ValueError, match="sweep"):
+            resolve_crs("+proj=geos +h=35785831 +sweep=z")
+        with pytest.raises(ValueError, match="height"):
+            resolve_crs("+proj=geos +lon_0=0")
