@@ -187,3 +187,66 @@ def test_dwt53_roundtrip_property(n, seed, levels):
     a = rng.integers(-(2**15), 2**15, (n, max(1, (seed % 7) + 1))).astype(np.int32)
     ll, bands = dwt53.forward(a, levels)
     assert (dwt53.inverse(ll, bands) == a).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(1, 90),
+    st.integers(1, 90),
+    st.sampled_from([None, "deflate", "lzw", "packbits"]),
+    st.sampled_from([16, 32, 48]),
+    st.sampled_from([16, 32]),
+    st.integers(0, 2**32 - 1),
+)
+def test_gtiff_tiled_window_property(bands, h, w, compress, bx, by, seed):
+    # any window of a tiled file equals the same slice of the source
+    # array, for every compression and non-divisible edge geometry
+    from gdal_boots_ray.kernels.gtiff import gtiff_decode_window, gtiff_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (bands, h, w)).astype(np.uint8)
+    blob = gtiff_encode(img, compress=compress, tiled=True, blockxsize=bx, blockysize=by)
+    x0 = int(rng.integers(0, w))
+    y0 = int(rng.integers(0, h))
+    ww = int(rng.integers(1, w - x0 + 1))
+    wh = int(rng.integers(1, h - y0 + 1))
+    win, _, _ = gtiff_decode_window(blob, x0, y0, ww, wh)
+    if win.ndim == 2:
+        win = win[None]
+    assert np.array_equal(win, img[:, y0 : y0 + wh, x0 : x0 + ww])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(2, 70),
+    st.integers(2, 70),
+    st.sampled_from([2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_gtiff_overview_pages_property(bands, h, w, lv, seed):
+    # every overview page stores exactly overview_average of the
+    # source, through the full container round trip, including
+    # non-divisible dims (partial edge blocks)
+    from gdal_boots_ray.kernels.gtiff import (
+        gtiff_decode,
+        gtiff_decode_overview,
+        gtiff_encode,
+        gtiff_overviews,
+        overview_average,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (bands, h, w)).astype(np.uint8)
+    blob = gtiff_encode(img, compress="deflate", overviews=(lv,))
+    full, _, _ = gtiff_decode(blob)
+    if full.ndim == 2:
+        full = full[None]
+    assert np.array_equal(full, img)
+    (ow, oh), = gtiff_overviews(blob)
+    assert ow == (w + lv - 1) // lv and oh == (h + lv - 1) // lv
+    ov, _, _ = gtiff_decode_overview(blob, 0)
+    if ov.ndim == 2:
+        ov = ov[None]
+    assert np.array_equal(ov, overview_average(img, lv))
