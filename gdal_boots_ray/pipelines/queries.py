@@ -3877,6 +3877,89 @@ def q_cog_pyramid(sf_dir: str, levels=(2, 4)):
     return ds.map_batches(pyramid_stats, batch_format="pyarrow", num_cpus=1)
 
 
+def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
+    """gdal_grid analog: interpolate the scattered sample points onto
+    a regular raster grid — the two exactly-replayable gdal_grid
+    algorithms in one pass: NEAREST (value of the closest point, ties
+    broken by the smallest point id) and AVERAGE-WITHIN-RADIUS
+    (count + integer value sum of points within 2 km).  All distances
+    are exact integer squared meters (point/cell coordinates are
+    integer-valued doubles by construction), so the twin is
+    arithmetic-exact with no float-order risk.
+
+    Scale shape: the POINT side is the bounded one (gdal_grid
+    semantics — a survey's sample set), broadcast once via
+    ``ray.put``; the GRID side streams through ``map_batches`` with a
+    point-slab inner loop that keeps the distance panel
+    O(batch x slab) regardless of point count.  A pathological
+    points-larger-than-grid workload would flip to the cell-bucketed
+    shuffle plan (the point_values precedent)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import point_params
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    rows = (n_part + 39) // 40
+    nx = 40000 // cell_m  # fixed 40 km x extent
+    ny = (rows * 1000) // cell_m
+    y_base = 5700000 - rows * 1000
+    r2 = radius_m * radius_m
+
+    # bounded small side: sample points with integer coords + values
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    p = point_params(cust.column("c_custkey").to_numpy(), n_part)
+    pts_ref = ray.put(
+        (
+            p["x"].astype(np.int64),
+            p["y"].astype(np.int64),
+            p["custkey"].astype(np.int64),
+            (p["custkey"] % 97).astype(np.int64),
+        )
+    )
+
+    def interp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        cx = 600000 + (ids % nx) * cell_m + cell_m // 2
+        cy = y_base + (ids // nx) * cell_m + cell_m // 2
+        px, py, pid, pv = ray.get(pts_ref)
+        b = len(ids)
+        best_d2 = np.full(b, np.iinfo(np.int64).max)
+        best_pid = np.full(b, np.iinfo(np.int64).max)
+        n_r = np.zeros(b, np.int64)
+        sum_r = np.zeros(b, np.int64)
+        for s in range(0, len(px), 8192):
+            dx = cx[:, None] - px[None, s : s + 8192]
+            dy = cy[:, None] - py[None, s : s + 8192]
+            d2 = dx * dx + dy * dy
+            slab_min = d2.min(axis=1)
+            slab_pid = np.where(
+                d2 == slab_min[:, None], pid[None, s : s + 8192], np.iinfo(np.int64).max
+            ).min(axis=1)
+            better = slab_min < best_d2
+            tie = slab_min == best_d2
+            best_pid = np.where(better, slab_pid, np.where(tie, np.minimum(best_pid, slab_pid), best_pid))
+            best_d2 = np.minimum(best_d2, slab_min)
+            near = d2 <= r2
+            n_r += near.sum(axis=1)
+            sum_r += (near * pv[None, s : s + 8192]).sum(axis=1)
+        return pa.table(
+            {
+                "cx": pa.array(cx, pa.int64()),
+                "cy": pa.array(cy, pa.int64()),
+                "near_pid": pa.array(best_pid),
+                "near_d2": pa.array(best_d2),
+                "n_r": pa.array(n_r),
+                "sum_r": pa.array(sum_r),
+            }
+        )
+
+    grid = rd.range(nx * ny, override_num_blocks=max(8, (nx * ny) // 2048))
+    return grid.map_batches(interp, batch_format="pyarrow", batch_size=1024)
+
+
 def q_tile_overviews(sf_dir: str, levels=(2, 4)):
     """Overview pyramid (the gdaladdo / BuildOverviews family the
     reference's GDAL backend provides): per image, AVERAGE-resampled
@@ -6140,6 +6223,35 @@ ORACLE_SQL: Dict[str, str] = {
                   + (c_custkey % (SELECT count(*) FROM part))) % 256 AS BIGINT) AS value
         FROM customer
     """,
+    "grid_interp": f"""
+        WITH {POINT_SQL_CTE},
+        dims AS (
+            SELECT CAST(ceil(count(*) / 40.0) AS BIGINT) AS rows FROM part
+        ),
+        cells AS (
+            SELECT CAST(600000 + gx.i * 500 + 250 AS BIGINT) AS cx,
+                   CAST(5700000 - dims.rows * 1000 + gy.j * 500 + 250 AS BIGINT) AS cy
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, 79)) AS i) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(dims.rows * 2 - 1 AS INT))) AS j) gy
+        ),
+        pairs AS (
+            SELECT cells.cx, cells.cy, pid,
+                   CAST((px - cells.cx) * (px - cells.cx)
+                      + (py - cells.cy) * (py - cells.cy) AS BIGINT) AS d2,
+                   CAST(pid % 97 AS BIGINT) AS v
+            FROM cells, pt_coords
+        ),
+        ranked AS (
+            SELECT *, min(d2) OVER (PARTITION BY cx, cy) AS near_d2 FROM pairs
+        )
+        SELECT cx, cy,
+               CAST(min(pid) FILTER (WHERE d2 = near_d2) AS BIGINT) AS near_pid,
+               near_d2,
+               CAST(count(*) FILTER (WHERE d2 <= 4000000) AS BIGINT) AS n_r,
+               CAST(coalesce(sum(v) FILTER (WHERE d2 <= 4000000), 0) AS BIGINT) AS sum_r
+        FROM ranked GROUP BY cx, cy, near_d2
+    """,
     "zonal_stats": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
         pairs AS (
@@ -7966,7 +8078,6 @@ QUERIES = {
     "doc_logprob": q_doc_logprob,
     "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
-    "text_normalize": q_text_normalize,
     "doc_repetition": q_doc_repetition,
     "inverted_index": q_inverted_index,
     "doc_pack": q_doc_pack,
@@ -7998,6 +8109,7 @@ QUERIES = {
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
+    "grid_interp": q_grid_interp,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
@@ -8089,4 +8201,6 @@ QUERIES = {
     "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
     # DSP variant of audio_rms (audio_rms itself stays in the window)
     "audio_spectrum": q_audio_spectrum,
+    # NFKC-lite cleanup stage (driver-window slot ceded to grid_interp)
+    "text_normalize": q_text_normalize,
 }
