@@ -550,3 +550,53 @@ def test_semdedup_scale_paths(ray_mod):
     # survivor set is identical
     scaled = norm(q_semdedup(sf, target_cluster=64))
     assert base["vec_id"].tolist() == scaled["vec_id"].tolist()
+
+
+def test_decode_windows_stage(ray_mod):
+    """DecodeWindows: windowed decode through a Ray pipeline — tiled
+    TIFF rows decode O(touched tiles), PNG rows decode-then-crop; both
+    yield the same pixels as slicing the source field, with w/h and gt
+    rewritten to the window."""
+    import ray.data as rd
+
+    from gdal_boots_ray.kernels.gtiff import gtiff_encode
+    from gdal_boots_ray.kernels.png import encode_image
+    from gdal_boots_ray.stages.decode import DecodeWindows, batch_pixel_views
+
+    rows = []
+    for k in range(8):
+        w, h = 64 + (k % 3) * 16, 48 + (k % 2) * 16
+        img = tile_pixels(k, w, h)
+        gt = [10.0, 0.0, 1000.0 * k, 0.0, -10.0, 500000.0]
+        if k % 2 == 0:
+            blob, fmt = (
+                gtiff_encode(img, gt=gt, epsg=3857, compress="lzw",
+                             tiled=True, blockxsize=16, blockysize=16),
+                "tiff",
+            )
+        else:
+            blob, fmt = encode_image(img, "png"), "png"
+        rows.append(
+            dict(image_id=f"img-{k:08d}", bytes=blob, fmt=fmt, w=w, h=h, gt=gt,
+                 wx=w // 4, wy=h // 4, ww=w // 2, wh=h // 2)
+        )
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl).map_batches(DecodeWindows, batch_format="pyarrow", concurrency=1)
+    out = pa.concat_tables(
+        [pa.Table.from_batches(b.to_batches()) for b in __import__("ray").get(ds.to_arrow_refs())]
+    )
+    assert out.num_rows == 8 and "bytes" not in out.column_names
+    views = batch_pixel_views(out)
+    ids = out.column("image_id").to_pylist()
+    gts = out.column("gt").to_pylist()
+    for i, iid in enumerate(ids):
+        k = int(iid.split("-")[1])
+        w, h = 64 + (k % 3) * 16, 48 + (k % 2) * 16
+        x0, y0, cw, ch = w // 4, h // 4, w // 2, h // 2
+        expect = tile_pixels(k, w, h)[y0 : y0 + ch, x0 : x0 + cw]
+        assert np.array_equal(views[i], expect), iid
+        assert int(out.column("w")[i].as_py()) == cw
+        assert int(out.column("h")[i].as_py()) == ch
+        # gt translated to the window origin
+        assert gts[i][2] == 1000.0 * k + 10.0 * x0
+        assert gts[i][5] == 500000.0 - 10.0 * y0
