@@ -1360,6 +1360,23 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
             out_b.extend((band_val + (b << 40)).tolist())
         return pa.table({"key": pa.array(out_k, pa.int64()), "bucket": pa.array(out_b, pa.int64())})
 
+    from gdal_boots_ray.sources.fixtures import tile_phash as _ph
+
+    def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor(_ph(a), _ph(b)).astype(np.uint64)
+        cnt = np.zeros(len(x), np.int64)
+        while np.any(x):
+            cnt += (x & 1).astype(np.int64)
+            x >>= np.uint64(1)
+        return cnt
+
+    # verify INSIDE the group task: the 20-bit fixture phash gives
+    # only 32 buckets per band, so raw band candidates are O((N/32)^2)
+    # per bucket (~25M rows at sf0.1) — filtering to exact
+    # hamming<=max BEFORE emitting means only true pairs (~20x fewer)
+    # ever leave the group task or cross the dedup exchange.  Recall
+    # is untouched: the filter is the same closed-form check the
+    # oracle applies.
     def pairs(g: pa.Table) -> pa.Table:
         bk = g.column("bucket").to_numpy()
         did = g.column("key").to_numpy()
@@ -1371,52 +1388,38 @@ def q_phash_neardup(sf_dir: str, max_hamming: int = 3):
         ends = np.r_[starts[1:], len(bk)]
         out_a: list = []
         out_b: list = []
+        out_h: list = []
         for s, e in zip(starts, ends):
             ids = did[s:e]
             if len(ids) < 2:
                 continue
             a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
+            ka, kb = ids[a], ids[b]
+            ham = _hamming(ka, kb)
+            m = ham <= max_hamming
+            if m.any():
+                out_a.append(ka[m])
+                out_b.append(kb[m])
+                out_h.append(ham[m])
         if not out_a:
-            return pa.table({"key_a": pa.array([], pa.int64()), "key_b": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "key_a": pa.array([], pa.int64()),
+                    "key_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "key_a": pa.array(np.concatenate(out_a).astype(np.int64), pa.int64()),
                 "key_b": pa.array(np.concatenate(out_b).astype(np.int64), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             }
         )
 
-    cand = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
+    verified = rows.map_batches(band_rows, batch_format="pyarrow").groupby("bucket").map_groups(
         pairs, batch_format="pyarrow"
     )
-
-    from gdal_boots_ray.sources.fixtures import tile_phash as _ph
-
-    # verify BEFORE the dedup exchange: the exact-hamming filter is a
-    # stateless closed-form map, so running it on the raw band
-    # candidates cuts the dedup shuffle volume to true pairs only
-    # (~5x at sf0.1) instead of shipping every band collision
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("key_a").to_numpy()
-        b = batch.column("key_b").to_numpy()
-        ha = _ph(a)
-        hb = _ph(b)
-        x = np.bitwise_xor(ha, hb).astype(np.uint64)
-        cnt = np.zeros(len(x), np.int64)
-        while np.any(x):
-            cnt += (x & 1).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = cnt <= max_hamming
-        return pa.table(
-            {
-                "key_a": pa.array(a[keep], pa.int64()),
-                "key_b": pa.array(b[keep], pa.int64()),
-                "hamming": pa.array(cnt[keep], pa.int64()),
-            }
-        )
-
-    verified = cand.map_batches(verify, batch_format="pyarrow")
     # dedup band-duplicate pairs; hamming is identical per pair so min
     # is a no-op combine that carries it through the exchange
     return bucketed_aggregate(verified, ["key_a", "key_b"], {"hamming": "min"})
