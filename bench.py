@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "recode_stats_tiff_lzw",
         "window_stats_cog",
         "cog_pyramid",
+        "grid_interp",
     )
     for name in query_names:
         t = time.perf_counter()
