@@ -5897,6 +5897,64 @@ def q_band_math(sf_dir: str):
     return ds.map_batches(ndiff, batch_format="pyarrow")
 
 
+def q_pansharpen(sf_dir: str):
+    """gdal_pansharpen analog (Brovey fusion): a 3-band multispectral
+    image at (w, h) fused with a panchromatic band at 2x resolution
+    (2w, 2h).  MS upsamples by nearest (pixel replication), the pan
+    ratio is applied per band with INTEGER floor math —
+    ``out_b = (pan * ms_b * 3) // (ms0 + ms1 + ms2)`` — so the twin
+    replays the whole fusion from the two closed-form fields
+    (ms band b: (x*31 + y*17 + k + b*7) %% 256; pan:
+    (X*29 + Y*13 + k) %% 256; the pseudo-pan sum is never 0 because
+    the three band offsets 0/7/14 cannot all vanish mod 256).  MS
+    rows go through the real decode chain; the pan band is the
+    deterministic hi-res fixture synthesized in-task.  Per (image,
+    band): BIGINT sum of fused values + pixel count.  Pure map stage,
+    no exchange."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = ds.map_batches(
+        lambda b: synth_images_batch(b.column("p_partkey").to_numpy(), bands=3),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), batch_size=128)
+
+    def fuse(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        sums = np.empty((n, 3), np.int64)
+        n_px = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            assert img.ndim == 3 and img.shape[0] == 3, f"expected 3 bands, got {img.shape}"
+            k = int(ids[i].split("-")[1])
+            h, w = img.shape[1:]
+            X = np.arange(2 * w, dtype=np.int64)[None, :]
+            Y = np.arange(2 * h, dtype=np.int64)[:, None]
+            pan = (X * 29 + Y * 13 + k) % 256
+            ms_up = img.astype(np.int64)[:, Y // 2, X // 2]  # nearest upsample
+            pseudo = ms_up.sum(axis=0)
+            for b in range(3):
+                sums[i, b] = int(((pan * ms_up[b] * 3) // pseudo).sum())
+            n_px[i] = pan.size
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "sum_b0": pa.array(sums[:, 0]),
+                "sum_b1": pa.array(sums[:, 1]),
+                "sum_b2": pa.array(sums[:, 2]),
+                "n_px": pa.array(n_px),
+            }
+        )
+
+    return ds.map_batches(fuse, batch_format="pyarrow")
+
+
 def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
     """NTILE window function: per user, events ranked by
     (value, event_id) — the unique tie-break makes the bucket
@@ -6396,6 +6454,25 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "pansharpen": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 29 + gy.y * 13 + tiles.k) % 256 AS pan,
+                   ((gx.x // 2) * 31 + (gy.y // 2) * 17 + tiles.k) % 256 AS ms0,
+                   ((gx.x // 2) * 31 + (gy.y // 2) * 17 + tiles.k + 7) % 256 AS ms1,
+                   ((gx.x // 2) * 31 + (gy.y // 2) * 17 + tiles.k + 14) % 256 AS ms2
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(2 * tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(2 * tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id,
+               CAST(sum((pan * ms0 * 3) // (ms0 + ms1 + ms2)) AS BIGINT) AS sum_b0,
+               CAST(sum((pan * ms1 * 3) // (ms0 + ms1 + ms2)) AS BIGINT) AS sum_b1,
+               CAST(sum((pan * ms2 * 3) // (ms0 + ms1 + ms2)) AS BIGINT) AS sum_b2,
+               CAST(count(*) AS BIGINT) AS n_px
         FROM px GROUP BY image_id
     """,
     "tile_overviews": f"""
@@ -8085,7 +8162,6 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "doc_pack": q_doc_pack,
     "decontaminate": q_decontaminate,
-    "doc_fingerprints": q_doc_fingerprints,
     "fingerprint_dups": q_fingerprint_dups,
     "approx_distinct": q_approx_distinct,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
@@ -8113,6 +8189,7 @@ QUERIES = {
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
     "grid_interp": q_grid_interp,
+    "pansharpen": q_pansharpen,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
@@ -8206,4 +8283,7 @@ QUERIES = {
     "audio_spectrum": q_audio_spectrum,
     # NFKC-lite cleanup stage (driver-window slot ceded to grid_interp)
     "text_normalize": q_text_normalize,
+    # fingerprint emission (its collision check fingerprint_dups stays
+    # in the window; slot ceded to pansharpen)
+    "doc_fingerprints": q_doc_fingerprints,
 }
