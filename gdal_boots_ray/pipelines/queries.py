@@ -5955,6 +5955,96 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+_RELIEF_BREAKS = (0, 64, 128, 192, 255)
+_RELIEF_COLORS = ((0, 0, 128), (0, 128, 64), (32, 192, 0), (192, 128, 0), (255, 255, 255))
+
+
+def _relief_sql(channel: int) -> str:
+    """CASE ladder replaying the color-relief ramp for one channel.
+    Uses floor(a / b) (float divide of small exact ints, then floor)
+    because DuckDB's integer ``//`` truncates toward zero while numpy
+    ``//`` floors — they differ on the ramp's negative slopes."""
+    arms = []
+    for s in range(len(_RELIEF_BREAKS) - 1):
+        v0, v1 = _RELIEF_BREAKS[s], _RELIEF_BREAKS[s + 1]
+        c0, c1 = _RELIEF_COLORS[s][channel], _RELIEF_COLORS[s + 1][channel]
+        expr = f"{c0} + CAST(floor(({c1} - {c0}) * (v - {v0}) / {v1 - v0}.0) AS BIGINT)"
+        arms.append(f"WHEN v < {v1} THEN {expr}" if s < len(_RELIEF_BREAKS) - 2 else f"ELSE {expr}")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def q_color_relief(sf_dir: str):
+    """gdaldem color-relief — the last gdaldem mode (slope/aspect/
+    hillshade/TRI/TPI/roughness already covered): band-0 values map
+    through a 5-breakpoint color ramp with linearly interpolated RGB,
+    all in INTEGER floor math (c0 + (c1-c0)*(v-v0) // (v1-v0)) so the
+    twin replays the ramp as a CASE ladder over the closed-form pixel
+    field.  Per image: BIGINT channel sums + pixel count.  Pure map
+    stage."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    breaks = np.array(_RELIEF_BREAKS, np.int64)
+    colors = np.array(_RELIEF_COLORS, np.int64)
+
+    def relief(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        sums = np.empty((n, 3), np.int64)
+        n_px = np.empty(n, np.int64)
+        for i in range(n):
+            v = (views[i] if views[i].ndim == 2 else views[i][0]).astype(np.int64).ravel()
+            seg = np.clip(np.searchsorted(breaks, v, side="right") - 1, 0, len(breaks) - 2)
+            v0 = breaks[seg]
+            v1 = breaks[seg + 1]
+            for c in range(3):
+                c0 = colors[seg, c]
+                c1 = colors[seg + 1, c]
+                ch = c0 + ((c1 - c0) * (v - v0)) // (v1 - v0)
+                sums[i, c] = int(ch.sum())
+            n_px[i] = v.size
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+                "n_px": pa.array(n_px),
+            }
+        )
+
+    return ds.map_batches(relief, batch_format="pyarrow")
+
+
+def q_tile_zxy(sf_dir: str, zoom: int = 12):
+    """Web-mercator slippy-map tile key (the gdal2tiles / XYZ scheme,
+    the sixth indexing family next to grid/S2/H3/geohash/Morton/
+    Hilbert): tile-center 3857 coords to (z, x, y) at zoom 12 by the
+    standard normalization against the web-mercator extent pi*a,
+    packed as z<<40 | x<<20 | y.  The twin replays the same floor
+    normalization; inputs are exact-integer 3857 coords so the float
+    division is shape-identical on both sides."""
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=False))
+    half = np.pi * 6378137.0
+    nz = 1 << zoom
+
+    def zxy(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy()
+        cy = batch.column("cy").to_numpy()
+        tx = np.floor((cx + half) / (2 * half) * nz).astype(np.int64)
+        ty = np.floor((half - cy) / (2 * half) * nz).astype(np.int64)
+        key = (np.int64(zoom) << 40) + (tx << 20) + ty
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "zxy": pa.array(key, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(zxy, batch_format="pyarrow")
+
+
 def q_events_ntile(sf_dir: str, n_tiles_q: int = 4):
     """NTILE window function: per user, events ranked by
     (value, event_id) — the unique tie-break makes the bucket
@@ -6454,6 +6544,31 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "tile_zxy": f"""
+        WITH {TILE_SQL_CTE}
+        SELECT image_id,
+            (CAST(12 AS BIGINT) << 40)
+            + (CAST(floor(((x0 + w * 10.0 / 2) + pi() * 6378137.0)
+                          / (2 * (pi() * 6378137.0)) * 4096) AS BIGINT) << 20)
+            + CAST(floor((pi() * 6378137.0 - (y0 - h * 10.0 / 2))
+                         / (2 * (pi() * 6378137.0)) * 4096) AS BIGINT) AS zxy
+        FROM tiles
+    """,
+    "color_relief": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id,
+               CAST(sum({_relief_sql(0)}) AS BIGINT) AS sum_r,
+               CAST(sum({_relief_sql(1)}) AS BIGINT) AS sum_g,
+               CAST(sum({_relief_sql(2)}) AS BIGINT) AS sum_b,
+               CAST(count(*) AS BIGINT) AS n_px
         FROM px GROUP BY image_id
     """,
     "pansharpen": f"""
@@ -8156,10 +8271,8 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "bm25_scores": q_bm25_scores,
     "doc_logprob": q_doc_logprob,
-    "bigram_pmi": q_bigram_pmi,
     "top_terms": q_top_terms,
     "doc_repetition": q_doc_repetition,
-    "inverted_index": q_inverted_index,
     "doc_pack": q_doc_pack,
     "decontaminate": q_decontaminate,
     "fingerprint_dups": q_fingerprint_dups,
@@ -8190,6 +8303,8 @@ QUERIES = {
     "cog_pyramid": q_cog_pyramid,
     "grid_interp": q_grid_interp,
     "pansharpen": q_pansharpen,
+    "color_relief": q_color_relief,
+    "tile_zxy": q_tile_zxy,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
@@ -8286,4 +8401,8 @@ QUERIES = {
     # fingerprint emission (its collision check fingerprint_dups stays
     # in the window; slot ceded to pansharpen)
     "doc_fingerprints": q_doc_fingerprints,
+    # PMI / postings variants of the driver-checked doc_keywords and
+    # fingerprint family (slots ceded to color_relief / tile_zxy)
+    "bigram_pmi": q_bigram_pmi,
+    "inverted_index": q_inverted_index,
 }
