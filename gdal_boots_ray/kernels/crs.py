@@ -411,23 +411,41 @@ class _LaeaConsts:
         self.D = (a * m1) / (self.Rq * self.cb1) if self.cb1 != 0 else 1.0
 
     def q_arr(self, phi):
-        s = np.sin(phi)
-        if self.e2 == 0:
-            return 2 * s
-        return (1 - self.e2) * (
-            s / (1 - self.e2 * s * s) - (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
-        )
+        return _authalic_q(self.e, self.e2, phi)
 
     def phi_from_q(self, q):
-        phi = np.arcsin(np.clip(q / 2, -1, 1))
-        if self.e2 > 0:
+        return _authalic_phi(self.e, self.e2, q, self.qp)
+
+
+def _authalic_q(e: float, e2: float, phi) -> np.ndarray:
+    """Authalic q(phi) (Snyder 3-12), shared by the equal-area
+    projections (LAEA, CEA)."""
+    s = np.sin(phi)
+    if e2 == 0:
+        return 2 * s
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _authalic_phi(e: float, e2: float, q, qp: float) -> np.ndarray:
+    """Inverse authalic latitude (Snyder 3-16 fixed-point), with the
+    map-edge special case |q| >= qp -> +/-pi/2: the iteration's
+    cos(phi) denominator stalls at the pole, so a polar y otherwise
+    converges ~km short (Snyder/PROJ handle this case explicitly)."""
+    q = np.asarray(q, dtype=np.float64)
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    if e2 > 0:
+        at_pole = np.abs(q) >= qp * (1 - 1e-12)
+        with np.errstate(invalid="ignore", divide="ignore"):
             for _ in range(8):
                 s = np.sin(phi)
-                one = 1 - self.e2 * s * s
+                one = 1 - e2 * s * s
                 phi = phi + (one**2 / (2 * np.cos(phi))) * (
-                    q / (1 - self.e2) - s / one + (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+                    q / (1 - e2) - s / one + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
                 )
-        return phi
+        phi = np.where(at_pole, np.copysign(np.pi / 2, q), phi)
+    return phi
 
 
 def _laea_forward(c: _LaeaConsts, lon_deg, lat_deg):
@@ -630,23 +648,10 @@ class _CeaConsts:
         self.qp = float(self.q_arr(np.array([math.pi / 2]))[0])
 
     def q_arr(self, phi):
-        s = np.sin(phi)
-        if self.e2 == 0:
-            return 2 * s
-        return (1 - self.e2) * (
-            s / (1 - self.e2 * s * s) - (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
-        )
+        return _authalic_q(self.e, self.e2, phi)
 
     def phi_from_q(self, q):
-        phi = np.arcsin(np.clip(q / 2, -1, 1))
-        if self.e2 > 0:
-            for _ in range(8):
-                s = np.sin(phi)
-                one = 1 - self.e2 * s * s
-                phi = phi + (one**2 / (2 * np.cos(phi))) * (
-                    q / (1 - self.e2) - s / one + (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
-                )
-        return phi
+        return _authalic_phi(self.e, self.e2, q, self.qp)
 
 
 def _cea_forward(c: _CeaConsts, lon_deg, lat_deg):

@@ -216,10 +216,12 @@ def _unpredict2(payload: bytes, w: int, h: int, spp: int, dt: np.dtype) -> bytes
 
 def overview_average(img: np.ndarray, lv: int) -> np.ndarray:
     """(bands,h,w) -> (bands, ceil(h/lv), ceil(w/lv)) AVERAGE-resampled
-    overview: integer dtypes use floor division of the block sum by the
+    overview: integer dtypes use FLOOR division of the block sum by the
     count of CONTRIBUTING pixels (partial edge blocks average over what
-    exists — GDAL's integer AVERAGE behavior, same rule as the
-    ``tile_overviews`` oracle), floats use the true mean."""
+    exists), floats use the true mean.  This is the engine's
+    ``tile_overviews`` oracle convention; note GDAL's own integer
+    AVERAGE rounds to nearest, so outputs can differ from gdaladdo by
+    1 LSB on .5 boundaries."""
     bands, h, w = img.shape
     ri = np.arange(0, h, lv)
     ci = np.arange(0, w, lv)
@@ -249,6 +251,7 @@ def _build_page(
     blockysize: int,
     base_offset: int,
     reduced: bool,
+    rows_per_strip: Optional[int] = None,
 ) -> Tuple[bytes, int]:
     """One TIFF page (IFD + out-of-line values + pixel chunks) laid
     out at absolute ``base_offset``.  Returns (page bytes, position of
@@ -295,7 +298,10 @@ def _build_page(
             for tx in range(ntx)
         ]
     else:
-        chunks = [encode_chunk(img)]
+        rps = h if not rows_per_strip else min(int(rows_per_strip), h)
+        chunks = [
+            encode_chunk(img[:, r : r + rps]) for r in range(0, h, rps)
+        ]
 
     entries = []  # (tag, type, values)
 
@@ -319,9 +325,9 @@ def _build_page(
         entry(T_TILE_OFFSETS, _TYPE_LONG, [0] * len(chunks))  # patched below
         entry(T_TILE_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
     else:
-        entry(T_STRIP_OFFSETS, _TYPE_LONG, 0)  # patched below
-        entry(T_ROWS_PER_STRIP, _TYPE_LONG, h)
-        entry(T_STRIP_COUNTS, _TYPE_LONG, len(chunks[0]))
+        entry(T_STRIP_OFFSETS, _TYPE_LONG, [0] * len(chunks))  # patched below
+        entry(T_ROWS_PER_STRIP, _TYPE_LONG, rps)
+        entry(T_STRIP_COUNTS, _TYPE_LONG, [len(c) for c in chunks])
     if predictor == 2:
         entry(T_PREDICTOR, _TYPE_SHORT, 2)
     entry(T_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
@@ -369,9 +375,7 @@ def _build_page(
     # patch StripOffsets / TileOffsets values now that positions exist
     final_entries = []
     for i, ((tag, typ, cnt, inline, raw), bpos) in enumerate(zip(packed, blob_positions)):
-        if tag == T_STRIP_OFFSETS:
-            inline = struct.pack("<I", chunk_positions[0])
-        elif tag == T_TILE_OFFSETS:
+        if tag in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
             patched = struct.pack(f"<{len(chunk_positions)}I", *chunk_positions)
             if raw is not None:
                 packed[i] = (tag, typ, cnt, inline, patched)
@@ -412,6 +416,7 @@ def gtiff_encode(
     blockxsize: int = 256,
     blockysize: int = 256,
     overviews=(),
+    rows_per_strip: Optional[int] = None,
 ) -> bytes:
     """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
 
@@ -424,6 +429,10 @@ def gtiff_encode(
     cloud-optimized-GeoTIFF chunking that lets
     :func:`gtiff_decode_window` decode O(window) tiles instead of the
     whole strip.  Block sizes must be multiples of 16 (TIFF spec).
+
+    ``rows_per_strip`` chunks the strip layout every N rows (the
+    libtiff-style strip chunking real GeoTIFFs use; enables
+    strip-range windowed reads), default one strip.
 
     ``overviews=(2, 4, ...)`` appends one reduced-resolution page per
     integer factor (IFD chain, NewSubfileType=1, AVERAGE resampling
@@ -481,6 +490,7 @@ def gtiff_encode(
         page, rel = _build_page(
             pimg, pgt, epsg, comp_id, zlevel, predictor, jpeg_quality,
             tiled, blockxsize, blockysize, base, reduced,
+            rows_per_strip=rows_per_strip,
         )
         next_ptr_abs = base + rel
         out += page
@@ -615,19 +625,26 @@ def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]], page: 
     else:
         offs, counts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
         rows_per_strip = tags.get(T_ROWS_PER_STRIP, [h])[0]
-        parts = [
-            _decode_chunk(
-                data[o : o + cc], comp, min(rows_per_strip, h - si * rows_per_strip),
-                w, bands, dt, predictor,
-            )
-            for si, (o, cc) in enumerate(zip(offs, counts))
-        ]
-        img = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+        s0, s1 = 0, len(offs)  # strip range to decode
         if win is not None:
             x0, y0, ww, wh = win
             if not (0 <= x0 and 0 <= y0 and x0 + ww <= w and y0 + wh <= h and ww > 0 and wh > 0):
                 raise ValueError(f"window ({x0},{y0},{ww},{wh}) outside image {w}x{h}")
-            img = img[y0 : y0 + wh, x0 : x0 + ww]
+            # decode only the strips intersecting the window's rows —
+            # the strip-file counterpart of the tiled O(window) path
+            s0 = y0 // rows_per_strip
+            s1 = (y0 + wh - 1) // rows_per_strip + 1
+        parts = [
+            _decode_chunk(
+                data[offs[si] : offs[si] + counts[si]], comp,
+                min(rows_per_strip, h - si * rows_per_strip),
+                w, bands, dt, predictor,
+            )
+            for si in range(s0, s1)
+        ]
+        img = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+        if win is not None:
+            img = img[y0 - s0 * rows_per_strip : y0 - s0 * rows_per_strip + wh, x0 : x0 + ww]
     img = np.transpose(img.astype(dt.newbyteorder("="), copy=False), (2, 0, 1))
     gt, epsg = _geo_from_tags(tags)
     out = img if bands > 1 else img[0]
@@ -641,27 +658,49 @@ def gtiff_decode(data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray], Optiona
     return _decode_common(data, None)
 
 
+def _overview_pages(data: bytes) -> list:
+    """Chain indices of the reduced-resolution pages (NewSubfileType
+    bit 0), skipping any full-resolution extra pages a multi-image
+    TIFF may interleave."""
+    return [
+        pi
+        for pi, t in enumerate(_ifd_chain(data))
+        if pi > 0 and t.get(T_NEW_SUBFILE_TYPE, [0])[0] & 1
+    ]
+
+
 def gtiff_overviews(data: bytes) -> list:
     """(w, h) of every reduced-resolution page in the IFD chain, in
     order — the pyramid written by ``gtiff_encode(overviews=...)``."""
-    return [
-        (t[T_WIDTH][0], t[T_HEIGHT][0])
-        for t in _ifd_chain(data)[1:]
-        if t.get(T_NEW_SUBFILE_TYPE, [0])[0] & 1
-    ]
+    chain = _ifd_chain(data)
+    return [(chain[pi][T_WIDTH][0], chain[pi][T_HEIGHT][0]) for pi in _overview_pages(data)]
 
 
 def gtiff_decode_overview(
     data: bytes, index: int
 ) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[int]]:
-    """Decode reduced-resolution page ``index`` (0 = first overview).
+    """Decode reduced-resolution page ``index`` (0 = first overview,
+    same ordering/filter as :func:`gtiff_overviews` — non-reduced
+    extra pages in a multi-image TIFF are skipped, not miscounted).
 
     A zoomed-out render reads the overview page's few KB instead of
     the full-resolution raster — with ``tiled=True`` pages the
     overview bytes sit in their own chunk range, so the read is
     O(overview), not O(file).  The page carries its own level-scaled
     geotransform."""
-    return _decode_common(data, None, page=index + 1)
+    pages = _overview_pages(data)
+    if index >= len(pages):
+        raise ValueError(f"TIFF has {len(pages)} overview page(s), no page {index}")
+    return _decode_common(data, None, page=pages[index])
+
+
+def translate_gt(gt, x0: int, y0: int) -> np.ndarray:
+    """Geotransform translated to a (x0, y0) pixel-window origin —
+    the single definition shared by every windowed-read path."""
+    g = np.asarray(gt, dtype=np.float64).copy()
+    g[2] += g[0] * x0 + g[1] * y0
+    g[5] += g[3] * x0 + g[4] * y0
+    return g
 
 
 def gtiff_decode_window(
@@ -672,12 +711,10 @@ def gtiff_decode_window(
     On a tiled file this touches O(intersecting tiles) — the
     cloud-optimized-GeoTIFF access pattern a 100 TB scan wants
     (crop_by_geometry / fast_warp read a sub-window, not the whole
-    raster); on a strip file it decodes the strip(s) then crops.
-    The returned ``gt`` is translated to the window origin so the
-    crop stays georeferenced."""
+    raster); on a strip file it decodes only the strips intersecting
+    the window's rows, then crops.  The returned ``gt`` is translated
+    to the window origin so the crop stays georeferenced."""
     img, gt, epsg = _decode_common(data, (int(x0), int(y0), int(w), int(h)))
     if gt is not None:
-        gt = gt.copy()
-        gt[2] += gt[0] * x0 + gt[1] * y0
-        gt[5] += gt[3] * x0 + gt[4] * y0
+        gt = translate_gt(gt, x0, y0)
     return img, gt, epsg

@@ -76,11 +76,14 @@ class Ntv2SubGrid:
         iy = np.clip(np.floor(fy).astype(np.int64), 0, self.ny - 2)
         tx = (fx - ix)[:, None]
         ty = (fy - iy)[:, None]
-        g = self.shifts.astype(np.float64)
-        v00 = g[iy, ix]
-        v01 = g[iy, ix + 1]
-        v10 = g[iy + 1, ix]
-        v11 = g[iy + 1, ix + 1]
+        # gather the 4 corners first, THEN upcast: avoids copying the
+        # whole (ny, nx, 2) field to float64 per call (a real national
+        # grid is millions of nodes; the gather is O(points))
+        g = self.shifts
+        v00 = g[iy, ix].astype(np.float64)
+        v01 = g[iy, ix + 1].astype(np.float64)
+        v10 = g[iy + 1, ix].astype(np.float64)
+        v11 = g[iy + 1, ix + 1].astype(np.float64)
         return (v00 * (1 - tx) * (1 - ty) + v01 * tx * (1 - ty)
                 + v10 * (1 - tx) * ty + v11 * tx * ty)
 

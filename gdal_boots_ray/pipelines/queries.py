@@ -3968,7 +3968,8 @@ def q_tile_overviews(sf_dir: str, levels=(2, 4)):
     reference's GDAL backend provides): per image, AVERAGE-resampled
     overview levels 2x and 4x, each computed from the full-resolution
     band with integer floor-average pooling (sum of the lv x lv block
-    // lv^2 — exactly GDAL's integer AVERAGE behavior for uint8).
+    // lv^2 — the engine's AVERAGE convention; GDAL's own integer
+    AVERAGE rounds to nearest, differing by 1 LSB on .5 boundaries).
     Embarrassingly parallel decode->pool inside map_batches; the twin
     replays pooling as a GROUP BY x//lv, y//lv over the closed-form
     pixel field.  Per (image, level): overview dims + BIGINT sum of

@@ -189,12 +189,10 @@ class DecodeWindows:
                 img = full[..., y0 : y0 + ch, x0 : x0 + cw]
                 win_gt = None
             if gts is not None and gts[i] is not None:
-                g = np.asarray(gts[i], dtype=np.float64)
                 if win_gt is None:  # translate the source gt ourselves
-                    g = g.copy()
-                    g[2] += g[0] * x0 + g[1] * y0
-                    g[5] += g[3] * x0 + g[4] * y0
-                    win_gt = g
+                    from gdal_boots_ray.kernels.gtiff import translate_gt
+
+                    win_gt = translate_gt(gts[i], x0, y0)
                 gts[i] = [float(v) for v in win_gt]
             bands[i] = 1 if img.ndim == 2 else img.shape[0]
             dtypes.append(img.dtype.name)

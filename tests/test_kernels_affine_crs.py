@@ -638,3 +638,23 @@ class TestCeaGeos:
             resolve_crs("+proj=geos +h=35785831 +sweep=z")
         with pytest.raises(ValueError, match="height"):
             resolve_crs("+proj=geos +lon_0=0")
+
+    def test_cea_polar_edge_inverse(self):
+        # regression: the authalic inverse iteration stalls at the
+        # pole (cos(phi) denominator); the map-edge y must come back
+        # as exactly +/-90, not ~89.985 (a ~1.7 km error)
+        crs = resolve_crs(6933)
+        x, y = crs.from_lonlat(np.array([10.0, -20.0]), np.array([90.0, -90.0]))
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert lat2[0] == 90.0 and lat2[1] == -90.0
+        # near-pole (not at the edge) converges to cm-level: the
+        # Snyder fixed-point iteration is linear near the pole, ~3e-7
+        # deg (~3 cm) at 89.9 — fine for rasters, documented here
+        x, y = crs.from_lonlat(np.array([10.0]), np.array([89.9]))
+        _, la = crs.to_lonlat(x, y)
+        assert abs(la[0] - 89.9) < 1e-6
+        # LAEA shares the helper: polar round-trip through EPSG 3035
+        crs2 = resolve_crs(3035)
+        x, y = crs2.from_lonlat(np.array([10.0]), np.array([90.0]))
+        _, la2 = crs2.to_lonlat(x, y)
+        assert abs(la2[0] - 90.0) < 1e-7

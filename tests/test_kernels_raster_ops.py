@@ -296,3 +296,58 @@ class TestOptions:
         kw = codec_args(GTiff(tiled=True, blockxsize=64, blockysize=48))
         assert kw["tiled"] is True and kw["blockxsize"] == 64 and kw["blockysize"] == 48
         assert "tiled" not in codec_args(GTiff())
+
+
+class TestGTiffStripsAndPages:
+    def test_multi_strip_roundtrip_and_window(self):
+        # libtiff-style strip chunking: rows_per_strip slabs, window
+        # decode touches only intersecting strips
+        rng = np.random.default_rng(424242)
+        img = rng.integers(0, 256, size=(3, 100, 64), dtype=np.uint8)
+        for compress in (None, "deflate", "lzw", "packbits"):
+            for rps in (8, 13, 100, 256):
+                blob = gtiff_encode(img, compress=compress, rows_per_strip=rps,
+                                    predictor=2 if compress else 1)
+                out, _, _ = gtiff_decode(blob)
+                assert np.array_equal(out, img), (compress, rps)
+                from gdal_boots_ray.kernels.gtiff import gtiff_decode_window
+
+                win, _, _ = gtiff_decode_window(blob, 10, 37, 30, 25)
+                assert np.array_equal(win, img[:, 37:62, 10:40]), (compress, rps)
+
+    def test_overview_page_selection_skips_full_pages(self):
+        # a multi-image TIFF can interleave full-resolution pages in
+        # the chain; gtiff_overviews / gtiff_decode_overview must agree
+        # on the REDUCED pages only (NewSubfileType bit 0)
+        import struct
+
+        from gdal_boots_ray.kernels.gtiff import (
+            T_NEW_SUBFILE_TYPE,
+            gtiff_decode_overview,
+            gtiff_overviews,
+            overview_average,
+        )
+
+        img = (np.arange(48 * 64, dtype=np.int64).reshape(48, 64) % 251).astype(np.uint8)
+        blob = bytearray(gtiff_encode(img, overviews=(2, 4)))
+        # walk to page 1's IFD and clear its NewSubfileType value,
+        # turning the first overview into a plain full-res page
+        (off,) = struct.unpack_from("<I", blob, 4)
+        (n,) = struct.unpack_from("<H", blob, off)
+        (off,) = struct.unpack_from("<I", blob, off + 2 + n * 12)  # page 1
+        (n,) = struct.unpack_from("<H", blob, off)
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from("<HHI", blob, off + 2 + i * 12)
+            if tag == T_NEW_SUBFILE_TYPE:
+                struct.pack_into("<I", blob, off + 2 + i * 12 + 8, 0)
+                break
+        else:
+            raise AssertionError("NewSubfileType tag not found on page 1")
+        blob = bytes(blob)
+        # only the lv=4 page is an overview now, and index 0 must
+        # decode THAT page, not the (full-res-flagged) lv=2 page
+        assert gtiff_overviews(blob) == [(16, 12)]
+        ov, _, _ = gtiff_decode_overview(blob, 0)
+        assert np.array_equal(ov, overview_average(img[None], 4)[0])
+        with pytest.raises(ValueError, match="no page"):
+            gtiff_decode_overview(blob, 1)
