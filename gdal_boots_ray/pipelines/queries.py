@@ -5956,6 +5956,109 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+def q_zonal_majority(sf_dir: str):
+    """Zonal MAJORITY (the modal statistic of ArcGIS zonal stats /
+    QGIS majority): per polygon zone, the most frequent band-0 value
+    among covered pixel centers, ties broken by the smallest value.
+    Plan: the same broadcast PIP join + pixel-center mask as
+    zonal_stats, but each (tile, poly) pair emits its NONZERO
+    histogram bins as (poly_id, v, cnt) rows — a 256-row-bounded
+    partial, so the exchange carries histograms, never pixels — then
+    one bucketed (poly_id, v) sum and a per-poly argmax over <= 256
+    rows.  Integer-exact twin."""
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
+    from gdal_boots_ray.stages.zonal import _rings_cover_tile, _rings_mask
+
+    import ray
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    polys = nation_polygons(nk)
+    poly_ref = put_polygons(polys)
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=True))
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def hist_rows(batch: pa.Table, _cache={}) -> pa.Table:
+        from gdal_boots_ray.stages.decode import batch_pixel_views
+
+        pmap = _cache.get("p")
+        if pmap is None:
+            pmap = _cache["p"] = dict(ray.get(poly_ref))
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        hs = batch.column("h").to_numpy()
+        ws = batch.column("w").to_numpy()
+        views = batch_pixel_views(batch)
+        pids = batch.column("poly_id").to_numpy()
+        out_pid, out_v, out_cnt = [], [], []
+        for i in range(batch.num_rows):
+            rings = pmap.get(int(pids[i]))
+            if rings is None:
+                continue
+            img = views[i]
+            band0 = img if img.ndim == 2 else img[0]
+            shape = (int(hs[i]), int(ws[i]))
+            if _rings_cover_tile(rings, shape, gts[i]):
+                sel = band0.reshape(-1)
+            else:
+                sel = band0[_rings_mask(rings, shape, gts[i])]
+            if not sel.size:
+                continue
+            cnt = np.bincount(sel.astype(np.int64), minlength=0)
+            nz = np.flatnonzero(cnt)
+            out_pid.append(np.full(len(nz), int(pids[i]), np.int64))
+            out_v.append(nz.astype(np.int64))
+            out_cnt.append(cnt[nz].astype(np.int64))
+        if not out_pid:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(out_pid)),
+                "v": pa.array(np.concatenate(out_v)),
+                "cnt": pa.array(np.concatenate(out_cnt)),
+            }
+        )
+
+    parts = joined.map_batches(hist_rows, batch_format="pyarrow", num_cpus=1)
+    hist = bucketed_aggregate(parts, ["poly_id", "v"], {"cnt": "sum"})
+
+    def majority(g: pa.Table) -> pa.Table:
+        pid = g.column("poly_id").to_numpy()
+        v = g.column("v").to_numpy()
+        cnt = g.column("cnt").to_numpy()
+        out_pid, out_v, out_cnt = [], [], []
+        for p in np.unique(pid):
+            m = pid == p
+            mx = cnt[m].max()
+            out_pid.append(int(p))
+            out_v.append(int(v[m][cnt[m] == mx].min()))
+            out_cnt.append(int(mx))
+        return pa.table(
+            {
+                "poly_id": pa.array(out_pid, pa.int64()),
+                "majority_v": pa.array(out_v, pa.int64()),
+                "majority_cnt": pa.array(out_cnt, pa.int64()),
+            }
+        )
+
+    return hist.groupby("poly_id").map_groups(majority, batch_format="pyarrow")
+
+
 _RELIEF_BREAKS = (0, 64, 128, 192, 255)
 _RELIEF_COLORS = ((0, 0, 128), (0, 128, 64), (32, 192, 0), (192, 128, 0), (255, 255, 255))
 
@@ -6546,6 +6649,30 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
+    """,
+    "zonal_majority": f"""
+        WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
+        pairs AS (
+            SELECT t.*, p.poly_id, p.pcx, p.pcy, p.rx, p.ry
+            FROM tiles t, polys p
+            WHERE abs(t.x0 + t.w * 10.0 / 2 - p.pcx) / p.rx
+                + abs(t.y0 - t.h * 10.0 / 2 - p.pcy) / p.ry < 1.0
+        ),
+        px AS (
+            SELECT pairs.poly_id,
+                   (gx.x * 31 + gy.y * 17 + pairs.k) % 256 AS v
+            FROM pairs,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.h - 1 AS INT))) AS y) gy
+            WHERE abs(pairs.x0 + (gx.x + 0.5) * 10.0 - pairs.pcx) / pairs.rx
+                + abs(pairs.y0 - (gy.y + 0.5) * 10.0 - pairs.pcy) / pairs.ry < 1.0
+        ),
+        hist AS (SELECT poly_id, v, count(*) AS cnt FROM px GROUP BY 1, 2)
+        SELECT poly_id,
+               CAST(min(v) FILTER (WHERE cnt = mx) AS BIGINT) AS majority_v,
+               CAST(mx AS BIGINT) AS majority_cnt
+        FROM (SELECT *, max(cnt) OVER (PARTITION BY poly_id) AS mx FROM hist)
+        GROUP BY poly_id, mx
     """,
     "tile_zxy": f"""
         WITH {TILE_SQL_CTE}
@@ -8339,6 +8466,7 @@ QUERIES = {
     "points_pip_join": q_points_pip_join,
     "parts_pip_join": q_parts_pip_join,
     "zonal_stats": q_zonal_stats,
+    "zonal_majority": q_zonal_majority,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
