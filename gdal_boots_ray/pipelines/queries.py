@@ -5956,6 +5956,55 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+def q_hist_match(sf_dir: str):
+    """Histogram matching (radiometric normalization — the
+    cross-sensor balancing step mosaics need): band 0 of each 2-band
+    tile is remapped to band 1's distribution through the exact
+    integer CDF rule ``mapped(v) = min u with cdfB(u) >= cdfA(v)``
+    (numpy: searchsorted(cdfB, cdfA, 'left'); same tile so the pixel
+    counts cancel).  The +7-mod-256 band offset makes the wrap region
+    a genuinely non-identity mapping.  Twin replays the rule with a
+    plateau-deduplicated ASOF join over the per-image CDFs.  Per
+    image: n_px + BIGINT sum of matched values.  Pure map stage."""
+    import ray.data as rd
+
+    from gdal_boots_ray.sources.fixtures import synth_images_batch
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = ds.map_batches(
+        lambda b: synth_images_batch(b.column("p_partkey").to_numpy(), bands=2),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    ds = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=(1, 4), batch_size=128)
+
+    def match(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_m = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            assert img.ndim == 3 and img.shape[0] == 2
+            ha = np.bincount(img[0].ravel(), minlength=256).astype(np.int64)
+            hb = np.bincount(img[1].ravel(), minlength=256).astype(np.int64)
+            cdfa = np.cumsum(ha)
+            cdfb = np.cumsum(hb)
+            mapped = np.searchsorted(cdfb, cdfa, side="left")
+            n_px[i] = img[0].size
+            sum_m[i] = int((ha * mapped).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_matched": pa.array(sum_m),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 def q_zonal_majority(sf_dir: str):
     """Zonal MAJORITY (the modal statistic of ArcGIS zonal stats /
     QGIS majority): per polygon zone, the most frequent band-0 value
@@ -6649,6 +6698,37 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
+    """,
+    "hist_match": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v0,
+                   (gx.x * 31 + gy.y * 17 + tiles.k + 7) % 256 AS v1
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        ha AS (SELECT image_id, v0 AS v, count(*) AS c FROM px GROUP BY 1, 2),
+        hb AS (SELECT image_id, v1 AS v, count(*) AS c FROM px GROUP BY 1, 2),
+        cdfa AS (
+            SELECT image_id, v, c,
+                   -sum(c) OVER (PARTITION BY image_id ORDER BY v) AS ncdf
+            FROM ha
+        ),
+        cdfb AS (
+            SELECT image_id, v AS u,
+                   -sum(c) OVER (PARTITION BY image_id ORDER BY v) AS ncdf
+            FROM hb
+        ),
+        mapped AS (
+            SELECT a.image_id, a.c, b.u
+            FROM cdfa a ASOF JOIN cdfb b
+              ON a.image_id = b.image_id AND a.ncdf >= b.ncdf
+        )
+        SELECT image_id, CAST(sum(c) AS BIGINT) AS n_px,
+               CAST(sum(c * u) AS BIGINT) AS sum_matched
+        FROM mapped GROUP BY image_id
     """,
     "zonal_majority": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
@@ -8467,6 +8547,7 @@ QUERIES = {
     "parts_pip_join": q_parts_pip_join,
     "zonal_stats": q_zonal_stats,
     "zonal_majority": q_zonal_majority,
+    "hist_match": q_hist_match,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
