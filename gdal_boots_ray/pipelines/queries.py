@@ -5956,6 +5956,55 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+def q_flow_d8(sf_dir: str):
+    """D8 flow direction (the GRASS r.watershed / ArcGIS FlowDirection
+    primitive): every interior pixel drains to the steepest-drop
+    neighbor, cardinal drops weighted 1 and diagonal drops 1/sqrt(2)
+    — compared EXACTLY as integers via 2*d^2 (cardinal) vs d^2
+    (diagonal), order-preserving for positive drops, no float slope.
+    Codes 1..8 in [E, SE, S, SW, W, NW, N, NE] priority order (ties
+    to the lowest code); 0 = pit/flat (no positive drop).  Per image:
+    count of pixels per code — the twin replays every neighbor value
+    from the closed-form field and the same comparison ladder.
+    Embarrassingly parallel nine-shift stencil, no exchange."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    # (dx, dy, diagonal?) in priority order E, SE, S, SW, W, NW, N, NE
+    dirs = [(1, 0, False), (1, 1, True), (0, 1, False), (-1, 1, True),
+            (-1, 0, False), (-1, -1, True), (0, -1, False), (1, -1, True)]
+
+    def d8(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        out_id, out_code, out_cnt = [], [], []
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            c = b0[1:-1, 1:-1]
+            scores = np.empty((8,) + c.shape, np.int64)
+            for di, (dx, dy, diag) in enumerate(dirs):
+                nb = b0[1 + dy : b0.shape[0] - 1 + dy, 1 + dx : b0.shape[1] - 1 + dx]
+                d = c - nb
+                s = (d * d) if diag else (2 * d * d)
+                scores[di] = np.where(d > 0, s, -1)
+            m = scores.max(axis=0)
+            code = np.where(m < 0, 0, np.argmax(scores == m[None], axis=0) + 1)
+            cnt = np.bincount(code.ravel(), minlength=9)
+            nz = np.flatnonzero(cnt)
+            out_id.extend([ids[i]] * len(nz))
+            out_code.extend(nz.tolist())
+            out_cnt.extend(cnt[nz].tolist())
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "d8": pa.array(out_code, pa.int64()),
+                "cnt": pa.array(out_cnt, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(d8, batch_format="pyarrow")
+
+
 def q_hist_match(sf_dir: str):
     """Histogram matching (radiometric normalization — the
     cross-sensor balancing step mosaics need): band 0 of each 2-band
@@ -6698,6 +6747,51 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
+    """,
+    "flow_d8": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS c,
+                   ((gx.x + 1) * 31 + gy.y * 17 + tiles.k) % 256 AS ve,
+                   ((gx.x + 1) * 31 + (gy.y + 1) * 17 + tiles.k) % 256 AS vse,
+                   (gx.x * 31 + (gy.y + 1) * 17 + tiles.k) % 256 AS vs,
+                   ((gx.x - 1) * 31 + (gy.y + 1) * 17 + tiles.k) % 256 AS vsw,
+                   ((gx.x - 1) * 31 + gy.y * 17 + tiles.k) % 256 AS vw,
+                   ((gx.x - 1) * 31 + (gy.y - 1) * 17 + tiles.k) % 256 AS vnw,
+                   (gx.x * 31 + (gy.y - 1) * 17 + tiles.k) % 256 AS vn,
+                   ((gx.x + 1) * 31 + (gy.y - 1) * 17 + tiles.k) % 256 AS vne
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        sc AS (
+            SELECT image_id,
+                   CASE WHEN c > ve  THEN 2*(c-ve)*(c-ve)   ELSE -1 END AS s1,
+                   CASE WHEN c > vse THEN (c-vse)*(c-vse)   ELSE -1 END AS s2,
+                   CASE WHEN c > vs  THEN 2*(c-vs)*(c-vs)   ELSE -1 END AS s3,
+                   CASE WHEN c > vsw THEN (c-vsw)*(c-vsw)   ELSE -1 END AS s4,
+                   CASE WHEN c > vw  THEN 2*(c-vw)*(c-vw)   ELSE -1 END AS s5,
+                   CASE WHEN c > vnw THEN (c-vnw)*(c-vnw)   ELSE -1 END AS s6,
+                   CASE WHEN c > vn  THEN 2*(c-vn)*(c-vn)   ELSE -1 END AS s7,
+                   CASE WHEN c > vne THEN (c-vne)*(c-vne)   ELSE -1 END AS s8
+            FROM px
+        ),
+        coded AS (
+            SELECT image_id,
+                   CASE WHEN greatest(s1,s2,s3,s4,s5,s6,s7,s8) < 0 THEN 0
+                        WHEN s1 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 1
+                        WHEN s2 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 2
+                        WHEN s3 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 3
+                        WHEN s4 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 4
+                        WHEN s5 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 5
+                        WHEN s6 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 6
+                        WHEN s7 = greatest(s1,s2,s3,s4,s5,s6,s7,s8) THEN 7
+                        ELSE 8 END AS d8
+            FROM sc
+        )
+        SELECT image_id, CAST(d8 AS BIGINT) AS d8, CAST(count(*) AS BIGINT) AS cnt
+        FROM coded GROUP BY image_id, d8
     """,
     "hist_match": f"""
         WITH {TILE_SQL_CTE},
@@ -8548,6 +8642,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "zonal_majority": q_zonal_majority,
     "hist_match": q_hist_match,
+    "flow_d8": q_flow_d8,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
