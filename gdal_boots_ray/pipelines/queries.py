@@ -5956,6 +5956,46 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+def q_tile_morphology(sf_dir: str, thresh: int = 128):
+    """Binary morphology (the mask clean-up pass cloud/water masks
+    get): threshold band 0 at ``thresh``, then 3x3 EROSION (all nine
+    in the window set) and DILATION (any of nine set) over interior
+    pixels — pure boolean stencils, integer-exact.  Per image: mask /
+    eroded / dilated population counts; the twin replays the nine
+    closed-form neighbor conditions directly.  Nine-shift vectorized,
+    no exchange."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def morph(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_mask = np.empty(n, np.int64)
+        n_eroded = np.empty(n, np.int64)
+        n_dilated = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = img if img.ndim == 2 else img[0]
+            m = b0 >= thresh
+            win = np.lib.stride_tricks.sliding_window_view(m, (3, 3))
+            er = win.all(axis=(2, 3))
+            di = win.any(axis=(2, 3))
+            n_mask[i] = int(m[1:-1, 1:-1].sum())
+            n_eroded[i] = int(er.sum())
+            n_dilated[i] = int(di.sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_mask": pa.array(n_mask),
+                "n_eroded": pa.array(n_eroded),
+                "n_dilated": pa.array(n_dilated),
+            }
+        )
+
+    return ds.map_batches(morph, batch_format="pyarrow")
+
+
 def q_flow_d8(sf_dir: str):
     """D8 flow direction (the GRASS r.watershed / ArcGIS FlowDirection
     primitive): every interior pixel drains to the steepest-drop
@@ -6746,6 +6786,29 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "tile_morphology": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   CASE WHEN (gx.x * 31 + gy.y * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m,
+                   CASE WHEN ((gx.x-1) * 31 + (gy.y-1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m1,
+                   CASE WHEN (gx.x * 31 + (gy.y-1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m2,
+                   CASE WHEN ((gx.x+1) * 31 + (gy.y-1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m3,
+                   CASE WHEN ((gx.x-1) * 31 + gy.y * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m4,
+                   CASE WHEN ((gx.x+1) * 31 + gy.y * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m5,
+                   CASE WHEN ((gx.x-1) * 31 + (gy.y+1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m6,
+                   CASE WHEN (gx.x * 31 + (gy.y+1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m7,
+                   CASE WHEN ((gx.x+1) * 31 + (gy.y+1) * 17 + tiles.k) % 256 >= 128 THEN 1 ELSE 0 END AS m8
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        )
+        SELECT image_id,
+               CAST(sum(m) AS BIGINT) AS n_mask,
+               CAST(sum(CASE WHEN m + m1 + m2 + m3 + m4 + m5 + m6 + m7 + m8 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_eroded,
+               CAST(sum(CASE WHEN m + m1 + m2 + m3 + m4 + m5 + m6 + m7 + m8 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dilated
         FROM px GROUP BY image_id
     """,
     "flow_d8": f"""
@@ -8643,6 +8706,7 @@ QUERIES = {
     "zonal_majority": q_zonal_majority,
     "hist_match": q_hist_match,
     "flow_d8": q_flow_d8,
+    "tile_morphology": q_tile_morphology,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
