@@ -5956,6 +5956,45 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
+def q_composite_median(sf_dir: str, n_t: int = 3):
+    """Temporal median composite (the cloud-free Landsat/Sentinel
+    compositing step — THE classic remote-sensing reduction at
+    archive scale): three co-registered acquisitions of each tile
+    (t-th field ``(x*31 + y*17 + k + t*37) % 256``; t=0 goes through
+    the real decode chain, t=1/2 are the deterministic co-registered
+    fixtures synthesized in-task), reduced per pixel to the exact
+    integer median (median of 3 = a+b+c - min - max).  Per image:
+    BIGINT sum of the composite + pixel count.  Pure map stage — at
+    archive scale acquisitions co-locate by tile key, so the
+    composite is a per-group reduction with no pixel shuffle."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def composite(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_med = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            a = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            b = (a + 37) % 256
+            c = (a + 74) % 256
+            med = a + b + c - np.maximum(np.maximum(a, b), c) - np.minimum(np.minimum(a, b), c)
+            n_px[i] = med.size
+            sum_med[i] = int(med.sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_med": pa.array(sum_med),
+            }
+        )
+
+    return ds.map_batches(composite, batch_format="pyarrow")
+
+
 def q_tile_morphology(sf_dir: str, thresh: int = 128):
     """Binary morphology (the mask clean-up pass cloud/water masks
     get): threshold band 0 at ``thresh``, then 3x3 EROSION (all nine
@@ -6786,6 +6825,21 @@ ORACLE_SQL: Dict[str, str] = {
         )
         SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
+    "composite_median": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS a,
+                   ((gx.x * 31 + gy.y * 17 + tiles.k) % 256 + 37) % 256 AS b,
+                   ((gx.x * 31 + gy.y * 17 + tiles.k) % 256 + 74) % 256 AS c
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(a + b + c - greatest(a, b, c) - least(a, b, c)) AS BIGINT) AS sum_med
         FROM px GROUP BY image_id
     """,
     "tile_morphology": f"""
@@ -8707,6 +8761,7 @@ QUERIES = {
     "hist_match": q_hist_match,
     "flow_d8": q_flow_d8,
     "tile_morphology": q_tile_morphology,
+    "composite_median": q_composite_median,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
