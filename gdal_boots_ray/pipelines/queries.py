@@ -5956,7 +5956,7 @@ def q_pansharpen(sf_dir: str):
     return ds.map_batches(fuse, batch_format="pyarrow")
 
 
-def q_composite_median(sf_dir: str, n_t: int = 3):
+def q_composite_median(sf_dir: str):
     """Temporal median composite (the cloud-free Landsat/Sentinel
     compositing step — THE classic remote-sensing reduction at
     archive scale): three co-registered acquisitions of each tile
@@ -5995,9 +5995,10 @@ def q_composite_median(sf_dir: str, n_t: int = 3):
     return ds.map_batches(composite, batch_format="pyarrow")
 
 
-def q_tile_morphology(sf_dir: str, thresh: int = 128):
+def q_tile_morphology(sf_dir: str):
     """Binary morphology (the mask clean-up pass cloud/water masks
-    get): threshold band 0 at ``thresh``, then 3x3 EROSION (all nine
+    get): threshold band 0 at 128 (the twin's fixed constant), then
+    3x3 EROSION (all nine
     in the window set) and DILATION (any of nine set) over interior
     pixels — pure boolean stencils, integer-exact.  Per image: mask /
     eroded / dilated population counts; the twin replays the nine
@@ -6016,7 +6017,7 @@ def q_tile_morphology(sf_dir: str, thresh: int = 128):
         n_dilated = np.empty(n, np.int64)
         for i, img in enumerate(views):
             b0 = img if img.ndim == 2 else img[0]
-            m = b0 >= thresh
+            m = b0 >= 128
             win = np.lib.stride_tricks.sliding_window_view(m, (3, 3))
             er = win.all(axis=(2, 3))
             di = win.any(axis=(2, 3))
@@ -6148,7 +6149,7 @@ def q_zonal_majority(sf_dir: str):
     from gdal_boots_ray.sources.fixtures import nation_polygons
     from gdal_boots_ray.stages.agg import bucketed_aggregate
     from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
-    from gdal_boots_ray.stages.zonal import _rings_cover_tile, _rings_mask
+    from gdal_boots_ray.stages.zonal import select_zone_pixels
 
     import ray
 
@@ -6183,11 +6184,7 @@ def q_zonal_majority(sf_dir: str):
                 continue
             img = views[i]
             band0 = img if img.ndim == 2 else img[0]
-            shape = (int(hs[i]), int(ws[i]))
-            if _rings_cover_tile(rings, shape, gts[i]):
-                sel = band0.reshape(-1)
-            else:
-                sel = band0[_rings_mask(rings, shape, gts[i])]
+            sel = select_zone_pixels(rings, band0, (int(hs[i]), int(ws[i])), gts[i])
             if not sel.size:
                 continue
             cnt = np.bincount(sel.astype(np.int64), minlength=0)

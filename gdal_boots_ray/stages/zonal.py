@@ -59,11 +59,7 @@ class ZonalStats:
                 continue
             img = views[i]
             band0 = img if img.ndim == 2 else img[0]
-            shape = (int(hs[i]), int(ws[i]))
-            if _rings_cover_tile(rings, shape, gts[i]):
-                sel = band0.reshape(-1)  # interior tile: no mask/gather
-            else:
-                sel = band0[_rings_mask(rings, shape, gts[i])]
+            sel = select_zone_pixels(rings, band0, (int(hs[i]), int(ws[i])), gts[i])
             out["n_px"][i] = sel.size
             if sel.size:
                 out["sum_v"][i] = float(sel.sum(dtype=np.float64))
@@ -80,6 +76,16 @@ class ZonalStats:
                 "max_v": pa.array(out["max_v"][keep]),
             }
         )
+
+
+def select_zone_pixels(rings, band: np.ndarray, shape, gt) -> np.ndarray:
+    """Flat array of ``band`` values whose pixel centers lie inside
+    the polygon — THE zone-pixel-selection convention (interior-tile
+    fast path + scanline mask), shared by ZonalStats and every other
+    zonal reduction so they cannot silently diverge."""
+    if _rings_cover_tile(rings, shape, gt):
+        return band.reshape(-1)
+    return band[_rings_mask(rings, shape, gt)]
 
 
 def _rings_cover_tile(rings, shape, gt) -> bool:
