@@ -1486,6 +1486,48 @@ def q_text_tokens(sf_dir: str):
     return docs.map_batches(toks, batch_format="pyarrow")
 
 
+def q_doc_chunks(sf_dir: str, window: int = 64, stride: int = 48):
+    """RAG-style document chunking: every doc splits into overlapping
+    token windows (64 tokens, stride 48 — the retrieval-index prep
+    step), one output row per chunk with its token count and the sum
+    of its token LENGTHS (an integer signature that pins the exact
+    window boundaries).  Chunk starts at 0, stride, 2*stride, ...
+    while < n_tokens, so the count is ceil(n/stride) and tails may be
+    short — the rule the twin replays with list slicing.  Pure
+    flat-map; chunks inherit the doc's partition, no shuffle."""
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_id, out_c, out_n, out_len = [], [], [], []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            lens = np.fromiter((len(x) for x in toks), np.int64, n)
+            cum = np.concatenate([[0], np.cumsum(lens)])
+            c = 0
+            for s in range(0, n, stride):
+                e = min(s + window, n)
+                out_id.append(int(ids[i]))
+                out_c.append(c)
+                out_n.append(e - s)
+                out_len.append(int(cum[e] - cum[s]))
+                c += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_c, pa.int64()),
+                "n_tok": pa.array(out_n, pa.int64()),
+                "sum_len": pa.array(out_len, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact distributed quantiles of per-doc whitespace token counts
     via the histogram plan (`exact_quantiles`): per-batch value-count
@@ -8163,6 +8205,24 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY 1
     """,
+    "doc_chunks": """
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split_regex(trim(text), '\\s+') AS tl,
+                   len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM documents
+            WHERE trim(text) <> ''
+        )
+        SELECT doc_id,
+               CAST(g.c AS BIGINT) AS chunk_id,
+               CAST(least(g.c * 48 + 64, n) - g.c * 48 AS BIGINT) AS n_tok,
+               CAST(list_sum(list_transform(
+                   tl[g.c * 48 + 1 : least(g.c * 48 + 64, n)],
+                   x -> length(x))) AS BIGINT) AS sum_len
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(ceil(n / 48.0) AS INT) - 1)) AS c) g
+    """,
     "text_tokens": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
             CAST(CASE WHEN trim(text) = '' THEN 0
@@ -8759,6 +8819,7 @@ QUERIES = {
     "flow_d8": q_flow_d8,
     "tile_morphology": q_tile_morphology,
     "composite_median": q_composite_median,
+    "doc_chunks": q_doc_chunks,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
