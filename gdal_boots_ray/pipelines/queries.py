@@ -1486,6 +1486,48 @@ def q_text_tokens(sf_dir: str):
     return docs.map_batches(toks, batch_format="pyarrow")
 
 
+def q_cms_sketch(sf_dir: str, depth: int = 4, width: int = 1024):
+    """Count-Min sketch of the corpus token stream (the mergeable
+    heavy-hitter structure): 4 rows x 1024 buckets, token buckets from
+    md5 hex slices (the md5-twin recipe minhash_pairs established).
+    The OUTPUT IS THE SKETCH TABLE itself — entrywise sums are
+    commutative, so the result is deterministic under any merge order
+    and any partitioning, which is exactly the property that makes
+    CMS the scale-path frequency structure.  Per-batch partials are
+    depth x width bounded (16 KB of int64 per task), combined by one
+    bucketed sum; token md5s are cached per batch (word-soup corpora
+    repeat heavily)."""
+    import hashlib
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column("text").to_pylist()
+        wc = Counter()
+        for t in texts:
+            wc.update(t.split())
+        counts = np.zeros(depth * width, np.int64)
+        for w, k in wc.items():  # one md5 per DISTINCT word
+            hx = hashlib.md5(w.encode()).hexdigest()
+            for j in range(depth):
+                counts[j * width + int(hx[j * 8 : (j + 1) * 8], 16) % width] += k
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "row_id": pa.array(nz // width, pa.int64()),
+                "bucket": pa.array(nz % width, pa.int64()),
+                "cnt": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    return bucketed_aggregate(parts, ["row_id", "bucket"], {"cnt": "sum"})
+
+
 def q_doc_chunks(sf_dir: str, window: int = 64, stride: int = 48):
     """RAG-style document chunking: every doc splits into overlapping
     token windows (64 tokens, stride 48 — the retrieval-index prep
@@ -8205,6 +8247,19 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY 1
     """,
+    "cms_sketch": """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        cells AS (
+            SELECT j.j AS row_id,
+                   CAST(CAST('0x' || substring(md5(w), j.j * 8 + 1, 8) AS UBIGINT) % 1024 AS BIGINT) AS bucket
+            FROM toks, LATERAL (SELECT unnest([0, 1, 2, 3]) AS j) j
+        )
+        SELECT CAST(row_id AS BIGINT) AS row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    """,
     "doc_chunks": """
         WITH toks AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -8820,6 +8875,7 @@ QUERIES = {
     "tile_morphology": q_tile_morphology,
     "composite_median": q_composite_median,
     "doc_chunks": q_doc_chunks,
+    "cms_sketch": q_cms_sketch,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
