@@ -156,6 +156,10 @@ def run_bench() -> dict:
         "window_stats_cog",
         "cog_pyramid",
         "grid_interp",
+        "pansharpen",
+        "zonal_majority",
+        "flow_d8",
+        "composite_median",
     )
     for name in query_names:
         t = time.perf_counter()
