@@ -40,6 +40,10 @@ series implementations from public literature:
   EPSG codes needing a datum shift (e.g. 27700's OSGB36 Helmert)
   stay rejected — proj4 form only, matching no-``+towgs84``
   semantics.
+- Parameter-generic EPSG dispatch: out-of-registry codes on
+  WGS84-coincident datums (NAD83/ETRS89/GDA94/NZGD2000) resolve via
+  their published proj4 definitions (``_EPSG_PROJ4``) through the
+  family kernels — one table line per code, no new math.
 
 All transforms are vectorized over ``(n,)`` float64 coordinate arrays.
 """
@@ -62,6 +66,9 @@ _ELLIPSOIDS = {
     "GRS80": (6378137.0, 298.257222101),
     "aust_SA": (6378160.0, 298.25),
     "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),  # Airy Modified 1849 (Irish grid)
+    "intl": (6378388.0, 297.0),  # International 1924 (Hayford)
+    "bessel": (6377397.155, 299.1528128),
     "evrstSS": (6377298.556, 300.8017),  # Everest 1830 (1967: Sabah & Sarawak)
     "sphere": (6370997.0, 0.0),
 }
@@ -975,12 +982,19 @@ def crs_from_epsg(epsg: int) -> CRS:
             lambda lon, lat, c=consts: _cea_forward(c, lon, lat),
             lambda x, y, c=consts: _cea_inverse(c, x, y),
         )
+    elif epsg in _EPSG_PROJ4:
+        # parameter-generic path: the published proj4 definition routes
+        # through the family kernels, one registry line per code
+        crs = crs_from_proj4(_EPSG_PROJ4[epsg])
     else:
         raise ValueError(
-            f"unsupported EPSG:{epsg} (supported: 4326, 3857, 3395, 4087, 32662, "
-            f"UTM 326xx/327xx, LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
+            f"unsupported EPSG:{epsg} — registry codes: 4326, 3857, 3395, 4087, "
+            f"32662, UTM 326xx/327xx, LCC {sorted(_EPSG_LCC)}, LAEA {sorted(_EPSG_LAEA)}, "
             f"polar stereo {sorted(_EPSG_PS)}, CEA {sorted(_EPSG_CEA)}, "
-            f"omerc {sorted(_EPSG_OMERC)})"
+            f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
+            f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
+            f"utm, aea, lcc, laea, polar stere, eqc, sinu, cea, geos, omerc) can "
+            f"be passed as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1021,6 +1035,33 @@ _EPSG_OMERC = {
 }
 
 
+# Out-of-registry EPSG codes resolved through their published proj4
+# definitions (EPSG registry via PROJ; parameter values are public).
+# Any EPSG whose projection method is an already-implemented family
+# routes through ``crs_from_proj4`` — the reference accepts arbitrary
+# SRS via OSR (geometry.py:122-126), and this is the engine's
+# parameter-generic equivalent: one line per code, no new kernel.
+# Only datums treated as WGS84-coincident (NAD83 / ETRS89 / GDA94 /
+# NZGD2000: <~1-2 m offset, the usual GIS convention) are listed;
+# shifted-datum codes (OSGB36 27700, ED50 23030, BD72 31370, ...)
+# stay rejected so a missing datum shift can never pass silently —
+# their projection math is still reachable via an explicit proj4
+# string, where native-datum coordinates are the stated contract.
+_EPSG_PROJ4 = {
+    4269: "+proj=longlat +ellps=GRS80",  # NAD83
+    4258: "+proj=longlat +ellps=GRS80",  # ETRS89
+    2193: "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 +y_0=10000000 +ellps=GRS80",  # NZGD2000 / NZTM2000
+    5070: "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +x_0=0 +y_0=0 +ellps=GRS80",  # NAD83 / Conus Albers
+    3577: "+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 +x_0=0 +y_0=0 +ellps=GRS80",  # GDA94 / Australian Albers
+    3338: "+proj=aea +lat_0=50 +lon_0=-154 +lat_1=55 +lat_2=65 +x_0=0 +y_0=0 +ellps=GRS80",  # NAD83 / Alaska Albers
+    3083: "+proj=aea +lat_0=18 +lon_0=-100 +lat_1=27.5 +lat_2=35 +x_0=1500000 +y_0=6000000 +ellps=GRS80",  # NAD83 / Texas Centric Albers
+    3112: "+proj=lcc +lat_0=0 +lon_0=134 +lat_1=-18 +lat_2=-36 +x_0=0 +y_0=0 +ellps=GRS80",  # GDA94 / Geoscience Australia Lambert
+    5243: "+proj=lcc +lat_0=51 +lon_0=10.5 +lat_1=48.666666666666664 +lat_2=53.666666666666664 +x_0=0 +y_0=0 +ellps=GRS80",  # ETRS89 / LCC Germany
+    3994: "+proj=merc +lat_ts=-41 +lon_0=100 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / Mercator 41
+    25832: "+proj=utm +zone=32 +ellps=GRS80",  # ETRS89 / UTM zone 32N
+}
+
+
 _P4_FLOAT = re.compile(r"\+([a-zA-Z_0-9]+)=([^\s]+)")
 
 
@@ -1050,10 +1091,7 @@ def crs_from_proj4(proj4: str) -> CRS:
     if proj in ("longlat", "latlong"):
         crs = CRS("geographic", proj4)
     elif proj == "aea":
-        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
-        if "a" in params:
-            a = float(params["a"])
-        f = 0.0 if rf == 0 else 1.0 / rf
+        a, f = _p4_ellipsoid(params)
         consts = _AeaConsts(
             a,
             f,
@@ -1071,10 +1109,7 @@ def crs_from_proj4(proj4: str) -> CRS:
             lambda x, y, c=consts: _aea_inverse(c, x, y),
         )
     elif proj == "lcc":
-        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
-        if "a" in params:
-            a = float(params["a"])
-        f = 0.0 if rf == 0 else 1.0 / rf
+        a, f = _p4_ellipsoid(params)
         consts = _LccConsts(
             a,
             f,
@@ -1092,10 +1127,7 @@ def crs_from_proj4(proj4: str) -> CRS:
             lambda x, y, c=consts: _lcc_inverse(c, x, y),
         )
     elif proj == "laea":
-        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
-        if "a" in params:
-            a = float(params["a"])
-        f = 0.0 if rf == 0 else 1.0 / rf
+        a, f = _p4_ellipsoid(params)
         consts = _LaeaConsts(
             a,
             f,
@@ -1111,10 +1143,7 @@ def crs_from_proj4(proj4: str) -> CRS:
             lambda x, y, c=consts: _laea_inverse(c, x, y),
         )
     elif proj == "stere" and abs(float(params.get("lat_0", 0))) == 90.0:
-        a, rf = _ELLIPSOIDS.get(params.get("ellps", "WGS84"), _ELLIPSOIDS["WGS84"])
-        if "a" in params:
-            a = float(params["a"])
-        f = 0.0 if rf == 0 else 1.0 / rf
+        a, f = _p4_ellipsoid(params)
         north = float(params["lat_0"]) > 0
         consts = _PsConsts(
             a,
@@ -1267,8 +1296,9 @@ def crs_from_proj4(proj4: str) -> CRS:
     elif proj == "utm":
         zone = int(params["zone"])
         south = "south" in proj4
+        a, f = _p4_ellipsoid(params)
         consts = _TMConsts(
-            WGS84_A, WGS84_F, k0=0.9996, lon0_deg=zone * 6 - 183, fe=500000.0, fn=10000000.0 if south else 0.0
+            a, f, k0=0.9996, lon0_deg=zone * 6 - 183, fe=500000.0, fn=10000000.0 if south else 0.0
         )
         crs = CRS(
             "projected",

@@ -98,6 +98,14 @@ def lzw_encode(data: bytes) -> bytes:
             width = 9
     if prev >= 0:
         emit(prev)
+        # phantom table add for the final code: the decoder appends an
+        # entry for every code after the first, so its width can bump
+        # between the last data code and EOI — mirror that here or EOI
+        # is written narrower than the decoder reads it (libtiff does
+        # the same free_ent++ in LZWPostEncode before writing EOI)
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_EOI)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -316,7 +324,10 @@ def _build_page(
     entry(T_HEIGHT, _TYPE_LONG, h)
     entry(T_BITS, _TYPE_SHORT, [bits] * bands)
     entry(T_COMPRESSION, _TYPE_SHORT, comp_id)
-    entry(T_PHOTO, _TYPE_SHORT, 2 if bands >= 3 else 1)
+    # JPEG pages (comp 7) embed a YCbCr JFIF stream for 3+ bands, so the
+    # TIFF photometric must say 6 (YCbCr), not 2 (RGB) — standard readers
+    # misrender otherwise; mono JPEG and all other codecs keep RGB/gray.
+    entry(T_PHOTO, _TYPE_SHORT, (6 if comp_id == 7 else 2) if bands >= 3 else 1)
     entry(T_SPP, _TYPE_SHORT, bands)
     entry(T_PLANAR, _TYPE_SHORT, 1)
     if tiled:

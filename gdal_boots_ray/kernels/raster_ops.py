@@ -12,6 +12,13 @@ Reproduces the reference's numpy-facade semantics:
 - ``meta_encode`` / ``meta_decode`` — the metadata dict codec with the
   ``json:`` value prefix (gdal.py:41-52, 230-239) and the
   immutable-on-read view (``imdict``, gdal.py:91-109).
+
+Provenance: the ``imdict`` shim and the ``__setitem__`` selector-parsing
+control flow intentionally mirror the MIT-licensed reference
+(habibutsu/gdal-boots, gdal.py:91-109 and 392-472) line for line —
+those selector semantics ARE the specification this module reproduces
+(SURVEY.md §2.2's exact selector matrix).  Everything else here is
+original NumPy code.
 """
 
 from __future__ import annotations

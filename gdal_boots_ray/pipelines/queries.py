@@ -568,8 +568,8 @@ def q_point_values(sf_dir: str):
     if n_points < n_part:  # expected prune fraction > ~37%
         from gdal_boots_ray.stages.bloom import bloom_test, build_bloom
 
-        def point_keys(batch: pd.DataFrame) -> np.ndarray:
-            return point_params(batch["c_custkey"].to_numpy(), n_part)["tile_key"]
+        def point_keys(batch: pa.Table) -> np.ndarray:
+            return point_params(batch.column("c_custkey").to_numpy(), n_part)["tile_key"]
 
         bloom_ref = ray.put(
             build_bloom(
@@ -2411,17 +2411,28 @@ def q_minhash_neardup(sf_dir: str, threshold: float = 0.5):
 def _exact_jaccard_verify(withtext_ds, threshold: float):
     """Shared verify tail of every near-dup candidate generator:
     exact 5-gram Jaccard >= threshold over attached pair texts ->
-    (doc_a, doc_b, jac) rows."""
+    (doc_a, doc_b, jac) rows.  A per-batch {doc_id: shingle_set}
+    cache shingles each doc ONCE however many candidate pairs it
+    appears in (verify cost is output-sized; hub docs in m pairs
+    previously paid m re-shingles)."""
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy().astype(np.int64)
         db = batch.column("doc_b").to_numpy().astype(np.int64)
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
+        cache: dict = {}
+
+        def _sh(doc_id: int, text: str):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = _shingle_set(text)
+            return s
+
         out_a, out_b, out_j = [], [], []
         for i in range(len(da)):
-            sa = _shingle_set(ta[i])
-            sb = _shingle_set(tb[i])
+            sa = _sh(int(da[i]), ta[i])
+            sb = _sh(int(db[i]), tb[i])
             union = len(sa | sb)
             jac = len(sa & sb) / union if union else 0.0
             if jac >= threshold:
@@ -3975,12 +3986,16 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
     arithmetic-exact with no float-order risk.
 
     Scale shape: the POINT side is the bounded one (gdal_grid
-    semantics — a survey's sample set), broadcast once via
-    ``ray.put``; the GRID side streams through ``map_batches`` with a
-    point-slab inner loop that keeps the distance panel
-    O(batch x slab) regardless of point count.  A pathological
-    points-larger-than-grid workload would flip to the cell-bucketed
-    shuffle plan (the point_values precedent)."""
+    semantics — a survey's sample set), shipped once via ``ray.put``
+    and bucketed ONCE PER ACTOR into radius_m-sized grid cells (a CSR
+    index over int64 bucket keys, built in ``__init__``).  Each output
+    cell then scans only its 3x3 neighbor buckets for
+    AVERAGE-within-radius (radius == bucket size, so Chebyshev-1
+    coverage is exact) and ring-expands for NEAREST with the integer
+    lower bound d2 >= ((m-1)*B + 1)^2 for a point in Chebyshev ring m
+    (spatial_knn's termination precedent, stages/knn.py:129) — the
+    panel is O(cells x local density) instead of O(cells x points),
+    so the plan survives 100x on BOTH sides."""
     import pyarrow.parquet as pq
 
     import ray
@@ -3994,6 +4009,8 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
     ny = (rows * 1000) // cell_m
     y_base = 5700000 - rows * 1000
     r2 = radius_m * radius_m
+    B = radius_m  # bucket edge == radius => 3x3 neighborhood is exact
+    IMAX = np.iinfo(np.int64).max
 
     # bounded small side: sample points with integer coords + values
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
@@ -4007,44 +4024,118 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
         )
     )
 
-    def interp(batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_numpy()
-        cx = 600000 + (ids % nx) * cell_m + cell_m // 2
-        cy = y_base + (ids // nx) * cell_m + cell_m // 2
-        px, py, pid, pv = ray.get(pts_ref)
-        b = len(ids)
-        best_d2 = np.full(b, np.iinfo(np.int64).max)
-        best_pid = np.full(b, np.iinfo(np.int64).max)
-        n_r = np.zeros(b, np.int64)
-        sum_r = np.zeros(b, np.int64)
-        for s in range(0, len(px), 8192):
-            dx = cx[:, None] - px[None, s : s + 8192]
-            dy = cy[:, None] - py[None, s : s + 8192]
-            d2 = dx * dx + dy * dy
-            slab_min = d2.min(axis=1)
-            slab_pid = np.where(
-                d2 == slab_min[:, None], pid[None, s : s + 8192], np.iinfo(np.int64).max
-            ).min(axis=1)
-            better = slab_min < best_d2
-            tie = slab_min == best_d2
-            best_pid = np.where(better, slab_pid, np.where(tie, np.minimum(best_pid, slab_pid), best_pid))
-            best_d2 = np.minimum(best_d2, slab_min)
-            near = d2 <= r2
-            n_r += near.sum(axis=1)
-            sum_r += (near * pv[None, s : s + 8192]).sum(axis=1)
-        return pa.table(
-            {
-                "cx": pa.array(cx, pa.int64()),
-                "cy": pa.array(cy, pa.int64()),
-                "near_pid": pa.array(best_pid),
-                "near_d2": pa.array(best_d2),
-                "n_r": pa.array(n_r),
-                "sum_r": pa.array(sum_r),
-            }
-        )
+    class GridInterp:
+        """Actor stage: CSR bucket index built once per actor."""
 
-    grid = rd.range(nx * ny, override_num_blocks=max(8, (nx * ny) // 2048))
-    return grid.map_batches(interp, batch_format="pyarrow", batch_size=1024)
+        def __init__(self):
+            px, py, pid, pv = ray.get(pts_ref)
+            bx, by = px // B, py // B
+            key = bx * (1 << 32) + by
+            order = np.argsort(key, kind="stable")
+            self.px, self.py = px[order], py[order]
+            self.pid, self.pv = pid[order], pv[order]
+            skey = key[order]
+            self.ukeys, self.starts = np.unique(skey, return_index=True)
+            self.ends = np.append(self.starts[1:], len(skey))
+            self.bx_min, self.bx_max = int(bx.min()), int(bx.max())
+            self.by_min, self.by_max = int(by.min()), int(by.max())
+
+        def _gather(self, coords) -> np.ndarray:
+            """Point indices in the listed (bx, by) buckets."""
+            qk = np.array([a * (1 << 32) + b for a, b in coords], np.int64)
+            pos = np.searchsorted(self.ukeys, qk)
+            out = [
+                np.arange(self.starts[j], self.ends[j])
+                for j, k in zip(pos, qk)
+                if j < len(self.ukeys) and self.ukeys[j] == k
+            ]
+            return np.concatenate(out) if out else np.empty(0, np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("id").to_numpy()
+            cx = 600000 + (ids % nx) * cell_m + cell_m // 2
+            cy = y_base + (ids // nx) * cell_m + cell_m // 2
+            b = len(ids)
+            best_d2 = np.full(b, IMAX)
+            best_pid = np.full(b, IMAX)
+            n_r = np.zeros(b, np.int64)
+            sum_r = np.zeros(b, np.int64)
+            gkey = (cx // B) * (1 << 32) + (cy // B)
+            for k in np.unique(gkey):
+                sel = np.nonzero(gkey == k)[0]
+                i, j = int(cx[sel[0]] // B), int(cy[sel[0]] // B)
+                scx, scy = cx[sel][:, None], cy[sel][:, None]
+                gb2 = np.full(len(sel), IMAX)
+                gpid = np.full(len(sel), IMAX)
+                cand = self._gather(
+                    [(i + di, j + dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+                )
+                if len(cand):
+                    dx = scx - self.px[cand][None, :]
+                    dy = scy - self.py[cand][None, :]
+                    d2 = dx * dx + dy * dy
+                    near = d2 <= r2
+                    n_r[sel] += near.sum(axis=1)
+                    sum_r[sel] += (near * self.pv[cand][None, :]).sum(axis=1)
+                    gb2 = d2.min(axis=1)
+                    gpid = np.where(
+                        d2 == gb2[:, None], self.pid[cand][None, :], IMAX
+                    ).min(axis=1)
+                # NEAREST ring expansion: a point in Chebyshev bucket
+                # ring m is at d2 >= ((m-1)*B + 1)^2 from any cell center
+                # strictly inside the home bucket (centers are never on a
+                # bucket boundary: cx % B in {250,...}), so once every
+                # cell's best <= ((m-1)*B)^2 no farther ring can beat OR
+                # tie it and min-pid tie-breaks stay exact.
+                max_m = max(
+                    abs(i - self.bx_min), abs(i - self.bx_max),
+                    abs(j - self.by_min), abs(j - self.by_max),
+                )
+                m = 2
+                while m <= max_m and int(gb2.max()) > ((m - 1) * B) ** 2:
+                    ring = (
+                        [(i + di, j - m) for di in range(-m, m + 1)]
+                        + [(i + di, j + m) for di in range(-m, m + 1)]
+                        + [(i - m, j + dj) for dj in range(-m + 1, m)]
+                        + [(i + m, j + dj) for dj in range(-m + 1, m)]
+                    )
+                    cand = self._gather(ring)
+                    if len(cand):
+                        dx = scx - self.px[cand][None, :]
+                        dy = scy - self.py[cand][None, :]
+                        d2 = dx * dx + dy * dy
+                        rb2 = d2.min(axis=1)
+                        rpid = np.where(
+                            d2 == rb2[:, None], self.pid[cand][None, :], IMAX
+                        ).min(axis=1)
+                        better = rb2 < gb2
+                        tie = rb2 == gb2
+                        gpid = np.where(
+                            better, rpid, np.where(tie, np.minimum(gpid, rpid), gpid)
+                        )
+                        gb2 = np.minimum(gb2, rb2)
+                    m += 1
+                best_d2[sel] = gb2
+                best_pid[sel] = gpid
+            return pa.table(
+                {
+                    "cx": pa.array(cx, pa.int64()),
+                    "cy": pa.array(cy, pa.int64()),
+                    "near_pid": pa.array(best_pid),
+                    "near_d2": pa.array(best_d2),
+                    "n_r": pa.array(n_r),
+                    "sum_r": pa.array(sum_r),
+                }
+            )
+
+    n_cells = nx * ny
+    grid = rd.range(n_cells, override_num_blocks=max(8, n_cells // 2048))
+    return grid.map_batches(
+        GridInterp,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, max(1, min(8, n_cells // 4096))),
+    )
 
 
 def q_tile_overviews(sf_dir: str, levels=(2, 4)):
@@ -4974,9 +5065,15 @@ def q_tile_warp_bilinear(sf_dir: str):
             out, _ = warp(
                 [src], out_crs=4326, width=w_in, height=h_in, resampling="bilinear", dtype=np.float64
             )
-            if abs(float(out[0].sum()) - px_sum[i] / 10000.0) > 0.05:
+            # PER-PIXEL check against the replay (not a whole-tile sum
+            # bound, which could hide compensating kernel regressions):
+            # kernel and replay differ only by ~ulp libm in the
+            # coordinate chain, so every pixel must agree to ~1e-6.
+            pix_err = float(np.abs(out[0] - val).max())
+            if pix_err > 1e-6:
                 raise AssertionError(
-                    f"warp kernel bilinear sum diverged from twin replay on {ids[i]}"
+                    f"warp kernel bilinear diverged from twin replay on "
+                    f"{ids[i]}: max per-pixel |delta| = {pix_err}"
                 )
         return pa.table(
             {
@@ -5282,8 +5379,10 @@ def q_doc_pack(sf_dir: str, budget: int = 256, range_size: int = 512):
     )
     off_ref = ray.put(offsets)
 
-    def pack(group: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(off_ref)
+    def pack(group: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        offs = _cache.get("o")
+        if offs is None:
+            offs = _cache["o"] = ray.get(off_ref)
         g = group.sort_values("doc_id")
         base = int(offs[int(g["rng"].iloc[0])])
         excl = base + g["n_tokens"].cumsum().shift(fill_value=0).astype("int64")
@@ -5347,8 +5446,12 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 13, rem: int = 7):
             )
     bench_ref = ray.put(frozenset(bench_sh))
 
-    def hits(batch: pd.DataFrame) -> pd.DataFrame:
-        bench = ray.get(bench_ref)
+    def hits(batch: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        # frozenset deserialization is NOT zero-copy — fetch once per
+        # worker, not once per batch
+        bench = _cache.get("b")
+        if bench is None:
+            bench = _cache["b"] = ray.get(bench_ref)
         keep = batch[batch["doc_id"] % mod != rem]
         nh = [len(doc_shingles(t) & bench) for t in keep["text"]]
         out = pd.DataFrame(
@@ -6754,16 +6857,17 @@ ORACLE_SQL: Dict[str, str] = {
                       + (py - cells.cy) * (py - cells.cy) AS BIGINT) AS d2,
                    CAST(pid % 97 AS BIGINT) AS v
             FROM cells, pt_coords
-        ),
-        ranked AS (
-            SELECT *, min(d2) OVER (PARTITION BY cx, cy) AS near_d2 FROM pairs
         )
+        -- lexicographic (d2, pid) min packed into one BIGINT: one hash
+        -- aggregate pass instead of a window sort over the cell x point
+        -- cross product (pid < 2^18 and d2 * 2^18 < 2^63 hold for every
+        -- gate/bench SF up to sf1)
         SELECT cx, cy,
-               CAST(min(pid) FILTER (WHERE d2 = near_d2) AS BIGINT) AS near_pid,
-               near_d2,
+               CAST(min(d2 * 262144 + pid) % 262144 AS BIGINT) AS near_pid,
+               CAST(min(d2 * 262144 + pid) // 262144 AS BIGINT) AS near_d2,
                CAST(count(*) FILTER (WHERE d2 <= 4000000) AS BIGINT) AS n_r,
                CAST(coalesce(sum(v) FILTER (WHERE d2 <= 4000000), 0) AS BIGINT) AS sum_r
-        FROM ranked GROUP BY cx, cy, near_d2
+        FROM pairs GROUP BY cx, cy
     """,
     "zonal_stats": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},

@@ -161,7 +161,14 @@ def grouped_top_k(
         order_arrs = []
         for c, asc in zip(by, ascending):
             v = _codes(t.column(c).to_numpy(zero_copy_only=False))
-            order_arrs.append(v if asc else -v)
+            if not asc:
+                # descending via order reversal: unsigned dtypes must
+                # not be negated (wraparound makes 0 sort largest) —
+                # max-v reverses order overflow-free; NaN (float) stays
+                # NaN under negation, so NaN rows sort LAST in either
+                # direction (lexsort's NaN-last convention).
+                v = (v.max() - v) if v.dtype.kind == "u" else -v
+            order_arrs.append(v)
         # lexsort: LAST key is primary -> keys outermost, then by[]
         order = np.lexsort(list(reversed(order_arrs)) + list(reversed(key_arrs)))
         change = np.zeros(n, bool)
@@ -198,21 +205,30 @@ def approx_count_distinct(ds, col: str, n_buckets: int = 64) -> float:
     ``n_buckets`` rows.  ~1.6% standard error at p=12."""
     from gdal_boots_ray.kernels import sketch
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        reg = sketch.hll_partial(sketch.hash64(batch[col].to_numpy()))
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = sketch.hll_partial(
+            sketch.hash64(batch.column(col).to_numpy(zero_copy_only=False))
+        )
         # deterministic bucket from the register content spreads the
         # merge tree without needing a batch index
         b = int(reg.view(np.uint32).sum()) % n_buckets
-        return pd.DataFrame({"bucket": [b], "reg": [reg.tobytes()]})
+        return pa.table(
+            {"bucket": pa.array([b], pa.int64()), "reg": pa.array([reg.tobytes()], pa.binary())}
+        )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        stack = np.stack([np.frombuffer(r, dtype=np.uint8) for r in g["reg"]])
-        return pd.DataFrame({"bucket": [int(g["bucket"].iloc[0])], "reg": [sketch.hll_merge(stack).tobytes()]})
+    def merge(g: pa.Table) -> pa.Table:
+        stack = np.stack([np.frombuffer(r, dtype=np.uint8) for r in g.column("reg").to_pylist()])
+        return pa.table(
+            {
+                "bucket": g.column("bucket").slice(0, 1),
+                "reg": pa.array([sketch.hll_merge(stack).tobytes()], pa.binary()),
+            }
+        )
 
     rows = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
         .to_pandas()
     )
     final = sketch.hll_merge(np.stack([np.frombuffer(r, dtype=np.uint8) for r in rows["reg"]]))
@@ -236,13 +252,25 @@ def continuous_quantiles(ds, col: str, qs: Sequence[float], n_hist: int = 8192):
     """
     qs = list(qs)
 
-    def mmc(batch: pd.DataFrame) -> pd.DataFrame:
-        v = batch[col].to_numpy()
+    def mmc(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
         if not len(v):
-            return pd.DataFrame({"lo": [], "hi": [], "n": []})
-        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [len(v)]})
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "lo": pa.array([float(v.min())], pa.float64()),
+                "hi": pa.array([float(v.max())], pa.float64()),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
 
-    stats = ds.map_batches(mmc, batch_format="pandas").to_pandas()
+    stats = ds.map_batches(mmc, batch_format="pyarrow").to_pandas()
     lo, hi, n = float(stats["lo"].min()), float(stats["hi"].max()), int(stats["n"].sum())
     if n == 0:
         return pd.DataFrame({"q": [], col: []})
@@ -250,13 +278,13 @@ def continuous_quantiles(ds, col: str, qs: Sequence[float], n_hist: int = 8192):
         return pd.DataFrame({"q": [float(q) for q in qs], col: [lo] * len(qs)})
     width = (hi - lo) / n_hist
 
-    def hist(batch: pd.DataFrame) -> pd.DataFrame:
-        v = batch[col].to_numpy()
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
         idx = np.clip(((v - lo) / width).astype(np.int64), 0, n_hist - 1)
         cnt = np.bincount(idx, minlength=n_hist)
-        return pd.DataFrame({"reg": [cnt.astype(np.int64).tobytes()]})
+        return pa.table({"reg": pa.array([cnt.astype(np.int64).tobytes()], pa.binary())})
 
-    rows = ds.map_batches(hist, batch_format="pandas").to_pandas()
+    rows = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
     counts = np.zeros(n_hist, dtype=np.int64)
     for r in rows["reg"]:
         counts += np.frombuffer(r, dtype=np.int64)
@@ -269,17 +297,17 @@ def continuous_quantiles(ds, col: str, qs: Sequence[float], n_hist: int = 8192):
     lows = np.array([lo + b * width for b in need_buckets])
     highs = np.array([hi if b == n_hist - 1 else lo + (b + 1) * width for b in need_buckets])
 
-    def collect(batch: pd.DataFrame) -> pd.DataFrame:
-        v = batch[col].to_numpy()
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
         m = np.zeros(len(v), dtype=bool)
         for blo, bhi, b in zip(lows, highs, need_buckets):
             if b == n_hist - 1:
                 m |= (v >= blo) & (v <= bhi)
             else:
                 m |= (v >= blo) & (v < bhi)
-        return pd.DataFrame({col: v[m]})
+        return pa.table({col: pa.array(v[m])})
 
-    cand = np.sort(ds.map_batches(collect, batch_format="pandas").to_pandas()[col].to_numpy())
+    cand = np.sort(ds.map_batches(collect, batch_format="pyarrow").to_pandas()[col].to_numpy())
     base = int(cum[need_buckets[0] - 1]) if need_buckets[0] > 0 else 0
 
     def order_stat(r: int) -> float:
@@ -315,12 +343,22 @@ def grouped_quantiles(
     the driver never sees more than the result."""
     qs = list(qs)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby([group_col, col], sort=False).size().rename("cnt").reset_index()
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        res = (
+            batch.select([group_col, col])
+            .group_by([group_col, col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                group_col: res.column(group_col),
+                col: res.column(col),
+                "cnt": res.column("count_all").cast(pa.int64()),
+            }
+        )
 
     counts = bucketed_aggregate(
-        ds.map_batches(partial, batch_format="pandas"), [group_col, col], {"cnt": "sum"}, n_buckets
+        ds.map_batches(partial, batch_format="pyarrow"), [group_col, col], {"cnt": "sum"}, n_buckets
     )
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
@@ -355,12 +393,14 @@ def exact_quantiles(ds, col: str, qs: Sequence[float], n_buckets: Optional[int] 
     """
     qs = list(qs)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vals, cnts = np.unique(batch[col].to_numpy(), return_counts=True)
-        return pd.DataFrame({col: vals, "cnt": cnts.astype(np.int64)})
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({col: pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))})
 
     counts = bucketed_aggregate(
-        ds.map_batches(partial, batch_format="pandas"), [col], {"cnt": "sum"}, n_buckets
+        ds.map_batches(partial, batch_format="pyarrow"), [col], {"cnt": "sum"}, n_buckets
     ).to_pandas()
     counts = counts.sort_values(col).reset_index(drop=True)
     cum = counts["cnt"].cumsum().to_numpy()

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 from gdal_boots_ray.kernels.sketch import _splitmix64
 
@@ -55,14 +55,15 @@ def bloom_test(words: np.ndarray, keys: np.ndarray, m_bits: int = M_BITS_DEFAULT
 
 def build_bloom(
     ds,
-    key_fn: Callable[[pd.DataFrame], np.ndarray],
+    key_fn: Callable[[pa.Table], np.ndarray],
     m_bits: int = M_BITS_DEFAULT,
     fanin: int = 64,
     levels: int = 2,
 ) -> np.ndarray:
     """Distributed bitmap build: per-batch partials -> map-side OR
-    tree -> driver OR.  ``key_fn`` maps a pandas batch to an int key
-    array.
+    tree -> driver OR.  ``key_fn`` maps an Arrow batch to an int key
+    array — the full data stream never converts to pandas; only the
+    m/8-byte word rows are exchanged, as Arrow binary cells.
 
     The OR merge needs no key co-location, so the tree is plain
     ``map_batches(combine, batch_size=fanin)`` stages — each level
@@ -71,20 +72,20 @@ def build_bloom(
     of fixed cost, to move a few hundred KB).  Two levels cover 10^5+
     partials; the driver then ORs at most ~fanin rows."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         words = bloom_partial(key_fn(batch), m_bits)
-        return pd.DataFrame({"words": [words.tobytes()]})
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pa.Table) -> pa.Table:
         acc = np.zeros(m_bits // 64, dtype=np.uint64)
-        for w in g["words"]:
+        for w in g.column("words").to_pylist():
             acc |= np.frombuffer(w, dtype=np.uint64)
-        return pd.DataFrame({"words": [acc.tobytes()]})
+        return pa.table({"words": pa.array([acc.tobytes()], pa.binary())})
 
-    out = ds.map_batches(partial, batch_format="pandas")
+    out = ds.map_batches(partial, batch_format="pyarrow")
     for _ in range(levels):
-        out = out.map_batches(combine, batch_format="pandas", batch_size=fanin)
+        out = out.map_batches(combine, batch_format="pyarrow", batch_size=fanin)
     acc = np.zeros(m_bits // 64, dtype=np.uint64)
-    for w in out.to_pandas()["words"]:
-        acc |= np.frombuffer(w, dtype=np.uint64)
+    for row in out.take_all():
+        acc |= np.frombuffer(row["words"], dtype=np.uint64)
     return acc

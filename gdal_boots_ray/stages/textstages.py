@@ -504,7 +504,9 @@ def attach_pair_columns(
     payload); each bucket binary-searches its local docs once and
     emits (a, b, side, payload).  Exchange 2 keys on the pair and
     zips side 0/1 into (out_a, out_b).  Inner semantics: a pair
-    missing either end is dropped (same as the chained joins)."""
+    missing either end is dropped, and a pair duplicated k times
+    upstream is emitted k times (both exactly as the chained joins
+    would; doc ids must be unique in ``docs_ds``)."""
     from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
 
     if n_buckets is None:
@@ -608,16 +610,26 @@ def attach_pair_columns(
         As, Bs, Ss = a[order], b[order], side[order]
         starts = np.flatnonzero(np.r_[True, (As[1:] != As[:-1]) | (Bs[1:] != Bs[:-1])])
         runlen = np.diff(np.r_[starts, n])
-        # both ends found <=> run of exactly (side 0, side 1)
-        good = (runlen == 2) & (Ss[starts] == 0) & (Ss[np.minimum(starts + 1, n - 1)] == 1)
-        s = starts[good]
+        # Inner-join multiplicity: a (key_a, key_b) pair duplicated k
+        # times upstream contributes k side-0 and k side-1 rows when
+        # both docs resolve; the chained-join semantics this replaces
+        # emit the pair k times (doc ids are unique in docs_ds), so
+        # repeat each both-sides run min(c0, c1) = k times, zipping
+        # the run's first side-0 row with its first side-1 row (all
+        # copies carry identical payloads).
+        c0 = np.add.reduceat((Ss == 0).astype(np.int64), starts) if n else np.array([], np.int64)
+        c1 = runlen - c0
+        good = (c0 > 0) & (c1 > 0)
+        rep = np.minimum(c0[good], c1[good])
+        s0 = np.repeat(starts[good], rep)
+        s1 = np.repeat(starts[good] + c0[good], rep)
         val = g.column("val")
         return pa.table(
             {
-                key_a: pa.array(As[s], pa.int64()),
-                key_b: pa.array(Bs[s], pa.int64()),
-                out_a: val.take(pa.array(order[s], pa.int64())),
-                out_b: val.take(pa.array(order[s + 1], pa.int64())),
+                key_a: pa.array(As[s0], pa.int64()),
+                key_b: pa.array(Bs[s0], pa.int64()),
+                out_a: val.take(pa.array(order[s0], pa.int64())),
+                out_b: val.take(pa.array(order[s1], pa.int64())),
             }
         )
 

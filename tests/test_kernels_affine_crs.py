@@ -658,3 +658,73 @@ class TestCeaGeos:
         x, y = crs2.from_lonlat(np.array([10.0]), np.array([90.0]))
         _, la2 = crs2.to_lonlat(x, y)
         assert abs(la2[0] - 90.0) < 1e-7
+
+
+class TestEpsgProj4Dispatch:
+    """Out-of-registry EPSG codes route through their published proj4
+    definitions into the family kernels (the reference accepts
+    arbitrary SRS via OSR, geometry.py:122-126); datum-shifted codes
+    stay rejected with a message pointing at the proj4 escape hatch."""
+
+    CODES = {
+        2193: (174.8, -41.3),   # NZTM2000 (tmerc)
+        5070: (-100.0, 40.0),   # Conus Albers (aea)
+        3577: (134.0, -24.0),   # Australian Albers (aea)
+        3338: (-150.0, 62.0),   # Alaska Albers (aea)
+        3083: (-100.0, 31.0),   # Texas Centric Albers (aea)
+        3112: (134.0, -24.0),   # GA Lambert (lcc)
+        5243: (10.5, 51.0),     # LCC Germany
+        3994: (100.0, -41.0),   # Mercator 41
+        25832: (9.0, 52.0),     # ETRS89 / UTM 32N
+    }
+
+    def test_out_of_registry_roundtrips(self):
+        for code, (lon, lat) in self.CODES.items():
+            crs = resolve_crs(code)
+            assert crs.kind == "projected", code
+            x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+            lon2, lat2 = crs.to_lonlat(x, y)
+            assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8, code
+
+    def test_geographic_aliases(self):
+        # NAD83 / ETRS89 geographic resolve as identity lon/lat
+        for code in (4269, 4258):
+            crs = resolve_crs(code)
+            assert crs.kind == "geographic"
+
+    def test_projection_origin_goldens(self):
+        # published natural-origin -> false-origin identities
+        x, y = transform_points(4326, 2193, np.array([173.0]), np.array([0.0]))
+        assert abs(x[0] - 1600000.0) < 1e-6 and abs(y[0] - 10000000.0) < 1e-6
+        x, y = transform_points(4326, 5070, np.array([-96.0]), np.array([23.0]))
+        assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+
+    def test_utm_ellipsoid_param(self):
+        # 25832 (GRS80) vs 32632 (WGS84): same projection, flattening
+        # differs in the 10th decimal -> sub-mm coordinate difference
+        x1, y1 = transform_points(4326, 25832, np.array([9.5]), np.array([52.0]))
+        x2, y2 = transform_points(4326, 32632, np.array([9.5]), np.array([52.0]))
+        assert abs(x1[0] - x2[0]) < 1e-3 and abs(y1[0] - y2[0]) < 1e-3
+
+    def test_osgb_worked_example_via_proj4(self):
+        # Ordnance Survey "A guide to coordinate systems in Great
+        # Britain" worked example (projection math only, coordinates
+        # given in OSGB36 lat/lon): lat 52d39'27.2531"N lon
+        # 1d43'4.5177"E -> E 651409.903 N 313177.270 (Airy 1830).
+        # Reached via explicit proj4 (datum-shifted EPSG 27700 itself
+        # stays rejected; native-datum input is the proj4 contract).
+        p4 = (
+            "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy"
+        )
+        lat = 52 + 39 / 60 + 27.2531 / 3600
+        lon = 1 + 43 / 60 + 4.5177 / 3600
+        crs = resolve_crs(p4)
+        x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+        assert abs(x[0] - 651409.903) < 2e-3
+        assert abs(y[0] - 313177.270) < 2e-3
+
+    def test_datum_shifted_epsg_rejected_with_hint(self):
+        for code in (27700, 23030, 31370):
+            with pytest.raises(ValueError, match="proj4"):
+                resolve_crs(code)

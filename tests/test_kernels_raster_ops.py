@@ -120,6 +120,21 @@ class TestGTiff:
         # compressible input actually shrinks (table resets included)
         assert len(lzw_encode(b"\x00" * 100000)) < 4000
 
+    def test_lzw_width_bump_at_final_code(self):
+        """Regression (hypothesis find): incompressible input whose
+        FINAL code lands exactly on the 9->10-bit early-change boundary
+        (decoder table add between last data code and EOI).  The encoder
+        must emit EOI at the bumped width — libtiff's LZWPostEncode
+        free_ent++ semantics — or the decoder reads a garbage code."""
+        from gdal_boots_ray.kernels.gtiff import lzw_decode, lzw_encode
+
+        rng = np.random.default_rng(266254574)
+        # incompressible: every code is a fresh 1-byte phrase, so n
+        # bytes => n codes; the decoder's table hits 510 after code 253
+        for n in (252, 253, 254, 255, 509, 510, 511, 765, 766, 767):
+            data = bytes(rng.permutation(np.arange(256, dtype=np.uint8)).tobytes() * 4)[:n]
+            assert lzw_decode(lzw_encode(data)) == data, n
+
     def test_packbits_spec_vector(self):
         from gdal_boots_ray.kernels.gtiff import packbits_decode, packbits_encode_row
 

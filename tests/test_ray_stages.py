@@ -460,7 +460,7 @@ def test_build_bloom_or_tree(ray_mod):
 
     keys = np.arange(0, 5000, dtype=np.int64) * 7919
     ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(20)
-    words = build_bloom(ds, lambda b: b["k"].to_numpy(), fanin=4, levels=2)
+    words = build_bloom(ds, lambda b: b.column("k").to_numpy(), fanin=4, levels=2)
     np.testing.assert_array_equal(words, bloom_partial(keys))
     assert bloom_test(words, keys).all()
     absent = np.arange(1, 4000, dtype=np.int64) * 7919 + 3
