@@ -8895,68 +8895,87 @@ ORACLE_SQL: Dict[str, str] = {
 # queries whose plan or twin changed this round.  Long-green tile/geo
 # queries moved below the window — their r01-r03 rows stand.
 QUERIES = {
-    # -- never driver-verified (r03 VERDICT list) ------------------
+    # ---- driver window (first 50): every entry here is either
+    #      (a) never driver-checked before r05 (the 14-name VERDICT
+    #          r04 list), (b) plan-rewritten THIS round (grid_interp
+    #          bucket index, Arrow quantile/HLL/Bloom exchanges,
+    #          grouped_top_k order refactor, zip_pair multiplicity,
+    #          jaccard-verify cache, LZW tail fix, JPEG photometric),
+    #          or (c) r04-new codecs/pipelines worth a second driver
+    #          round.  Long-green unchanged entries sit below. -------
+    "audio_spectrum": q_audio_spectrum,
+    "bigram_pmi": q_bigram_pmi,
+    "cms_sketch": q_cms_sketch,
+    "composite_median": q_composite_median,
+    "doc_chunks": q_doc_chunks,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
+    "flow_d8": q_flow_d8,
+    "hist_match": q_hist_match,
+    "inverted_index": q_inverted_index,
+    "text_normalize": q_text_normalize,
+    "tile_bounds_6933": q_tile_bounds_6933,
+    "tile_morphology": q_tile_morphology,
+    "zonal_majority": q_zonal_majority,
+    # -- plan-rewritten in r05 ---------------------------------------
+    "grid_interp": q_grid_interp,
+    "tile_warp_bilinear": q_tile_warp_bilinear,
+    "point_values": q_point_values,
+    "approx_distinct": q_approx_distinct,
+    "price_quantiles": q_price_quantiles,
+    "token_quantiles": q_token_quantiles,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "minhash_pairs": q_minhash_pairs,
     "minhash_neardup": q_minhash_neardup,
+    "jaccard_neardup": q_jaccard_neardup,
+    "simhash_neardup": q_simhash_neardup,
     "corpus_clean": q_corpus_clean,
+    "multimodal_neardup": q_multimodal_neardup,
+    "top_terms": q_top_terms,
+    "doc_keywords": q_doc_keywords,
+    "capped_sample": q_capped_sample,
+    "top_orders_per_nation": q_top_orders_per_nation,
+    "doc_pack": q_doc_pack,
+    "decontaminate": q_decontaminate,
+    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
+    "recode_stats_jpeg": q_recode_stats_jpeg,
+    # -- r04-new codec/pipeline entries, second driver round ---------
+    "window_stats_cog": q_window_stats_cog,
+    "cog_pyramid": q_cog_pyramid,
     "semdedup": q_semdedup,
     "dup_components": q_dup_components,
     "embedding_neardup": q_embedding_neardup,
-    "jaccard_neardup": q_jaccard_neardup,
-    "doc_keywords": q_doc_keywords,
-    "bm25_scores": q_bm25_scores,
-    "doc_logprob": q_doc_logprob,
-    "top_terms": q_top_terms,
-    "doc_repetition": q_doc_repetition,
-    "doc_pack": q_doc_pack,
-    "decontaminate": q_decontaminate,
-    "fingerprint_dups": q_fingerprint_dups,
-    "approx_distinct": q_approx_distinct,
-    "token_quantiles_by_lang": q_token_quantiles_by_lang,
-    "embedding_centroids": q_embedding_centroids,
     "kmeans": q_kmeans,
     "knn_lsh": q_knn_lsh,
     "knn_pq": q_knn_pq,
-    "recode_stats_jp2": q_recode_stats_jp2,
-    "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
+    "knn_ivfpq": q_knn_ivfpq,
     "audio_rms": q_audio_rms,
     "video_frames": q_video_frames,
     "video_motion": q_video_motion,
+    "recode_stats_jp2": q_recode_stats_jp2,
+    "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
+    "pansharpen": q_pansharpen,
+    # ---- driver window ends here (50 entries above) ----------------
+    # long-green entries, unchanged plans (latest driver check green):
+    "bm25_scores": q_bm25_scores,
+    "doc_logprob": q_doc_logprob,
+    "doc_repetition": q_doc_repetition,
+    "fingerprint_dups": q_fingerprint_dups,
+    "embedding_centroids": q_embedding_centroids,
     "event_gaps": q_event_gaps,
     "customers_without_orders": q_customers_without_orders,
     "customer_order_counts": q_customer_order_counts,
     "running_total": q_running_total,
     "revenue_rollup": q_revenue_rollup,
     "customers_with_big_orders": q_customers_with_big_orders,
-    "price_quantiles": q_price_quantiles,
-    "capped_sample": q_capped_sample,
-    # -- fixed / twin-changed this round ---------------------------
-    "tile_warp_bilinear": q_tile_warp_bilinear,
     "tile_geohash": q_tile_geohash,
-    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
-    "window_stats_cog": q_window_stats_cog,
-    "cog_pyramid": q_cog_pyramid,
-    "grid_interp": q_grid_interp,
-    "pansharpen": q_pansharpen,
     "color_relief": q_color_relief,
     "tile_zxy": q_tile_zxy,
-    "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_overviews": q_tile_overviews,
     "tile_patches": q_tile_patches,
     "quality_pred": q_quality_pred,
     "domain_mix": q_domain_mix,
-    "multimodal_neardup": q_multimodal_neardup,
-    # -- regression-watch (plans rewritten by the round-4 Arrow
-    #    exchange refactor; long-green entries with 3 driver rounds
-    #    on record sit below the window) ---------------------------
-    "knn_ivfpq": q_knn_ivfpq,
-    # ---- driver window ends around here (first 50 entries) -------
-    # hilbert_partitions is r03-green and its only round-4 change is
-    # the advisor-prescribed bits constant (10 -> 16) mirrored in
-    # both the kernel and the twin — displaced below the window to
-    # make room for the new JPEG codec gate above.
     "hilbert_partitions": q_hilbert_partitions,
-    "point_values": q_point_values,
     "dedup_exact": q_dedup_exact,
     "knn": q_knn,
     "tile_h3_cells": q_tile_h3_cells,
@@ -8965,7 +8984,6 @@ QUERIES = {
     "tile_bounds": q_tile_bounds,
     "tile_bounds_4326": q_tile_bounds_4326,
     "tile_bounds_3395": q_tile_bounds_3395,
-    "tile_bounds_6933": q_tile_bounds_6933,
     "tile_grid_cells": q_tile_grid_cells,
     "tile_s2_cells": q_tile_s2_cells,
     "tile_pip_join": q_tile_pip_join,
@@ -8973,13 +8991,6 @@ QUERIES = {
     "points_pip_join": q_points_pip_join,
     "parts_pip_join": q_parts_pip_join,
     "zonal_stats": q_zonal_stats,
-    "zonal_majority": q_zonal_majority,
-    "hist_match": q_hist_match,
-    "flow_d8": q_flow_d8,
-    "tile_morphology": q_tile_morphology,
-    "composite_median": q_composite_median,
-    "doc_chunks": q_doc_chunks,
-    "cms_sketch": q_cms_sketch,
     "image_stats": q_image_stats,
     "image_stats_u16": q_image_stats_u16,
     "recode_stats": q_recode_stats,
@@ -9024,27 +9035,10 @@ QUERIES = {
     "lang_id": q_lang_id,
     "lang_id_pred": q_lang_id_pred,
     "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
     "events_window": q_events_window,
     "events_sliding": q_events_sliding,
     "salted_cell_counts": q_salted_cell_counts,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
-    "top_orders_per_nation": q_top_orders_per_nation,
-    "token_quantiles": q_token_quantiles,
     "stratified_sample": q_stratified_sample,
-    # recall-proof variant of embedding_neardup (kept outside the
-    # driver's 50-entry window; embedding_neardup itself stays in)
-    "embedding_neardup_planted": lambda sf_dir: q_embedding_neardup(sf_dir, plant=True),
-    # DSP variant of audio_rms (audio_rms itself stays in the window)
-    "audio_spectrum": q_audio_spectrum,
-    # NFKC-lite cleanup stage (driver-window slot ceded to grid_interp)
-    "text_normalize": q_text_normalize,
-    # fingerprint emission (its collision check fingerprint_dups stays
-    # in the window; slot ceded to pansharpen)
-    "doc_fingerprints": q_doc_fingerprints,
-    # PMI / postings variants of the driver-checked doc_keywords and
-    # fingerprint family (slots ceded to color_relief / tile_zxy)
-    "bigram_pmi": q_bigram_pmi,
-    "inverted_index": q_inverted_index,
 }
