@@ -984,8 +984,11 @@ def crs_from_epsg(epsg: int) -> CRS:
         )
     elif epsg in _EPSG_PROJ4:
         # parameter-generic path: the published proj4 definition routes
-        # through the family kernels, one registry line per code
-        crs = crs_from_proj4(_EPSG_PROJ4[epsg])
+        # through the family kernels, one registry line per code.
+        # Rewrap so .key stays the int EPSG — consumers (GeoInfo,
+        # gtiff geokeys) branch on isinstance(key, int).
+        base = crs_from_proj4(_EPSG_PROJ4[epsg])
+        crs = CRS(base.kind, epsg, base._fwd, base._inv)
     else:
         raise ValueError(
             f"unsupported EPSG:{epsg} — registry codes: 4326, 3857, 3395, 4087, "

@@ -4015,6 +4015,12 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
     # bounded small side: sample points with integer coords + values
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     p = point_params(cust.column("c_custkey").to_numpy(), n_part)
+    # the DuckDB twin packs (d2, pid) into one BIGINT with a 2^18 pid
+    # slot — fail loudly here (not via a silent hash mismatch) if a
+    # future SF outgrows the twin's packing bound; the ENGINE side has
+    # no such limit
+    if len(p["custkey"]) and int(p["custkey"].max()) >= 262144:
+        raise ValueError("grid_interp oracle packing bound exceeded: pid >= 2^18")
     pts_ref = ray.put(
         (
             p["x"].astype(np.int64),
@@ -4037,8 +4043,14 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
             skey = key[order]
             self.ukeys, self.starts = np.unique(skey, return_index=True)
             self.ends = np.append(self.starts[1:], len(skey))
-            self.bx_min, self.bx_max = int(bx.min()), int(bx.max())
-            self.by_min, self.by_max = int(by.min()), int(by.max())
+            # empty point set: no ring can ever find anything — pin the
+            # bbox to an empty range so max_m is 0 and the ring loop is
+            # skipped (outputs stay IMAX / 0, the brute-force semantics)
+            if len(px):
+                self.bx_min, self.bx_max = int(bx.min()), int(bx.max())
+                self.by_min, self.by_max = int(by.min()), int(by.max())
+            else:
+                self.bx_min = self.bx_max = self.by_min = self.by_max = None
 
         def _gather(self, coords) -> np.ndarray:
             """Point indices in the listed (bx, by) buckets."""
@@ -4087,9 +4099,13 @@ def q_grid_interp(sf_dir: str, cell_m: int = 500, radius_m: int = 2000):
                 # bucket boundary: cx % B in {250,...}), so once every
                 # cell's best <= ((m-1)*B)^2 no farther ring can beat OR
                 # tie it and min-pid tie-breaks stay exact.
-                max_m = max(
-                    abs(i - self.bx_min), abs(i - self.bx_max),
-                    abs(j - self.by_min), abs(j - self.by_max),
+                max_m = (
+                    0
+                    if self.bx_min is None
+                    else max(
+                        abs(i - self.bx_min), abs(i - self.bx_max),
+                        abs(j - self.by_min), abs(j - self.by_max),
+                    )
                 )
                 m = 2
                 while m <= max_m and int(gb2.max()) > ((m - 1) * B) ** 2:

@@ -344,8 +344,12 @@ def grouped_quantiles(
     qs = list(qs)
 
     def partial(batch: pa.Table) -> pa.Table:
+        # drop_null keeps SQL aggregate semantics (NULL rows ignored);
+        # Arrow group_by would otherwise emit a null-key group the old
+        # pandas groupby silently dropped
         res = (
             batch.select([group_col, col])
+            .drop_null()
             .group_by([group_col, col], use_threads=False)
             .aggregate([([], "count_all")])
         )

@@ -617,7 +617,7 @@ def attach_pair_columns(
         # repeat each both-sides run min(c0, c1) = k times, zipping
         # the run's first side-0 row with its first side-1 row (all
         # copies carry identical payloads).
-        c0 = np.add.reduceat((Ss == 0).astype(np.int64), starts) if n else np.array([], np.int64)
+        c0 = np.add.reduceat((Ss == 0).astype(np.int64), starts)
         c1 = runlen - c0
         good = (c0 > 0) & (c1 > 0)
         rep = np.minimum(c0[good], c1[good])

@@ -686,6 +686,12 @@ class TestEpsgProj4Dispatch:
             lon2, lat2 = crs.to_lonlat(x, y)
             assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8, code
 
+    def test_epsg_key_preserved(self):
+        # .key must stay the int EPSG (GeoInfo / gtiff geokeys branch
+        # on isinstance(key, int)), not the routed proj4 string
+        assert resolve_crs(5070).key == 5070
+        assert resolve_crs(2193).key == 2193
+
     def test_geographic_aliases(self):
         # NAD83 / ETRS89 geographic resolve as identity lon/lat
         for code in (4269, 4258):
