@@ -1315,6 +1315,57 @@ def crs_from_proj4(proj4: str) -> CRS:
     return crs
 
 
+def _p4_norm(p4: str):
+    """Normalized (params, flags) view of a proj4 string for
+    definition-equality matching: numeric values compare as floats,
+    cosmetic params (units=m, no_defs, wktext) are dropped."""
+    params = dict(_P4_FLOAT.findall(p4))
+    flags = set(re.findall(r"\+([a-zA-Z_0-9]+)(?=\s|$)", p4)) - set(params)
+    drop = {"units", "no_defs", "wktext", "type"}
+    out = {}
+    for k, v in params.items():
+        if k in drop:
+            continue
+        try:
+            out[k] = float(v)
+        except ValueError:
+            out[k] = v
+    return out, frozenset(f for f in flags if f not in drop)
+
+
+def epsg_from_crs(spec) -> int:
+    """Reference ``epsg_from_srs`` (gdal.py:112-117): recover the EPSG
+    authority code of a CRS.  Int / ``epsg:N`` specs return N
+    directly; a proj4 string is matched by normalized parameter set
+    against the known definitions (plus the longlat/webmerc/UTM
+    closed forms).  Raises ValueError("Could not get epsg code") like
+    the reference when no authority code is known."""
+    crs = spec if isinstance(spec, CRS) else resolve_crs(spec)
+    if isinstance(crs.key, (int, np.integer)):
+        return int(crs.key)
+    params, flags = _p4_norm(str(crs.key))
+    proj = params.get("proj")
+    ellps = params.get("ellps", "WGS84")
+    if proj in ("longlat", "latlong") and ellps == "WGS84":
+        return 4326
+    if proj in ("longlat", "latlong") and ellps == "GRS80":
+        return 4258  # ETRS89 (also NAD83's 4269 — one authority wins)
+    if proj == "webmerc" or (
+        proj == "merc"
+        and params.get("a") == 6378137.0
+        and params.get("b") == 6378137.0
+    ):
+        return 3857
+    if proj == "utm" and ellps == "WGS84" and "zone" in params:
+        zone = int(params["zone"])
+        if 1 <= zone <= 60:
+            return (32700 if "south" in flags else 32600) + zone
+    for code, p4 in _EPSG_PROJ4.items():
+        if _p4_norm(p4) == (params, flags):
+            return int(code)
+    raise ValueError("Could not get epsg code")
+
+
 def resolve_crs(spec) -> CRS:
     """spec: EPSG int, 'epsg:NNNN', proj4 string, or CRS instance."""
     if isinstance(spec, CRS):

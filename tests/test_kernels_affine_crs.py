@@ -730,6 +730,25 @@ class TestEpsgProj4Dispatch:
         assert abs(x[0] - 651409.903) < 2e-3
         assert abs(y[0] - 313177.270) < 2e-3
 
+    def test_epsg_from_crs_reverse_lookup(self):
+        # reference epsg_from_srs analog (gdal.py:112-117)
+        from gdal_boots_ray.kernels.crs import epsg_from_crs
+
+        assert epsg_from_crs(4326) == 4326
+        assert epsg_from_crs("epsg:3857") == 3857
+        assert epsg_from_crs("+proj=longlat +ellps=WGS84 +no_defs") == 4326
+        assert epsg_from_crs("+proj=utm +zone=31 +ellps=WGS84 +units=m +no_defs") == 32631
+        assert epsg_from_crs("+proj=utm +zone=20 +south +ellps=WGS84") == 32720
+        assert (
+            epsg_from_crs(
+                "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+                "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs"
+            )
+            == 5070
+        )
+        with pytest.raises(ValueError, match="Could not get epsg code"):
+            epsg_from_crs("+proj=aea +lat_0=-32 +lon_0=-60 +lat_1=-5 +lat_2=-42 +ellps=aust_SA")
+
     def test_datum_shifted_epsg_rejected_with_hint(self):
         for code in (27700, 23030, 31370):
             with pytest.raises(ValueError, match="proj4"):
