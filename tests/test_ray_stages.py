@@ -528,6 +528,21 @@ def test_attach_pair_columns(ray_mod):
     ).to_pandas()
     assert list(out2["va"][0]) == [1.0, 2.0] and list(out2["vb"][0]) == [3.0, 4.0]
 
+    # duplicated pairs keep their upstream multiplicity (the chained
+    # inner-join semantics): (1,3) x3 and (2,4) x1, one end missing x2
+    dup_pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 1, 1, 2, 5, 5], pa.int64()),
+                "doc_b": pa.array([3, 3, 3, 4, 6, 6], pa.int64()),
+            }
+        )
+    )
+    out3 = attach_pair_columns(dup_pairs, docs).to_pandas().sort_values("doc_a")
+    assert out3["doc_a"].tolist() == [1, 1, 1, 2]
+    assert out3["text_a"].tolist() == ["t1", "t1", "t1", "t2"]
+    assert out3["text_b"].tolist() == ["t3", "t3", "t3", "t4"]
+
 
 def test_semdedup_scale_paths(ray_mod):
     """The blocked gram walk (tiny panels force the multi-panel code
