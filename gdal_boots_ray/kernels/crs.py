@@ -390,7 +390,10 @@ def _ps_inverse(c: _PsConsts, x, y):
 
 
 class _LaeaConsts:
-    __slots__ = ("a", "e", "e2", "qp", "Rq", "beta1", "sb1", "cb1", "D", "lon0", "x0", "y0")
+    __slots__ = (
+        "a", "e", "e2", "qp", "Rq", "beta1", "sb1", "cb1", "D",
+        "lon0", "x0", "y0", "pole",
+    )
 
     def __init__(self, a, f, lat0, lon0, x0, y0):
         self.a = a
@@ -416,6 +419,11 @@ class _LaeaConsts:
         self.cb1 = math.cos(self.beta1)
         m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
         self.D = (a * m1) / (self.Rq * self.cb1) if self.cb1 != 0 else 1.0
+        # polar aspects (EASE-Grid 2.0 North/South, proj4 lat_0=+/-90)
+        # use Snyder's dedicated 24-3/24-4 formulas: the oblique D
+        # constant degenerates at the pole (cos beta1 -> 1e-17 float
+        # noise amplified into km-level error)
+        self.pole = 1 if lat0 >= 89.999999 else (-1 if lat0 <= -89.999999 else 0)
 
     def q_arr(self, phi):
         return _authalic_q(self.e, self.e2, phi)
@@ -458,6 +466,14 @@ def _authalic_phi(e: float, e2: float, q, qp: float) -> np.ndarray:
 def _laea_forward(c: _LaeaConsts, lon_deg, lat_deg):
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    if c.pole:
+        # Snyder 24-3/24-4 (north) / 24-8 (south): rho = a*sqrt(qp -+ q)
+        dl = lon - c.lon0
+        q = c.q_arr(lat)
+        rho = c.a * np.sqrt(np.maximum(c.qp - c.pole * q, 0.0))
+        x = c.x0 + rho * np.sin(dl)
+        y = c.y0 - c.pole * rho * np.cos(dl)
+        return x, y
     beta = np.arcsin(np.clip(c.q_arr(lat) / c.qp, -1, 1))
     dl = lon - c.lon0
     denom = 1 + c.sb1 * np.sin(beta) + c.cb1 * np.cos(beta) * np.cos(dl)
@@ -468,6 +484,14 @@ def _laea_forward(c: _LaeaConsts, lon_deg, lat_deg):
 
 
 def _laea_inverse(c: _LaeaConsts, x, y):
+    if c.pole:
+        xp = np.asarray(x, dtype=np.float64) - c.x0
+        yp = np.asarray(y, dtype=np.float64) - c.y0
+        rho = np.sqrt(xp * xp + yp * yp)
+        q = c.pole * (c.qp - (rho / c.a) ** 2)
+        lon = c.lon0 + np.arctan2(xp, -c.pole * yp)
+        lon = np.where(rho == 0, c.lon0, lon)
+        return np.degrees(lon), np.degrees(c.phi_from_q(q))
     xp = (np.asarray(x, dtype=np.float64) - c.x0) / c.D
     yp = (np.asarray(y, dtype=np.float64) - c.y0) * c.D
     rho = np.sqrt(xp * xp + yp * yp)
@@ -1061,6 +1085,8 @@ _EPSG_PROJ4 = {
     3112: "+proj=lcc +lat_0=0 +lon_0=134 +lat_1=-18 +lat_2=-36 +x_0=0 +y_0=0 +ellps=GRS80",  # GDA94 / Geoscience Australia Lambert
     5243: "+proj=lcc +lat_0=51 +lon_0=10.5 +lat_1=48.666666666666664 +lat_2=53.666666666666664 +x_0=0 +y_0=0 +ellps=GRS80",  # ETRS89 / LCC Germany
     3994: "+proj=merc +lat_ts=-41 +lon_0=100 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / Mercator 41
+    6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 North
+    6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 South
     25832: "+proj=utm +zone=32 +ellps=GRS80",  # ETRS89 / UTM zone 32N
 }
 

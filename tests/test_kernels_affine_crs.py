@@ -730,6 +730,28 @@ class TestEpsgProj4Dispatch:
         assert abs(x[0] - 651409.903) < 2e-3
         assert abs(y[0] - 313177.270) < 2e-3
 
+    def test_laea_polar_aspect_goldens(self):
+        # EASE-Grid 2.0 North/South (EPSG 6931/6932): the polar aspect
+        # uses Snyder 24-3/24-4 (rho = a*sqrt(qp -+ q)) — the oblique D
+        # constant degenerates at the pole.  Golden values computed from
+        # an independent implementation of the same published formulas.
+        n = resolve_crs(6931)
+        x, y = n.from_lonlat(np.array([10.0]), np.array([75.0]))
+        assert abs(x[0] - 290035.87111707137) < 1e-6
+        assert abs(y[0] + 1644875.162903232) < 1e-6
+        lon2, lat2 = n.to_lonlat(x, y)
+        assert abs(lon2[0] - 10.0) < 1e-9 and abs(lat2[0] - 75.0) < 1e-9
+        s = resolve_crs(6932)
+        x, y = s.from_lonlat(np.array([10.0]), np.array([-75.0]))
+        assert abs(x[0] - 290035.87111707043) < 1e-6
+        assert abs(y[0] - 1644875.1629032267) < 1e-6
+        # pole maps to the origin; equator ring radius = a*sqrt(qp)
+        x, y = n.from_lonlat(np.array([123.0]), np.array([90.0]))
+        assert x[0] == 0.0 and y[0] == 0.0
+        # equal-area sanity: published EASE-Grid 2.0 equator radius
+        x, y = n.from_lonlat(np.array([0.0]), np.array([0.0]))
+        assert abs(abs(y[0]) - 9009964.76) < 1.0
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
