@@ -331,7 +331,7 @@ def _lcc_inverse(c: _LccConsts, x, y):
 class _PsConsts:
     __slots__ = ("a", "e", "north", "rho_f", "lon0", "x0", "y0")
 
-    def __init__(self, a, f, lat_ts, lon0, x0, y0, north: bool):
+    def __init__(self, a, f, lat_ts, lon0, x0, y0, north: bool, k0: float = 1.0):
         self.a = a
         e2 = f * (2 - f)
         self.e = math.sqrt(e2)
@@ -339,12 +339,20 @@ class _PsConsts:
         self.lon0 = math.radians(lon0)
         self.x0, self.y0 = x0, y0
         phi_c = math.radians(abs(lat_ts))
-        s = math.sin(phi_c)
-        es = self.e * s
-        t_c = math.tan(math.pi / 4 - phi_c / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
-        m_c = math.cos(phi_c) / math.sqrt(1 - e2 * s * s)
-        # rho = a * m_c / t_c * t(phi): scale true at lat_ts
-        self.rho_f = a * m_c / t_c
+        if phi_c >= math.radians(89.999999):
+            # variant A (k0 at the pole — UPS): Snyder 21-33,
+            # rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e)); the
+            # variant-B m_c/t_c form is 0/0 at lat_ts = 90
+            self.rho_f = (2.0 * a * k0) / math.sqrt(
+                (1 + self.e) ** (1 + self.e) * (1 - self.e) ** (1 - self.e)
+            )
+        else:
+            s = math.sin(phi_c)
+            es = self.e * s
+            t_c = math.tan(math.pi / 4 - phi_c / 2) / ((1 - es) / (1 + es)) ** (self.e / 2)
+            m_c = math.cos(phi_c) / math.sqrt(1 - e2 * s * s)
+            # rho = a * m_c / t_c * t(phi): scale true at lat_ts
+            self.rho_f = a * m_c / t_c * k0
 
     def t_arr(self, phi):
         s = np.sin(phi)
@@ -1087,6 +1095,8 @@ _EPSG_PROJ4 = {
     3994: "+proj=merc +lat_ts=-41 +lon_0=100 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / Mercator 41
     6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 North
     6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 South
+    5041: "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS North (E,N)
+    5042: "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS South (E,N)
     25832: "+proj=utm +zone=32 +ellps=GRS80",  # ETRS89 / UTM zone 32N
 }
 
@@ -1174,14 +1184,23 @@ def crs_from_proj4(proj4: str) -> CRS:
     elif proj == "stere" and abs(float(params.get("lat_0", 0))) == 90.0:
         a, f = _p4_ellipsoid(params)
         north = float(params["lat_0"]) > 0
+        lat_ts = float(params.get("lat_ts", params["lat_0"]))
+        # PROJ semantics: +lat_ts (variant B) takes precedence; +k/+k_0
+        # (variant A — UPS) applies only with the scale point at the pole
+        k0 = (
+            float(params.get("k", params.get("k_0", 1.0)))
+            if abs(lat_ts) >= 89.999999
+            else 1.0
+        )
         consts = _PsConsts(
             a,
             f,
-            float(params.get("lat_ts", params["lat_0"])),
+            lat_ts,
             float(params.get("lon_0", 0)),
             float(params.get("x_0", 0)),
             float(params.get("y_0", 0)),
             north,
+            k0,
         )
         crs = CRS(
             "projected",

@@ -752,6 +752,24 @@ class TestEpsgProj4Dispatch:
         x, y = n.from_lonlat(np.array([0.0]), np.array([0.0]))
         assert abs(abs(y[0]) - 9009964.76) < 1.0
 
+    def test_ups_variant_a_epsg_worked_example(self):
+        # EPSG Guidance Note 7-2, Polar Stereographic variant A (UPS
+        # North, EPSG 5041): phi 73N lam 44E -> E 3320416.75 N
+        # 632668.43 (published to cm; we match to mm)
+        crs = resolve_crs(5041)
+        x, y = crs.from_lonlat(np.array([44.0]), np.array([73.0]))
+        assert abs(x[0] - 3320416.75) < 5e-3
+        assert abs(y[0] - 632668.43) < 5e-3
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert abs(lon2[0] - 44.0) < 1e-9 and abs(lat2[0] - 73.0) < 1e-9
+        # pole -> false origin; south twin mirrors
+        x, y = crs.from_lonlat(np.array([17.0]), np.array([90.0]))
+        assert x[0] == 2000000.0 and y[0] == 2000000.0
+        s = resolve_crs(5042)
+        x, y = s.from_lonlat(np.array([44.0]), np.array([-73.0]))
+        lon2, lat2 = s.to_lonlat(x, y)
+        assert abs(lon2[0] - 44.0) < 1e-9 and abs(lat2[0] + 73.0) < 1e-9
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
