@@ -393,6 +393,81 @@ def _ps_inverse(c: _PsConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Oblique / equatorial stereographic (Snyder 21-27..21-40, conformal-
+# latitude form — PROJ's non-polar ``+proj=stere``)
+# ---------------------------------------------------------------------------
+
+
+class _ObStereConsts:
+    __slots__ = ("a", "e", "e2", "k0", "lon0", "x0", "y0", "schi1", "cchi1", "akm1")
+
+    def __init__(self, a, f, lat0, lon0, k0, x0, y0):
+        self.a = a
+        e2 = f * (2 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        self.k0 = k0
+        self.lon0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi1 = math.radians(lat0)
+        s = math.sin(phi1)
+        es = self.e * s
+        chi1 = 2 * math.atan(
+            math.tan(math.pi / 4 + phi1 / 2) * ((1 - es) / (1 + es)) ** (self.e / 2)
+        ) - math.pi / 2
+        self.schi1 = math.sin(chi1)
+        self.cchi1 = math.cos(chi1)
+        m1 = math.cos(phi1) / math.sqrt(1 - e2 * s * s)
+        # Snyder 21-27 numerator constant 2 a k0 m1 (cosX1 divisor kept
+        # separate for the inverse's 2 a k0 m1 appearance in 21-38)
+        self.akm1 = 2.0 * a * k0 * m1 if abs(lat0) > 1e-12 else 2.0 * a * k0
+
+
+def _conformal_lat(e: float, phi) -> np.ndarray:
+    es = e * np.sin(phi)
+    return 2 * np.arctan(
+        np.tan(np.pi / 4 + phi / 2) * ((1 - es) / (1 + es)) ** (e / 2)
+    ) - np.pi / 2
+
+
+def _inv_conformal_lat(e: float, chi) -> np.ndarray:
+    """Inverse conformal latitude by fixed point (Snyder 3-4)."""
+    t = np.tan(np.pi / 4 + chi / 2)
+    phi = np.asarray(chi, dtype=np.float64).copy()
+    for _ in range(10):
+        es = e * np.sin(phi)
+        phi = 2 * np.arctan(t * ((1 + es) / (1 - es)) ** (e / 2)) - np.pi / 2
+    return phi
+
+
+def _obstere_forward(c: _ObStereConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    chi = _conformal_lat(c.e, lat)
+    schi, cchi = np.sin(chi), np.cos(chi)
+    dl = lon - c.lon0
+    A = c.akm1 / (c.cchi1 * (1 + c.schi1 * schi + c.cchi1 * cchi * np.cos(dl)))
+    x = c.x0 + A * cchi * np.sin(dl)
+    y = c.y0 + A * (c.cchi1 * schi - c.schi1 * cchi * np.cos(dl))
+    return x, y
+
+
+def _obstere_inverse(c: _ObStereConsts, x, y):
+    xp = np.asarray(x, dtype=np.float64) - c.x0
+    yp = np.asarray(y, dtype=np.float64) - c.y0
+    rho = np.sqrt(xp * xp + yp * yp)
+    # Snyder 21-38: ce = 2 atan(rho cosX1 / (2 a k0 m1))
+    ce = 2 * np.arctan2(rho * c.cchi1, c.akm1)
+    sce, cce = np.sin(ce), np.cos(ce)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chi = np.arcsin(np.clip(cce * c.schi1 + yp * sce * c.cchi1 / rho, -1, 1))
+        dl = np.arctan2(xp * sce, rho * c.cchi1 * cce - yp * c.schi1 * sce)
+    chi = np.where(rho == 0, math.asin(c.schi1), chi)
+    dl = np.where(rho == 0, 0.0, dl)
+    return np.degrees(c.lon0 + dl), np.degrees(_inv_conformal_lat(c.e, chi))
+
+
+# ---------------------------------------------------------------------------
 # Lambert azimuthal equal-area, oblique (Snyder 24-2..24-10 / 3-11..3-18)
 # ---------------------------------------------------------------------------
 
@@ -1207,6 +1282,25 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
+        )
+    elif proj == "stere":
+        # oblique / equatorial stereographic (Snyder conformal-latitude
+        # form, PROJ's non-polar +proj=stere)
+        a, f = _p4_ellipsoid(params)
+        consts = _ObStereConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("k", params.get("k_0", 1.0))),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _obstere_forward(c, lon, lat),
+            lambda x, y, c=consts: _obstere_inverse(c, x, y),
         )
     elif proj == "merc":
         # proj4 semantics: ellipsoidal Mercator on the given ellipsoid

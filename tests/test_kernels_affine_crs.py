@@ -770,6 +770,43 @@ class TestEpsgProj4Dispatch:
         lon2, lat2 = s.to_lonlat(x, y)
         assert abs(lon2[0] - 44.0) < 1e-9 and abs(lat2[0] + 73.0) < 1e-9
 
+    def test_oblique_stereographic(self):
+        # non-polar +proj=stere (Snyder 21-27..21-40 conformal-latitude
+        # form): center->origin, tight roundtrip, conformality (equal
+        # orthogonal scales) off-center, spherical closed-form limit
+        import math
+
+        crs = resolve_crs("+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 +x_0=0 +y_0=0 +ellps=WGS84")
+        x, y = crs.from_lonlat(np.array([5.0]), np.array([52.0]))
+        assert x[0] == 0.0 and y[0] == 0.0
+        lons = np.array([3.0, 5.0, 7.5, 10.0])
+        lats = np.array([50.0, 55.0, 52.5, 45.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-10 and np.abs(lat2 - lats).max() < 1e-10
+        # conformality at (10E, 45N): meridian/parallel scales equal
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        d = 1e-7
+        phi = math.radians(45.0)
+        M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        x0, y0 = crs.from_lonlat(np.array([10.0]), np.array([45.0]))
+        x1, y1 = crs.from_lonlat(np.array([10.0]), np.array([45.0 + d]))
+        x2, y2 = crs.from_lonlat(np.array([10.0 + d]), np.array([45.0]))
+        k_m = math.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (M * math.radians(d))
+        k_p = math.hypot(x2[0] - x0[0], y2[0] - y0[0]) / (N * math.cos(phi) * math.radians(d))
+        assert abs(k_m / k_p - 1) < 1e-6
+        # spherical limit == the textbook closed form
+        sph = resolve_crs("+proj=stere +lat_0=40 +lon_0=0 +k=1 +R=6370997")
+        R, p1 = 6370997.0, math.radians(40.0)
+        lam, p = math.radians(10.0), math.radians(45.0)
+        kk = 2 * R / (1 + math.sin(p1) * math.sin(p) + math.cos(p1) * math.cos(p) * math.cos(lam))
+        xs = kk * math.cos(p) * math.sin(lam)
+        ys = kk * (math.cos(p1) * math.sin(p) - math.sin(p1) * math.cos(p) * math.cos(lam))
+        x, y = sph.from_lonlat(np.array([10.0]), np.array([45.0]))
+        assert abs(x[0] - xs) < 1e-6 and abs(y[0] - ys) < 1e-6
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
