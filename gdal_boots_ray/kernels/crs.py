@@ -468,6 +468,82 @@ def _obstere_inverse(c: _ObStereConsts, x, y):
 
 
 # ---------------------------------------------------------------------------
+# Double (Gauss-conformal-sphere) stereographic — EPSG method 9809 /
+# PROJ ``+proj=sterea`` (RD New and the other Rijksdriehoek-style
+# grids).  Formulas: EPSG Guidance Note 7-2, "Oblique and Equatorial
+# Stereographic".
+# ---------------------------------------------------------------------------
+
+
+class _StereaConsts:
+    __slots__ = ("e", "e2", "n", "c", "R", "k0", "chi0", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, k0, x0, y0):
+        e2 = f * (2 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        self.k0 = k0
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+        phi0 = math.radians(lat0)
+        s0 = math.sin(phi0)
+        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = math.sqrt(1 + (e2 * math.cos(phi0) ** 4) / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - self.e * s0) / (1 + self.e * s0)
+        w1 = (S1 * S2**self.e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + s0) * (1 - sin_chi0)) / ((self.n - s0) * (1 + sin_chi0))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+
+    def chi_lam(self, lon, lat):
+        s = np.sin(lat)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - self.e * s) / (1 + self.e * s)
+        w = self.c * (Sa * Sb**self.e) ** self.n
+        chi = np.arcsin((w - 1) / (w + 1))
+        lam = self.n * (lon - self.lam0) + self.lam0
+        return chi, lam
+
+
+def _sterea_forward(c: _StereaConsts, lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    chi, lam = c.chi_lam(lon, lat)
+    dl = lam - c.lam0
+    B = 1 + np.sin(chi) * math.sin(c.chi0) + np.cos(chi) * math.cos(c.chi0) * np.cos(dl)
+    x = c.x0 + 2 * c.R * c.k0 * np.cos(chi) * np.sin(dl) / B
+    y = c.y0 + 2 * c.R * c.k0 * (
+        np.sin(chi) * math.cos(c.chi0) - np.cos(chi) * math.sin(c.chi0) * np.cos(dl)
+    ) / B
+    return x, y
+
+
+def _sterea_inverse(c: _StereaConsts, x, y):
+    Ep = np.asarray(x, dtype=np.float64) - c.x0
+    Np = np.asarray(y, dtype=np.float64) - c.y0
+    g = 2 * c.R * c.k0 * math.tan(math.pi / 4 - c.chi0 / 2)
+    h = 4 * c.R * c.k0 * math.tan(c.chi0) + g
+    i = np.arctan2(Ep, h + Np)
+    j = np.arctan2(Ep, g - Np) - i
+    chi = c.chi0 + 2 * np.arctan((Np - Ep * np.tan(j / 2)) / (2 * c.R * c.k0))
+    lam = j + 2 * i + c.lam0
+    lon = (lam - c.lam0) / c.n + c.lam0
+    # chi -> phi (EPSG isometric-latitude Newton iteration)
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c.c * (1 - np.sin(chi)))) / c.n
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(8):
+        s = np.sin(phi)
+        es = c.e * s
+        psi_i = np.log(np.tan(phi / 2 + np.pi / 4) * ((1 - es) / (1 + es)) ** (c.e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - es * es) / (1 - c.e2)
+    return np.degrees(lon), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Lambert azimuthal equal-area, oblique (Snyder 24-2..24-10 / 3-11..3-18)
 # ---------------------------------------------------------------------------
 
@@ -1282,6 +1358,27 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
+        )
+    elif proj == "sterea":
+        # double (Gauss-sphere) stereographic, EPSG method 9809 — the
+        # RD New family.  Datum note: RD New itself (EPSG 28992) is on
+        # Amersfoort/Bessel, so only the proj4 form is accepted
+        # (native-datum coordinates are the stated contract).
+        a, f = _p4_ellipsoid(params)
+        consts = _StereaConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("k", params.get("k_0", 1.0))),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _sterea_forward(c, lon, lat),
+            lambda x, y, c=consts: _sterea_inverse(c, x, y),
         )
     elif proj == "stere":
         # oblique / equatorial stereographic (Snyder conformal-latitude

@@ -807,6 +807,24 @@ class TestEpsgProj4Dispatch:
         x, y = sph.from_lonlat(np.array([10.0]), np.array([45.0]))
         assert abs(x[0] - xs) < 1e-6 and abs(y[0] - ys) < 1e-6
 
+    def test_sterea_rd_new_worked_example(self):
+        # EPSG Guidance Note 7-2 "Oblique Stereographic" (method 9809)
+        # worked example — Amersfoort / RD New parameters, input in
+        # Amersfoort geographic coordinates (projection math only; the
+        # datum-shifted EPSG 28992 code itself stays rejected):
+        # phi 53N lam 6E -> E 196105.283 N 557057.739 (published to mm)
+        rd = resolve_crs(
+            "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+            "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel"
+        )
+        x, y = rd.from_lonlat(np.array([6.0]), np.array([53.0]))
+        assert abs(x[0] - 196105.283) < 1e-3
+        assert abs(y[0] - 557057.739) < 1e-3
+        lon2, lat2 = rd.to_lonlat(x, y)
+        assert abs(lon2[0] - 6.0) < 1e-10 and abs(lat2[0] - 53.0) < 1e-10
+        x, y = rd.from_lonlat(np.array([5.38763888888889]), np.array([52.15616055555555]))
+        assert abs(x[0] - 155000.0) < 1e-6 and abs(y[0] - 463000.0) < 1e-6
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
