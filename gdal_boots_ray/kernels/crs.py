@@ -44,6 +44,14 @@ series implementations from public literature:
   WGS84-coincident datums (NAD83/ETRS89/GDA94/NZGD2000) resolve via
   their published proj4 definitions (``_EPSG_PROJ4``) through the
   family kernels — one table line per code, no new math.
+- Stereographic, ALL aspects: polar variant B (lat_ts) and variant A
+  (UPS, k0 at the pole — EPSG 5041/5042, Guidance 7-2 worked example
+  to ~2 mm), oblique/equatorial ``+proj=stere`` (Snyder 21-27..21-40
+  conformal-latitude form), and the double/Gauss-sphere
+  ``+proj=sterea`` (EPSG method 9809; RD New worked example to
+  <1 mm).  LAEA polar aspects (EASE-Grid 2.0 North/South, EPSG
+  6931/6932) use Snyder 24-3/24-4 — the oblique D constant
+  degenerates at the pole.
 
 All transforms are vectorized over ``(n,)`` float64 coordinate arrays.
 """
@@ -1179,8 +1187,8 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"polar stereo {sorted(_EPSG_PS)}, CEA {sorted(_EPSG_CEA)}, "
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
-            f"utm, aea, lcc, laea, polar stere, eqc, sinu, cea, geos, omerc) can "
-            f"be passed as its proj4 string"
+            f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, eqc, "
+            f"sinu, cea, geos, omerc) can be passed as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
