@@ -1570,6 +1570,87 @@ def q_doc_chunks(sf_dir: str, window: int = 64, stride: int = 48):
     return docs.map_batches(chunks, batch_format="pyarrow")
 
 
+def q_line_dedup(sf_dir: str, chunk_tokens: int = 8):
+    """Corpus-level EXACT chunk ("line") deduplication — the
+    C4/RefinedWeb repeated-span removal step: every doc splits into
+    consecutive 8-token chunks, and each distinct chunk string is kept
+    only at its FIRST occurrence corpus-wide (first = smallest
+    (doc_id, chunk_idx), the deterministic scan order).  Output per
+    doc: total chunks, chunks kept, and the character mass kept — the
+    integer signature of which spans survived.
+
+    Scale shape: chunks flat-map out of the docs carrying only their
+    own text span; ONE bucketed shuffle keyed on the chunk string
+    co-locates duplicates (bounded fan-out via `_key_buckets_arrow`,
+    never a per-chunk groupby); each bucket resolves keep-first with
+    np.unique + a packed (doc_id, idx) min, emits per-doc count
+    partials, and a second bounded shuffle sums them per doc.  No
+    stage ever holds more than its bucket; duplicate-heavy (skewed)
+    chunks cost one group pass, not a cross join."""
+    from gdal_boots_ray.stages.agg import _key_buckets_arrow, bucketed_aggregate, _default_n_buckets
+
+    n_buckets = _default_n_buckets()
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_chunk, out_doc, out_ci, out_len = [], [], [], []
+        for i, t in enumerate(texts):
+            toks = re.split(r"\s+", t.strip()) if t.strip() else []
+            if not toks:
+                continue
+            for c in range(0, (len(toks) + chunk_tokens - 1) // chunk_tokens):
+                s = " ".join(toks[c * chunk_tokens : (c + 1) * chunk_tokens])
+                out_chunk.append(s)
+                out_doc.append(int(ids[i]))
+                out_ci.append(c)
+                out_len.append(len(s))
+        t = pa.table(
+            {
+                "chunk": pa.array(out_chunk, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "ci": pa.array(out_ci, pa.int64()),
+                "clen": pa.array(out_len, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(_key_buckets_arrow(t, ["chunk"], n_buckets), pa.int64())
+        )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        chunk = np.asarray(g.column("chunk").to_pylist(), dtype=object)
+        doc = g.column("doc_id").to_numpy()
+        ci = g.column("ci").to_numpy()
+        clen = g.column("clen").to_numpy()
+        _, inv = np.unique(chunk, return_inverse=True)
+        packed = doc * (1 << 20) + ci
+        first = np.full(inv.max() + 1, np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, packed)
+        kept = packed == first[inv]
+        udoc, dinv = np.unique(doc, return_inverse=True)
+        n_chunks = np.bincount(dinv)
+        n_kept = np.bincount(dinv, weights=kept).astype(np.int64)
+        kept_chars = np.bincount(dinv, weights=np.where(kept, clen, 0)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_chunks": pa.array(n_chunks.astype(np.int64)),
+                "n_kept": pa.array(n_kept),
+                "kept_chars": pa.array(kept_chars),
+            }
+        )
+
+    partials = docs.map_batches(explode, batch_format="pyarrow").groupby("_bucket").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+    return bucketed_aggregate(
+        partials,
+        ["doc_id"],
+        {"n_chunks": "sum", "n_kept": "sum", "kept_chars": "sum"},
+    )
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact distributed quantiles of per-doc whitespace token counts
     via the histogram plan (`exact_quantiles`): per-batch value-count
@@ -8398,6 +8479,33 @@ ORACLE_SQL: Dict[str, str] = {
              LATERAL (SELECT unnest(generate_series(
                  0, CAST(ceil(n / 48.0) AS INT) - 1)) AS c) g
     """,
+    "line_dedup": """
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   string_split_regex(trim(text), '\\s+') AS tl,
+                   len(string_split_regex(trim(text), '\\s+')) AS n
+            FROM documents
+            WHERE trim(text) <> ''
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(g.c AS BIGINT) AS ci,
+                   array_to_string(tl[g.c * 8 + 1 : least(g.c * 8 + 8, n)], ' ') AS chunk
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, CAST(ceil(n / 8.0) AS INT) - 1)) AS c) g
+        ),
+        ranked AS (
+            SELECT doc_id, ci, length(chunk) AS clen,
+                   doc_id * 1048576 + ci AS packed,
+                   min(doc_id * 1048576 + ci) OVER (PARTITION BY chunk) AS first_packed
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (WHERE packed = first_packed) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(clen) FILTER (WHERE packed = first_packed), 0) AS BIGINT) AS kept_chars
+        FROM ranked GROUP BY doc_id
+    """,
     "text_tokens": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
             CAST(CASE WHEN trim(text) = '' THEN 0
@@ -8933,6 +9041,8 @@ QUERIES = {
     "tile_bounds_6933": q_tile_bounds_6933,
     "tile_morphology": q_tile_morphology,
     "zonal_majority": q_zonal_majority,
+    # -- NEW in r05: corpus-level exact chunk dedup ------------------
+    "line_dedup": q_line_dedup,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
