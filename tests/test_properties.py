@@ -250,3 +250,48 @@ def test_gtiff_overview_pages_property(bands, h, w, lv, seed):
     if ov.ndim == 2:
         ov = ov[None]
     assert np.array_equal(ov, overview_average(img, lv))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sampled_from(["stere", "sterea"]),
+    st.floats(-80, 80),
+    st.floats(-180, 180),
+    st.floats(0.99, 1.01),
+    st.floats(-8, 8),
+    st.floats(-8, 8),
+)
+def test_stereographic_family_roundtrip_property(proj, lat0, lon0, k0, dlon, dlat):
+    """Random-parameter oblique/double stereographic instances invert
+    exactly over a +/-8 deg window around their center (the families
+    added in round 5; polar/UTM variants are covered above)."""
+    from gdal_boots_ray.kernels.crs import resolve_crs
+
+    lat = max(-85.0, min(85.0, lat0 + dlat))
+    lon = lon0 + dlon
+    p4 = f"+proj={proj} +lat_0={lat0} +lon_0={lon0} +k={k0} +x_0=5000 +y_0=-3000 +ellps=WGS84"
+    crs = resolve_crs(p4)
+    x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+    lon2, lat2 = crs.to_lonlat(x, y)
+    # normalize longitude wrap
+    dl = (lon2[0] - lon + 180.0) % 360.0 - 180.0
+    assert abs(dl) < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sampled_from([1, -1]),
+    st.floats(-180, 180),
+    st.floats(55, 89.5),
+)
+def test_laea_polar_roundtrip_property(pole, lon, alat):
+    """Polar LAEA (EASE-Grid aspects) inverts exactly over its
+    hemisphere, including high latitudes near the pole."""
+    from gdal_boots_ray.kernels.crs import resolve_crs
+
+    crs = resolve_crs(f"+proj=laea +lat_0={90 * pole} +lon_0=0 +ellps=WGS84")
+    lat = alat * pole
+    x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+    lon2, lat2 = crs.to_lonlat(x, y)
+    dl = (lon2[0] - lon + 180.0) % 360.0 - 180.0
+    assert abs(dl) < 1e-7 and abs(lat2[0] - lat) < 1e-7
