@@ -483,6 +483,71 @@ def _obstere_inverse(c: _ObStereConsts, x, y):
 # ---------------------------------------------------------------------------
 
 
+class _PolyConsts:
+    """American Polyconic (Snyder 18-12..18-15, EPSG method 9818 —
+    SIRGAS 2000 / Brazil Polyconic).  Forward is the closed Snyder
+    form over the shared meridian-arc series; the inverse is a
+    vectorized 2x2 Newton on the forward (finite-difference Jacobian,
+    ~6 iterations to sub-micron) — simpler to audit than Snyder's
+    18-18 scalar iteration and exact by the roundtrip property."""
+
+    __slots__ = ("a", "e2", "arc", "M0", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, x0, y0):
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.arc = _MeridArc(a, f)
+        self.M0 = float(self.arc.m(np.array([math.radians(lat0)]))[0])
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _poly_forward_rad(c: _PolyConsts, lam, phi):
+    sp = np.sin(phi)
+    cp = np.cos(phi)
+    N = c.a / np.sqrt(1 - c.e2 * sp * sp)
+    M = c.arc.m(phi)
+    dl = lam - c.lam0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        E = dl * sp
+        cot = cp / sp
+        x = N * cot * np.sin(E)
+        y = M - c.M0 + N * cot * (1 - np.cos(E))
+    eq = np.abs(phi) < 1e-12
+    x = np.where(eq, c.a * dl, x)
+    y = np.where(eq, -c.M0, y)
+    return x, y
+
+
+def _poly_forward(c: _PolyConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    x, y = _poly_forward_rad(c, lam, phi)
+    return c.x0 + x, c.y0 + y
+
+
+def _poly_inverse(c: _PolyConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    # footpoint start: phi from the meridian arc, lam from the parallel
+    phi = c.arc.phi(np.clip(c.M0 + yt, -c.arc.m(np.array([np.pi / 2]))[0] * 0.9999,
+                            c.arc.m(np.array([np.pi / 2]))[0] * 0.9999))
+    lam = c.lam0 + xt / (c.a * np.maximum(np.cos(phi), 1e-9))
+    h = 1e-8
+    for _ in range(10):
+        fx, fy = _poly_forward_rad(c, lam, phi)
+        rx, ry = fx - xt, fy - yt
+        ax, ay = _poly_forward_rad(c, lam + h, phi)
+        bx, by = _poly_forward_rad(c, lam, phi + h)
+        j11, j21 = (ax - fx) / h, (ay - fy) / h   # d/dlam
+        j12, j22 = (bx - fx) / h, (by - fy) / h   # d/dphi
+        det = j11 * j22 - j12 * j21
+        det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+        lam = lam - (rx * j22 - ry * j12) / det
+        phi = phi - (j11 * ry - j21 * rx) / det
+    return np.degrees(lam), np.degrees(phi)
+
+
 class _StereaConsts:
     __slots__ = ("e", "e2", "n", "c", "R", "k0", "chi0", "lam0", "x0", "y0")
 
@@ -1254,6 +1319,7 @@ _EPSG_PROJ4 = {
     3994: "+proj=merc +lat_ts=-41 +lon_0=100 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / Mercator 41
     6931: "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 North
     6932: "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  # WGS 84 / NSIDC EASE-Grid 2.0 South
+    5880: "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 +ellps=GRS80",  # SIRGAS 2000 / Brazil Polyconic
     5041: "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS North (E,N)
     5042: "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS South (E,N)
     25832: "+proj=utm +zone=32 +ellps=GRS80",  # ETRS89 / UTM zone 32N
@@ -1366,6 +1432,23 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
+        )
+    elif proj == "poly":
+        # American Polyconic (EPSG method 9818 — Brazil Polyconic)
+        a, f = _p4_ellipsoid(params)
+        consts = _PolyConsts(
+            a,
+            f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _poly_forward(c, lon, lat),
+            lambda x, y, c=consts: _poly_inverse(c, x, y),
         )
     elif proj == "sterea":
         # double (Gauss-sphere) stereographic, EPSG method 9809 — the

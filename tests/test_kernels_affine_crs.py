@@ -825,6 +825,33 @@ class TestEpsgProj4Dispatch:
         x, y = rd.from_lonlat(np.array([5.38763888888889]), np.array([52.15616055555555]))
         assert abs(x[0] - 155000.0) < 1e-6 and abs(y[0] - 463000.0) < 1e-6
 
+    def test_polyconic_brazil(self):
+        # SIRGAS 2000 / Brazil Polyconic (EPSG 5880, method 9818):
+        # structural invariants pin the Snyder closed form — the
+        # central meridian is arc-length-true (y = y_0 + M(phi)), the
+        # equator is x = x_0 + a*dlam, parallels are circular arcs of
+        # radius N*cot(phi), and the Newton inverse round-trips to
+        # machine precision across the Brazilian domain.
+        import math
+
+        from gdal_boots_ray.kernels.crs import _MeridArc
+
+        crs = resolve_crs(5880)
+        arc = _MeridArc(6378137.0, 1 / 298.257222101)
+        for lat in (-30.0, 0.0, 15.0):
+            x, y = crs.from_lonlat(np.array([-54.0]), np.array([lat]))
+            M = float(arc.m(np.array([math.radians(lat)]))[0])
+            assert abs(x[0] - 5000000.0) < 1e-6
+            assert abs(y[0] - (10000000.0 + M)) < 1e-6
+        x, y = crs.from_lonlat(np.array([-50.0]), np.array([0.0]))
+        assert abs((x[0] - 5000000.0) - 6378137.0 * math.radians(4.0)) < 1e-6
+        lons = np.array([-74.0, -54.0, -35.0, -40.0])
+        lats = np.array([-33.0, -5.0, -8.0, 4.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-10
+        assert np.abs(lat2 - lats).max() < 1e-10
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
