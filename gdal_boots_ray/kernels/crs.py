@@ -419,16 +419,15 @@ class _ObStereConsts:
         self.x0, self.y0 = x0, y0
         phi1 = math.radians(lat0)
         s = math.sin(phi1)
-        es = self.e * s
-        chi1 = 2 * math.atan(
-            math.tan(math.pi / 4 + phi1 / 2) * ((1 - es) / (1 + es)) ** (self.e / 2)
-        ) - math.pi / 2
+        chi1 = float(_conformal_lat(self.e, np.float64(phi1)))
         self.schi1 = math.sin(chi1)
         self.cchi1 = math.cos(chi1)
         m1 = math.cos(phi1) / math.sqrt(1 - e2 * s * s)
         # Snyder 21-27 numerator constant 2 a k0 m1 (cosX1 divisor kept
-        # separate for the inverse's 2 a k0 m1 appearance in 21-38)
-        self.akm1 = 2.0 * a * k0 * m1 if abs(lat0) > 1e-12 else 2.0 * a * k0
+        # separate for the inverse's 2 a k0 m1 appearance in 21-38);
+        # m1 is exactly 1.0 at lat0=0, so this covers the equatorial
+        # aspect with no special case
+        self.akm1 = 2.0 * a * k0 * m1
 
 
 def _conformal_lat(e: float, phi) -> np.ndarray:
@@ -491,13 +490,14 @@ class _PolyConsts:
     ~6 iterations to sub-micron) — simpler to audit than Snyder's
     18-18 scalar iteration and exact by the roundtrip property."""
 
-    __slots__ = ("a", "e2", "arc", "M0", "lam0", "x0", "y0")
+    __slots__ = ("a", "e2", "arc", "M0", "Mp", "lam0", "x0", "y0")
 
     def __init__(self, a, f, lat0, lon0, x0, y0):
         self.a = a
         self.e2 = f * (2 - f)
         self.arc = _MeridArc(a, f)
         self.M0 = float(self.arc.m(np.array([math.radians(lat0)]))[0])
+        self.Mp = float(self.arc.m(np.array([np.pi / 2]))[0])  # pole arc
         self.lam0 = math.radians(lon0)
         self.x0, self.y0 = x0, y0
 
@@ -530,13 +530,14 @@ def _poly_inverse(c: _PolyConsts, x, y):
     xt = np.asarray(x, dtype=np.float64) - c.x0
     yt = np.asarray(y, dtype=np.float64) - c.y0
     # footpoint start: phi from the meridian arc, lam from the parallel
-    phi = c.arc.phi(np.clip(c.M0 + yt, -c.arc.m(np.array([np.pi / 2]))[0] * 0.9999,
-                            c.arc.m(np.array([np.pi / 2]))[0] * 0.9999))
+    phi = c.arc.phi(np.clip(c.M0 + yt, -c.Mp * 0.9999, c.Mp * 0.9999))
     lam = c.lam0 + xt / (c.a * np.maximum(np.cos(phi), 1e-9))
     h = 1e-8
-    for _ in range(10):
+    for _ in range(8):
         fx, fy = _poly_forward_rad(c, lam, phi)
         rx, ry = fx - xt, fy - yt
+        if max(float(np.abs(rx).max(initial=0)), float(np.abs(ry).max(initial=0))) < 1e-9:
+            break
         ax, ay = _poly_forward_rad(c, lam + h, phi)
         bx, by = _poly_forward_rad(c, lam, phi + h)
         j11, j21 = (ax - fx) / h, (ay - fy) / h   # d/dlam
@@ -552,6 +553,11 @@ class _StereaConsts:
     __slots__ = ("e", "e2", "n", "c", "R", "k0", "chi0", "lam0", "x0", "y0")
 
     def __init__(self, a, f, lat0, lon0, k0, x0, y0):
+        if abs(lat0) >= 89.999999:
+            raise ValueError(
+                "sterea (double stereographic) is oblique/equatorial only — "
+                "use polar +proj=stere (variant A/B) for lat_0 = +/-90"
+            )
         e2 = f * (2 - f)
         self.e2 = e2
         self.e = math.sqrt(e2)
@@ -573,7 +579,10 @@ class _StereaConsts:
         self.chi0 = math.asin((w2 - 1) / (w2 + 1))
 
     def chi_lam(self, lon, lat):
-        s = np.sin(lat)
+        # clip off exact poles: (1+s)/(1-s) is inf at s=1 and the
+        # w-ratio would go NaN — the clipped value maps within
+        # float-eps of the pole instead of propagating NaN silently
+        s = np.clip(np.sin(lat), -1.0 + 1e-15, 1.0 - 1e-15)
         Sa = (1 + s) / (1 - s)
         Sb = (1 - self.e * s) / (1 + self.e * s)
         w = self.c * (Sa * Sb**self.e) ** self.n

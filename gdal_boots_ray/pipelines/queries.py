@@ -1597,10 +1597,21 @@ def q_line_dedup(sf_dir: str, chunk_tokens: int = 8):
         texts = batch.column("text").to_pylist()
         out_chunk, out_doc, out_ci, out_len = [], [], [], []
         for i, t in enumerate(texts):
-            toks = re.split(r"\s+", t.strip()) if t.strip() else []
+            # EXACT DuckDB mirror: trim() strips SPACES only and RE2's
+            # \s is the ASCII class [\t\n\f\r ] — Python's str.strip()
+            # / \s are Unicode-wide and would shift chunk boundaries on
+            # non-space leading whitespace
+            t = t.strip(" ")
+            toks = re.split(r"[\t\n\f\r ]+", t) if t else []
             if not toks:
                 continue
-            for c in range(0, (len(toks) + chunk_tokens - 1) // chunk_tokens):
+            n_chunks_doc = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            if n_chunks_doc >= (1 << 20) or int(ids[i]) >= (1 << 43):
+                raise ValueError(
+                    "line_dedup packing bound exceeded: chunk index needs "
+                    "< 2^20 and doc_id < 2^43 for the (doc_id, ci) min"
+                )
+            for c in range(0, n_chunks_doc):
                 s = " ".join(toks[c * chunk_tokens : (c + 1) * chunk_tokens])
                 out_chunk.append(s)
                 out_doc.append(int(ids[i]))
