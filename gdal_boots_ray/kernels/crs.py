@@ -549,6 +549,80 @@ def _poly_inverse(c: _PolyConsts, x, y):
     return np.degrees(lam), np.degrees(phi)
 
 
+class _KrovakConsts:
+    """Krovak oblique conformal conic (EPSG method 9819 — S-JTSK).
+
+    Published chain (EPSG Guidance Note 7-2): Gauss sphere at the
+    projection centre, rotation to the oblique pole (azimuth alpha_c),
+    conformal conic with pseudo-standard parallel 78.5 deg.  Axis
+    convention follows PROJ ``+proj=krovak``: x = -westing,
+    y = -southing (both coordinates negative over Czechia/Slovakia);
+    the S-JTSK datum itself is shifted, so only the proj4 form is
+    accepted (native-datum coordinates are the contract)."""
+
+    __slots__ = ("e", "B", "t0", "n", "r0", "sa", "ca", "lam0", "x0", "y0", "tanTp")
+
+    def __init__(self, a, f, lat0, lon0, alpha, k0, x0, y0, phi_p_deg=78.5):
+        e2 = f * (2 - f)
+        self.e = math.sqrt(e2)
+        phic = math.radians(lat0)
+        sc = math.sin(phic)
+        A_ = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        self.B = math.sqrt(1 + e2 * math.cos(phic) ** 4 / (1 - e2))
+        g0 = math.asin(sc / self.B)
+        self.t0 = (
+            math.tan(math.pi / 4 + g0 / 2)
+            * ((1 + self.e * sc) / (1 - self.e * sc)) ** (self.e * self.B / 2)
+            / math.tan(math.pi / 4 + phic / 2) ** self.B
+        )
+        phi_p = math.radians(phi_p_deg)
+        self.n = math.sin(phi_p)
+        self.r0 = k0 * A_ / math.tan(phi_p)
+        self.tanTp = math.tan(math.pi / 4 + phi_p / 2)
+        al = math.radians(alpha)
+        self.sa, self.ca = math.sin(al), math.cos(al)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _krovak_forward(c: _KrovakConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    es = c.e * np.sin(phi)
+    U = 2 * (
+        np.arctan(
+            c.t0 * np.tan(phi / 2 + np.pi / 4) ** c.B / ((1 + es) / (1 - es)) ** (c.e * c.B / 2)
+        )
+        - np.pi / 4
+    )
+    V = c.B * (c.lam0 - lam)
+    T = np.arcsin(np.clip(c.ca * np.sin(U) + c.sa * np.cos(U) * np.cos(V), -1, 1))
+    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T), -1, 1))
+    theta = c.n * D
+    r = c.r0 * c.tanTp**c.n / np.tan(T / 2 + np.pi / 4) ** c.n
+    southing = r * np.cos(theta)
+    westing = r * np.sin(theta)
+    return c.x0 - westing, c.y0 - southing
+
+
+def _krovak_inverse(c: _KrovakConsts, x, y):
+    westing = c.x0 - np.asarray(x, dtype=np.float64)
+    southing = c.y0 - np.asarray(y, dtype=np.float64)
+    r = np.sqrt(westing * westing + southing * southing)
+    theta = np.arctan2(westing, southing)
+    D = theta / c.n
+    T = 2 * (np.arctan((c.r0 / r) ** (1.0 / c.n) * c.tanTp) - np.pi / 4)
+    U = np.arcsin(np.clip(c.ca * np.sin(T) - c.sa * np.cos(T) * np.cos(D), -1, 1))
+    V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1, 1))
+    lam = c.lam0 - V / c.B
+    tU = np.tan(U / 2 + np.pi / 4) ** (1.0 / c.B) * c.t0 ** (-1.0 / c.B)
+    phi = 2 * (np.arctan(tU) - np.pi / 4)
+    for _ in range(8):
+        es = c.e * np.sin(phi)
+        phi = 2 * (np.arctan(tU * ((1 + es) / (1 - es)) ** (c.e / 2)) - np.pi / 4)
+    return np.degrees(lam), np.degrees(phi)
+
+
 class _StereaConsts:
     __slots__ = ("e", "e2", "n", "c", "R", "k0", "chi0", "lam0", "x0", "y0")
 
@@ -1441,6 +1515,25 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _ps_forward(c, lon, lat),
             lambda x, y, c=consts: _ps_inverse(c, x, y),
+        )
+    elif proj == "krovak":
+        # Krovak (EPSG method 9819 — S-JTSK; shifted datum, proj4 only)
+        a, f = _p4_ellipsoid({**params, "ellps": params.get("ellps", "bessel")})
+        consts = _KrovakConsts(
+            a,
+            f,
+            float(params.get("lat_0", 49.5)),
+            float(params.get("lon_0", 24.833333333333332)),
+            float(params.get("alpha", 30.288139722222223)),
+            float(params.get("k", params.get("k_0", 0.9999))),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _krovak_forward(c, lon, lat),
+            lambda x, y, c=consts: _krovak_inverse(c, x, y),
         )
     elif proj == "poly":
         # American Polyconic (EPSG method 9818 — Brazil Polyconic)

@@ -852,6 +852,41 @@ class TestEpsgProj4Dispatch:
         assert np.abs(lon2 - lons).max() < 1e-10
         assert np.abs(lat2 - lats).max() < 1e-10
 
+    def test_krovak(self):
+        # Krovak (EPSG method 9819, S-JTSK — proj4 only, shifted
+        # datum).  EPSG Guidance 7-2 example point pinned to 1 m
+        # (published southing matches to <2 cm); conformality and the
+        # design scale k=0.9999 hold over the Czech/Slovak domain;
+        # roundtrips machine-exact.
+        import math
+
+        crs = resolve_crs("+proj=krovak +ellps=bessel")
+        lat = 50 + 12 / 60 + 32.4416 / 3600
+        lon = 16 + 50 / 60 + 59.1790 / 3600
+        x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+        assert abs(-y[0] - 1050538.63) < 0.05   # southing
+        assert abs(-x[0] - 568991.0) < 1.0      # westing
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert abs(lon2[0] - lon) < 1e-12 and abs(lat2[0] - lat) < 1e-12
+        # conformal with scale ~0.9999 across the domain
+        a, f = 6377397.155, 1 / 299.1528128
+        e2 = f * (2 - f)
+        d = 1e-7
+        for lo, la in [(14.42, 50.088), (18.5, 48.7)]:
+            phi = math.radians(la)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            x0, y0 = crs.from_lonlat(np.array([lo]), np.array([la]))
+            x1, y1 = crs.from_lonlat(np.array([lo]), np.array([la + d]))
+            x2, y2 = crs.from_lonlat(np.array([lo + d]), np.array([la]))
+            km = math.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (M * math.radians(d))
+            kp = math.hypot(x2[0] - x0[0], y2[0] - y0[0]) / (N * math.cos(phi) * math.radians(d))
+            assert abs(km / kp - 1) < 1e-6
+            assert abs(km - 0.9999) < 2e-4
+        # Prague landmark (known S-JTSK coordinates, PROJ axis signs)
+        x, y = crs.from_lonlat(np.array([14.42076]), np.array([50.08804]))
+        assert abs(x[0] + 742925.3) < 5.0 and abs(y[0] + 1043020.3) < 5.0
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
