@@ -52,6 +52,14 @@ series implementations from public literature:
   <1 mm).  LAEA polar aspects (EASE-Grid 2.0 North/South, EPSG
   6931/6932) use Snyder 24-3/24-4 — the oblique D constant
   degenerates at the pole.
+- American Polyconic (``+proj=poly``, EPSG method 9818; SIRGAS 2000 /
+  Brazil Polyconic 5880) — closed Snyder forward over the shared
+  meridian-arc series, Newton inverse; pinned by arc-true central
+  meridian / circular-arc parallel invariants.
+- Krovak (``+proj=krovak``, EPSG method 9819; S-JTSK, proj4 only) —
+  Gauss sphere + oblique-pole rotation + pseudo-standard-parallel
+  conic, PROJ axis signs; Guidance 7-2 southing to <2 cm, conformal
+  with design scale 0.9999 across the domain.
 
 All transforms are vectorized over ``(n,)`` float64 coordinate arrays.
 """
@@ -1335,8 +1343,9 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"polar stereo {sorted(_EPSG_PS)}, CEA {sorted(_EPSG_CEA)}, "
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
-            f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, eqc, "
-            f"sinu, cea, geos, omerc) can be passed as its proj4 string"
+            f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
+            f"krovak, eqc, sinu, cea, geos, omerc) can be passed as its proj4 "
+            f"string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
