@@ -4805,6 +4805,83 @@ def q_audio_spectrum(sf_dir: str, n_media: int = 200):
     return ds.map_batches(spectrum, batch_format="pyarrow")
 
 
+def q_audio_flac(sf_dir: str, n_media: int = 200):
+    """REAL FLAC decode in the gate (kernels/flac.py, from-scratch
+    RFC 9639): per customer key, synthesize a STEREO int16 signal
+    left_i = a1*(-1)^i + a0, right_i = a0 - a1*(-1)^i, FLAC-encode it
+    with a key-cycled codec path — all four stereo assignments
+    (independent / left-side / right-side / mid-side by k%4) and
+    fixed-vs-LPC prediction (k%5) — then decode with MD5
+    verification and emit per-channel integer spectral identities
+    (DC / Nyquist / energy sums).  Every value is a closed form over
+    the key grid (dc = n*a0, nyq = +-n*a1, energy = n*(a0^2+a1^2) for
+    even n), so one flipped sample anywhere in the rice / predictor /
+    stereo-reconstruction / CRC chain breaks the hash.  Pure
+    map_batches; nothing crosses a shuffle."""
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def synth_flac(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.flac import flac_encode
+
+        keys = batch.column("c_custkey").to_numpy().astype(np.int64)
+        keys = keys[keys < n_media]
+        modes = ("independent", "left_side", "right_side", "mid_side")
+        ids, blobs = [], []
+        for k in keys:
+            a0 = ((int(k) % 7) + 1) * 100
+            a1 = ((int(k) % 31) + 1) * 100
+            n = 2000 * (1 + int(k) % 3)
+            sign = np.where(np.arange(n) % 2 == 0, 1, -1).astype(np.int64)
+            left = a1 * sign + a0
+            right = a0 - a1 * sign
+            blobs.append(
+                flac_encode(
+                    np.stack([left, right]), 8000, bits=16, block_size=1024,
+                    stereo_mode=modes[int(k) % 4],
+                    lpc_order=8 if int(k) % 5 == 0 else None,
+                )
+            )
+            ids.append(f"flac-{int(k):08d}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    ds = cust.map_batches(synth_flac, batch_format="pyarrow")
+
+    def spectrum(batch: pa.Table) -> pa.Table:
+        from gdal_boots_ray.kernels.flac import flac_decode
+
+        ids = batch.column("media_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        out_id, out_ch, n_samples, dc, nyq, energy = [], [], [], [], [], []
+        for i, blob in enumerate(blobs):
+            x, _rate, _bits = flac_decode(blob, verify_md5=True)
+            sign = np.where(np.arange(x.shape[1]) % 2 == 0, 1, -1)
+            for ch in range(x.shape[0]):
+                s = x[ch].astype(np.int64)
+                out_id.append(ids[i])
+                out_ch.append(ch)
+                n_samples.append(len(s))
+                dc.append(int(s.sum()))
+                nyq.append(int((s * sign).sum()))
+                energy.append(int((s * s).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "channel": pa.array(out_ch, pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "dc_sum": pa.array(dc, pa.int64()),
+                "nyq_sum": pa.array(nyq, pa.int64()),
+                "energy": pa.array(energy, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(spectrum, batch_format="pyarrow", num_cpus=1)
+
+
 def q_video_frames(sf_dir: str, n_media: int = 100):
     """REAL video decode in the gate: per customer key, synthesize a
     2 s / 4 fps mono Y4M stream whose frame f is the constant value
@@ -7444,6 +7521,24 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(n * (a0 * a0 + a1 * a1) AS BIGINT) AS energy
         FROM p
     """,
+    "audio_flac": """
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey < 200
+        ),
+        p AS (
+            SELECT printf('flac-%08d', k) AS media_id,
+                   ((k % 7) + 1) * 100 AS a0,
+                   ((k % 31) + 1) * 100 AS a1,
+                   2000 * (1 + k % 3) AS n
+            FROM c
+        )
+        SELECT media_id, CAST(ch.c AS BIGINT) AS channel,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * a0 AS BIGINT) AS dc_sum,
+               CAST(CASE WHEN ch.c = 0 THEN n * a1 ELSE -n * a1 END AS BIGINT) AS nyq_sum,
+               CAST(n * (a0 * a0 + a1 * a1) AS BIGINT) AS energy
+        FROM p, LATERAL (SELECT unnest(generate_series(0, 1)) AS c) ch
+    """,
     "audio_rms": """
         SELECT printf('aud-%08d', k) AS media_id, CAST(wi.w AS BIGINT) AS win,
                round(((k % 31) + 1) / 64.0, 6) AS rms
@@ -9054,6 +9149,8 @@ QUERIES = {
     "zonal_majority": q_zonal_majority,
     # -- NEW in r05: corpus-level exact chunk dedup ------------------
     "line_dedup": q_line_dedup,
+    # -- NEW in r05: from-scratch FLAC codec in the gate -------------
+    "audio_flac": q_audio_flac,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,

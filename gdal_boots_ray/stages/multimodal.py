@@ -1,8 +1,10 @@
 """Multimodal column stages: image features, video/audio plumbing.
 
-Images are fully real (our own codecs).  Video/audio codecs are not
-available in this environment, so those stages implement the full Ray
-plumbing — schema, batch shapes, actor signature, output layout —
+Images are fully real (our own codecs), as are WAV + Y4M
+(kernels/media.py) and FLAC (kernels/flac.py — from-scratch RFC 9639
+lossless decode).  Lossy video/audio codecs (h264/mp3/ogg) are not
+implementable in this environment, so those stages implement the full
+Ray plumbing — schema, batch shapes, actor signature, output layout —
 around a decoder seam that either raises ``NotImplementedError``
 (default) or runs a deterministic fake for tests
 (``fake_decoder=True``).  Swapping in a real libav/soundfile decoder
@@ -204,9 +206,11 @@ class AudioFeatures:
     per-window RMS energy rows.
 
     ``fmt == 'wav'`` (RIFF PCM u8/s16/s24/s32 + float32) decodes for
-    REAL via kernels/media.py — no external codec.  Compressed audio
-    (mp3/ogg/flac) remains a documented seam (NotImplementedError /
-    deterministic fake for plumbing tests)."""
+    REAL via kernels/media.py and ``fmt == 'flac'`` via the
+    from-scratch kernels/flac.py (RFC 9639: fixed + LPC predictors,
+    joint stereo, rice/rice2, CRC-verified) — no external codec.
+    Lossy compressed audio (mp3/ogg) remains a documented seam
+    (NotImplementedError / deterministic fake for plumbing tests)."""
 
     def __init__(self, window_s: float = 1.0, fake_decoder: bool = False):
         self.window_s = window_s
@@ -218,10 +222,16 @@ class AudioFeatures:
 
             samples, _rate = wav_decode(bytes(data))
             return samples if samples.ndim == 1 else samples.mean(axis=0)  # downmix
+        if fmt == "flac":
+            from gdal_boots_ray.kernels.flac import flac_decode
+
+            samples, _rate, bits = flac_decode(bytes(data))
+            x = samples.astype(np.float32) / float(1 << (bits - 1))
+            return x if x.ndim == 1 else x.mean(axis=0)  # downmix
         if not self.fake_decoder:
             raise NotImplementedError(
-                "compressed audio needs an external codec (e.g. soundfile); "
-                "wav decodes for real, the rest is a seam"
+                "lossy audio (mp3/ogg) needs an external codec (e.g. "
+                "soundfile); wav + flac decode for real, the rest is a seam"
             )
         rng = np.random.default_rng(abs(hash(media_id)) % (2**32))
         return rng.normal(size=sr * 3).astype(np.float32)

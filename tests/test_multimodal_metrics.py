@@ -96,11 +96,31 @@ def test_audio_features_stub_and_fake():
             "sample_rate": pa.array([8000], pa.int32()),
         }
     )
-    with pytest.raises(NotImplementedError, match="compressed audio"):
+    with pytest.raises(NotImplementedError, match="lossy audio"):
         AudioFeatures()(batch)
     out = AudioFeatures(window_s=1.0, fake_decoder=True)(batch)
     assert out.num_rows == 3  # 3 seconds of fake samples
     assert (np.asarray(out.column("rms").to_pylist()) > 0).all()
+
+
+def test_audio_features_decodes_flac_for_real():
+    """fmt='flac' routes through kernels/flac.py (no fake): a square
+    wave's per-window RMS equals its amplitude exactly."""
+    from gdal_boots_ray.kernels.flac import flac_encode
+
+    amp_q = 8192  # 0.25 in int16 units: exactly representable
+    sig = np.where(np.arange(16000) % 2 == 0, amp_q, -amp_q)
+    batch = pa.table(
+        {
+            "media_id": pa.array(["aud-flac-0"], pa.string()),
+            "bytes": pa.array([flac_encode(sig, 8000, bits=16)], pa.binary()),
+            "fmt": pa.array(["flac"], pa.string()),
+            "sample_rate": pa.array([8000], pa.int32()),
+        }
+    )
+    out = AudioFeatures(window_s=1.0)(batch)
+    assert out.num_rows == 2  # 2 seconds
+    assert np.allclose(out.column("rms").to_pylist(), amp_q / 32768.0)
 
 
 class TestRealMediaCodecs:
