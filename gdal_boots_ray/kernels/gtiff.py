@@ -284,6 +284,10 @@ def _build_page(
             payload = _predict2(payload, cw, ch, bands, dtle)
         if comp_id == 8:
             return zlib.compress(payload, zlevel)
+        if comp_id == 50000:
+            from gdal_boots_ray.kernels.zstd import zstd_compress
+
+            return zstd_compress(payload, checksum=False)
         if comp_id == 5:
             return lzw_encode(payload)
         if comp_id == 32773:
@@ -466,6 +470,8 @@ def gtiff_encode(
         comp_id = 5
     elif compress == "packbits":
         comp_id = 32773
+    elif compress == "zstd":
+        comp_id = 50000  # GDAL-registered ZSTD compression tag
     elif compress == "jpeg":
         if dt != np.dtype(np.uint8):
             raise ValueError("JPEG-in-TIFF is 8-bit only")
@@ -559,6 +565,10 @@ def _decode_chunk(raw: bytes, comp: int, rows: int, cols: int, bands: int,
     row_bytes = cols * bands * dt.itemsize
     if comp == 8 or comp == 32946:
         raw = zlib.decompress(raw)
+    elif comp == 50000:
+        from gdal_boots_ray.kernels.zstd import zstd_decompress
+
+        raw = zstd_decompress(raw)
     elif comp == 5:
         raw = lzw_decode(raw)
     elif comp == 32773:

@@ -70,9 +70,11 @@ class GTiff(DriverOptions):
     horizontal-differencing predictor; JPEG is the from-scratch
     baseline T.81 codec (kernels/jpeg.py, Compression=7 single-strip,
     ``jpeg_quality`` is an engine extension like ``predictor``);
-    ZSTD/WEBP/LERC need external codecs absent from this environment
-    and raise NotImplementedError at codec_args time (documented
-    seam).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
+    ZSTD is the from-scratch RFC 8878 codec in kernels/zstd.py
+    (Compression=50000, the GDAL-registered tag; streams interop with
+    libzstd both directions); WEBP/LERC still need external codecs
+    absent from this environment and raise NotImplementedError at
+    codec_args time (documented seam).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
     TIFF 6.0 tiled layout (kernels/gtiff.py) so windowed reads decode
     O(touched tiles) — the cloud-optimized-GeoTIFF access pattern."""
 
@@ -168,6 +170,10 @@ def codec_args(options: DriverOptions) -> dict:
             kw.update(compress="lzw")
         elif options.compress == GTiff.Compress.packbits:
             kw.update(compress="packbits")
+        elif options.compress == GTiff.Compress.zstd:
+            # from-scratch RFC 8878 codec (kernels/zstd.py) — real
+            # compressed frames, interop-tested against libzstd
+            kw.update(compress="zstd")
         elif options.compress == GTiff.Compress.jpeg:
             kw.update(compress="jpeg", jpeg_quality=options.jpeg_quality)
         elif options.compress is not None:

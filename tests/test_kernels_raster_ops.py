@@ -300,9 +300,10 @@ class TestOptions:
         assert codec_args(GTiff(compress=GTiff.Compress.lzw))["compress"] == "lzw"
         kw = codec_args(GTiff(compress=GTiff.Compress.packbits, predictor=2))
         assert kw["compress"] == "packbits" and kw["predictor"] == 2
-        # reference enum parity: external-codec members are a seam
+        # ZSTD is real now (kernels/zstd.py); WEBP/LERC stay seams
+        assert codec_args(GTiff(compress=GTiff.Compress.zstd))["compress"] == "zstd"
         with pytest.raises(NotImplementedError):
-            codec_args(GTiff(compress=GTiff.Compress.zstd))
+            codec_args(GTiff(compress=GTiff.Compress.webp))
         with pytest.raises(NotImplementedError):
             codec_args(GTiff(interleave=GTiff.Interleave.band))
         enc = GTiff(compress=GTiff.Compress.lzw, predictor=2).encode()
