@@ -49,6 +49,7 @@ _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
 _TYPE_SIZES = {3: 2, 4: 4, 12: 8}
 
 T_PREDICTOR = 317
+T_LERC_PARAMS = 50674  # LercParameters: [version, additional compression]
 
 _CLEAR, _EOI = 256, 257
 
@@ -260,6 +261,8 @@ def _build_page(
     base_offset: int,
     reduced: bool,
     rows_per_strip: Optional[int] = None,
+    lerc_add: int = 0,
+    max_z_error: float = 0.0,
 ) -> Tuple[bytes, int]:
     """One TIFF page (IFD + out-of-line values + pixel chunks) laid
     out at absolute ``base_offset``.  Returns (page bytes, position of
@@ -278,6 +281,17 @@ def _build_page(
             from gdal_boots_ray.kernels.jpeg import jpeg_encode
 
             return jpeg_encode(np.ascontiguousarray(chunk), quality=jpeg_quality)
+        if comp_id == 34887:
+            from gdal_boots_ray.kernels.lerc import lerc_encode
+
+            payload = lerc_encode(chunk, max_z_error=max_z_error)
+            if lerc_add == 1:
+                return zlib.compress(payload, zlevel)
+            if lerc_add == 2:
+                from gdal_boots_ray.kernels.zstd import zstd_compress
+
+                return zstd_compress(payload, checksum=False)
+            return payload
         inter = np.ascontiguousarray(np.transpose(chunk, (1, 2, 0)))
         payload = inter.astype(dtle, copy=False).tobytes()
         if predictor == 2:
@@ -346,6 +360,8 @@ def _build_page(
     if predictor == 2:
         entry(T_PREDICTOR, _TYPE_SHORT, 2)
     entry(T_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
+    if comp_id == 34887:
+        entry(T_LERC_PARAMS, _TYPE_LONG, [4, lerc_add])
     if gt is not None:
         a, _b, c, _d, e, f = [float(v) for v in gt]
         entry(T_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [a, -e, 0.0])
@@ -432,6 +448,7 @@ def gtiff_encode(
     blockysize: int = 256,
     overviews=(),
     rows_per_strip: Optional[int] = None,
+    max_z_error: float = 0.0,
 ) -> bytes:
     """(bands,h,w)/(h,w) array -> GeoTIFF bytes (chunky interleave).
 
@@ -464,6 +481,7 @@ def gtiff_encode(
             raise ValueError("Predictor=2 without compression is pointless")
     elif predictor != 1:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    lerc_add = 0
     if compress == "deflate":
         comp_id = 8
     elif compress == "lzw":
@@ -472,6 +490,11 @@ def gtiff_encode(
         comp_id = 32773
     elif compress == "zstd":
         comp_id = 50000  # GDAL-registered ZSTD compression tag
+    elif compress in ("lerc", "lerc_deflate", "lerc_zstd"):
+        if predictor != 1:
+            raise ValueError("predictor does not apply to LERC compression")
+        comp_id = 34887  # registered LERC compression tag
+        lerc_add = ("lerc", "lerc_deflate", "lerc_zstd").index(compress)
     elif compress == "jpeg":
         if dt != np.dtype(np.uint8):
             raise ValueError("JPEG-in-TIFF is 8-bit only")
@@ -508,6 +531,7 @@ def gtiff_encode(
             pimg, pgt, epsg, comp_id, zlevel, predictor, jpeg_quality,
             tiled, blockxsize, blockysize, base, reduced,
             rows_per_strip=rows_per_strip,
+            lerc_add=lerc_add, max_z_error=max_z_error,
         )
         next_ptr_abs = base + rel
         out += page
@@ -556,12 +580,22 @@ def _ifd_chain(data: bytes, max_pages: int = 64) -> list:
 
 
 def _decode_chunk(raw: bytes, comp: int, rows: int, cols: int, bands: int,
-                  dt: np.dtype, predictor: int) -> np.ndarray:
+                  dt: np.dtype, predictor: int, lerc_add: int = 0) -> np.ndarray:
     """One strip/tile -> (rows, cols, bands) array."""
     if comp == 7:
         from gdal_boots_ray.kernels.jpeg import jpeg_decode
 
         return np.transpose(jpeg_decode(raw), (1, 2, 0))
+    if comp == 34887:
+        from gdal_boots_ray.kernels.lerc import lerc_decode
+
+        if lerc_add == 1:
+            raw = zlib.decompress(raw)
+        elif lerc_add == 2:
+            from gdal_boots_ray.kernels.zstd import zstd_decompress
+
+            raw = zstd_decompress(raw)
+        return np.transpose(lerc_decode(raw).astype(dt, copy=False), (1, 2, 0))
     row_bytes = cols * bands * dt.itemsize
     if comp == 8 or comp == 32946:
         raw = zlib.decompress(raw)
@@ -612,7 +646,8 @@ def _decode_tiled(data: bytes, tags: dict, dt: np.dtype, bands: int, comp: int,
         for tx in range(x0 // bx, (x0 + ww - 1) // bx + 1):
             ti = ty * ntx + tx
             tile = _decode_chunk(
-                data[offs[ti] : offs[ti] + counts[ti]], comp, by, bx, bands, dt, predictor
+                data[offs[ti] : offs[ti] + counts[ti]], comp, by, bx, bands, dt,
+                predictor, lerc_add=tags.get(T_LERC_PARAMS, [4, 0])[1],
             )
             # intersection of this tile with the window, both coordinate frames
             ix0, iy0 = max(x0, tx * bx), max(y0, ty * by)
@@ -660,6 +695,7 @@ def _decode_common(data: bytes, win: Optional[Tuple[int, int, int, int]], page: 
                 data[offs[si] : offs[si] + counts[si]], comp,
                 min(rows_per_strip, h - si * rows_per_strip),
                 w, bands, dt, predictor,
+                lerc_add=tags.get(T_LERC_PARAMS, [4, 0])[1],
             )
             for si in range(s0, s1)
         ]

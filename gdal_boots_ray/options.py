@@ -72,8 +72,11 @@ class GTiff(DriverOptions):
     ``jpeg_quality`` is an engine extension like ``predictor``);
     ZSTD is the from-scratch RFC 8878 codec in kernels/zstd.py
     (Compression=50000, the GDAL-registered tag; streams interop with
-    libzstd both directions); WEBP/LERC still need external codecs
-    absent from this environment and raise NotImplementedError at
+    libzstd both directions); LERC / LERC_DEFLATE / LERC_ZSTD are the
+    from-scratch microblock codec in kernels/lerc.py (Compression=
+    34887 + LercParameters tag, ``max_z_error`` engine extension for
+    the lossy float path); WEBP still needs an external codec absent
+    from this environment and raises NotImplementedError at
     codec_args time (documented seam).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
     TIFF 6.0 tiled layout (kernels/gtiff.py) so windowed reads decode
     O(touched tiles) — the cloud-optimized-GeoTIFF access pattern."""
@@ -102,6 +105,7 @@ class GTiff(DriverOptions):
     zlevel: int = 6
     predictor: int = 1
     jpeg_quality: int = 95
+    max_z_error: float = 0.0  # LERC error bound (engine extension)
 
     def encode(self) -> List[str]:
         values = dict(vars(self))
@@ -111,6 +115,10 @@ class GTiff(DriverOptions):
             values.pop("predictor", None)
         if self.compress != self.Compress.jpeg:
             values.pop("jpeg_quality", None)
+        if self.compress not in (
+            self.Compress.lerc, self.Compress.lerc_deflate, self.Compress.lerc_zstd,
+        ) or not self.max_z_error:
+            values.pop("max_z_error", None)
         return _encode(values)
 
 
@@ -174,6 +182,16 @@ def codec_args(options: DriverOptions) -> dict:
             # from-scratch RFC 8878 codec (kernels/zstd.py) — real
             # compressed frames, interop-tested against libzstd
             kw.update(compress="zstd")
+        elif options.compress in (
+            GTiff.Compress.lerc,
+            GTiff.Compress.lerc_deflate,
+            GTiff.Compress.lerc_zstd,
+        ):
+            # from-scratch LERC microblock codec (kernels/lerc.py);
+            # _deflate/_zstd wrap the payload in zlib / kernels/zstd.py
+            kw.update(compress=options.compress.value.lower())
+            if options.max_z_error:
+                kw.update(max_z_error=options.max_z_error)
         elif options.compress == GTiff.Compress.jpeg:
             kw.update(compress="jpeg", jpeg_quality=options.jpeg_quality)
         elif options.compress is not None:
