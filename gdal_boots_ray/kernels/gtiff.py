@@ -281,6 +281,10 @@ def _build_page(
             from gdal_boots_ray.kernels.jpeg import jpeg_encode
 
             return jpeg_encode(np.ascontiguousarray(chunk), quality=jpeg_quality)
+        if comp_id == 50001:
+            from gdal_boots_ray.kernels.webp import webp_encode
+
+            return webp_encode(np.ascontiguousarray(chunk))
         if comp_id == 34887:
             from gdal_boots_ray.kernels.lerc import lerc_encode
 
@@ -495,6 +499,12 @@ def gtiff_encode(
             raise ValueError("predictor does not apply to LERC compression")
         comp_id = 34887  # registered LERC compression tag
         lerc_add = ("lerc", "lerc_deflate", "lerc_zstd").index(compress)
+    elif compress == "webp":
+        if dt != np.dtype(np.uint8) or img.shape[0] not in (3, 4):
+            raise ValueError("WEBP-in-TIFF needs 3- or 4-band uint8")
+        if predictor != 1:
+            raise ValueError("predictor does not apply to WEBP compression")
+        comp_id = 50001  # registered WEBP compression tag (lossless VP8L)
     elif compress == "jpeg":
         if dt != np.dtype(np.uint8):
             raise ValueError("JPEG-in-TIFF is 8-bit only")
@@ -586,6 +596,10 @@ def _decode_chunk(raw: bytes, comp: int, rows: int, cols: int, bands: int,
         from gdal_boots_ray.kernels.jpeg import jpeg_decode
 
         return np.transpose(jpeg_decode(raw), (1, 2, 0))
+    if comp == 50001:
+        from gdal_boots_ray.kernels.webp import webp_decode
+
+        return np.transpose(webp_decode(raw)[:bands].astype(dt, copy=False), (1, 2, 0))
     if comp == 34887:
         from gdal_boots_ray.kernels.lerc import lerc_decode
 

@@ -75,9 +75,11 @@ class GTiff(DriverOptions):
     libzstd both directions); LERC / LERC_DEFLATE / LERC_ZSTD are the
     from-scratch microblock codec in kernels/lerc.py (Compression=
     34887 + LercParameters tag, ``max_z_error`` engine extension for
-    the lossy float path); WEBP still needs an external codec absent
-    from this environment and raises NotImplementedError at
-    codec_args time (documented seam).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
+    the lossy float path); WEBP is the from-scratch VP8L *lossless*
+    codec in kernels/webp.py (Compression=50001, 3/4-band uint8).
+    Every Compress enum member is now backed by a working in-repo
+    codec; the only remaining external-codec seam is the proprietary
+    ECW driver (its options still encode for parity).  ``tiled=True`` + ``blockxsize``/``blockysize`` produce the
     TIFF 6.0 tiled layout (kernels/gtiff.py) so windowed reads decode
     O(touched tiles) — the cloud-optimized-GeoTIFF access pattern."""
 
@@ -182,6 +184,11 @@ def codec_args(options: DriverOptions) -> dict:
             # from-scratch RFC 8878 codec (kernels/zstd.py) — real
             # compressed frames, interop-tested against libzstd
             kw.update(compress="zstd")
+        elif options.compress == GTiff.Compress.webp:
+            # from-scratch VP8L lossless codec (kernels/webp.py);
+            # lossy VP8 stays a seam — lossless is what a data
+            # pipeline wants for raster fidelity anyway
+            kw.update(compress="webp")
         elif options.compress in (
             GTiff.Compress.lerc,
             GTiff.Compress.lerc_deflate,

@@ -4056,6 +4056,53 @@ def q_recode_stats_lerc(sf_dir: str):
     return ds.map_batches(lerc_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
 
 
+def q_recode_stats_webp(sf_dir: str):
+    """GeoTIFF WEBP fidelity gate: decode -> stack the tile to the
+    3-band layout WEBP-in-TIFF requires (band-replicated, so band-0
+    stats keep the same closed-form twin) -> re-encode through the
+    pure-python TIFF codec with the FROM-SCRATCH VP8L lossless codec
+    (kernels/webp.py: RIFF/VP8L container, canonical prefix codes,
+    LZ77 runs + color cache; Compression=50001, the registered WEBP
+    tag — reference ``GTiff.Compress.webp``, reference
+    options.py:66-80, previously an external-codec seam) -> decode ->
+    per-image stats of band 0; equals the closed-form pixel-field
+    oracle iff the whole VP8L round trip is bit-exact.  Same
+    actor-pool plumbing as recode_stats_tiff_lzw."""
+    from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def webp_roundtrip_stats(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        for i in range(n):
+            img = views[i] if views[i].ndim == 3 else views[i][None]
+            if img.shape[0] < 3:
+                img = np.repeat(img[:1], 3, axis=0)
+            blob = gtiff_encode(np.ascontiguousarray(img[:3]), compress="webp")
+            rt, _, _ = gtiff_decode(blob)
+            b0 = rt if rt.ndim == 2 else rt[0]
+            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
+            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "sum_v": pa.array(sum_v),
+                "min_v": pa.array(min_v),
+                "max_v": pa.array(max_v),
+            }
+        )
+
+    return ds.map_batches(webp_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+
+
 def q_window_stats_cog(sf_dir: str):
     """Cloud-optimized-GeoTIFF windowed-read gate: re-encode each
     image through the TIFF 6.0 *tiled* layout (kernels/gtiff.py —
@@ -7218,6 +7265,18 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "recode_stats_webp": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """,
     "recode_stats_lerc": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -9265,6 +9324,7 @@ QUERIES = {
     "audio_flac": q_audio_flac,
     "recode_stats_zstd": q_recode_stats_zstd,
     "recode_stats_lerc": q_recode_stats_lerc,
+    "recode_stats_webp": q_recode_stats_webp,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,

@@ -300,10 +300,10 @@ class TestOptions:
         assert codec_args(GTiff(compress=GTiff.Compress.lzw))["compress"] == "lzw"
         kw = codec_args(GTiff(compress=GTiff.Compress.packbits, predictor=2))
         assert kw["compress"] == "packbits" and kw["predictor"] == 2
-        # ZSTD is real now (kernels/zstd.py); WEBP/LERC stay seams
+        # every Compress member is backed by an in-repo codec now
         assert codec_args(GTiff(compress=GTiff.Compress.zstd))["compress"] == "zstd"
-        with pytest.raises(NotImplementedError):
-            codec_args(GTiff(compress=GTiff.Compress.webp))
+        assert codec_args(GTiff(compress=GTiff.Compress.webp))["compress"] == "webp"
+        assert codec_args(GTiff(compress=GTiff.Compress.lerc))["compress"] == "lerc"
         with pytest.raises(NotImplementedError):
             codec_args(GTiff(interleave=GTiff.Interleave.band))
         enc = GTiff(compress=GTiff.Compress.lzw, predictor=2).encode()
