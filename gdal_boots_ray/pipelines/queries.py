@@ -4103,6 +4103,112 @@ def q_recode_stats_webp(sf_dir: str):
     return ds.map_batches(webp_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+1-555-\d{4}"
+
+
+def q_pii_scrub(sf_dir: str, doc_cap: int = 1500):
+    """PII detection + redaction — the pre-training scrub every
+    at-scale text pipeline runs before tokenization.  Each document
+    is augmented with a deterministic key-derived PII suffix (the
+    corpus itself is synthetic clean text, so the suffix guarantees
+    nonzero recall for the gate), then scanned with compiled
+    email / IPv4 / phone regexes and redacted in a fixed order
+    (email -> ipv4 -> phone, each span replaced by ``[PII]``).
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, redacted_len).  The
+    DuckDB twin runs the SAME regex source strings through RE2
+    (regexp_extract_all + chained regexp_replace 'g'), so the hash
+    gates cross-engine regex semantic parity, the non-overlap match
+    rule, and the replacement order.  Regexes compile once at import
+    (actor-state rule); pure map_batches, nothing shuffles."""
+    import re
+
+    docs = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < doc_cap,
+    )
+    re_email = re.compile(_PII_EMAIL)
+    re_ip = re.compile(_PII_IPV4)
+    re_phone = re.compile(_PII_PHONE)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        n = len(ids)
+        n_email = np.empty(n, np.int64)
+        n_ip = np.empty(n, np.int64)
+        n_phone = np.empty(n, np.int64)
+        red_len = np.empty(n, np.int64)
+        for i, t in enumerate(texts):
+            k = int(ids[i])
+            full = (
+                f"{t} contact u{k}@ex{k % 7}.org ip 10.{k % 256}.0.{(k * 3) % 256}"
+                f" phone +1-555-{k % 10000:04d}"
+            )
+            n_email[i] = len(re_email.findall(full))
+            n_ip[i] = len(re_ip.findall(full))
+            n_phone[i] = len(re_phone.findall(full))
+            red = re_phone.sub("[PII]", re_ip.sub("[PII]", re_email.sub("[PII]", full)))
+            red_len[i] = len(red)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_email": pa.array(n_email),
+                "n_ipv4": pa.array(n_ip),
+                "n_phone": pa.array(n_phone),
+                "redacted_len": pa.array(red_len),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def q_tile_augment(sf_dir: str):
+    """Deterministic image augmentation (the rot90 / fliplr layout
+    ops a vision training pipeline applies at ingest) under the
+    oracle gate: decode each tile, apply REAL ``np.rot90`` and
+    ``np.fliplr`` to band 0, and emit position-weighted checksums
+    (sum of v * (col + 2*row) over the AUGMENTED layout) that are
+    orientation-sensitive — a transposed, flipped or off-by-one
+    roll breaks the hash where a plain pixel sum would not.  The
+    DuckDB twin replays the coordinate mapping in closed form:
+    rot90 (ccw) puts source pixel (x, y) at (row=w-1-x, col=y);
+    fliplr puts it at (row=y, col=w-1-x).  Embarrassingly parallel
+    map_batches over decoded pixels."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        rot_sum = np.empty(n, np.int64)
+        flip_sum = np.empty(n, np.int64)
+        for i in range(n):
+            b0 = views[i] if views[i].ndim == 2 else views[i][0]
+            rot = np.rot90(b0).astype(np.int64)  # (w, h), ccw
+            rh, rw = rot.shape
+            wgt = np.arange(rw)[None, :] + 2 * np.arange(rh)[:, None]
+            rot_sum[i] = int((rot * wgt).sum())
+            flp = np.fliplr(b0).astype(np.int64)
+            fh, fw = flp.shape
+            wgt = np.arange(fw)[None, :] + 2 * np.arange(fh)[:, None]
+            flip_sum[i] = int((flp * wgt).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "rot_sum": pa.array(rot_sum),
+                "flip_sum": pa.array(flip_sum),
+            }
+        )
+
+    return ds.map_batches(augment, batch_format="pyarrow", num_cpus=1)
+
+
 def q_window_stats_cog(sf_dir: str):
     """Cloud-optimized-GeoTIFF windowed-read gate: re-encode each
     image through the TIFF 6.0 *tiled* layout (kernels/gtiff.py —
@@ -7265,6 +7371,41 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
+    "pii_scrub": """
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                        || CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                        || CAST((doc_id * 3) % 256 AS VARCHAR)
+                        || ' phone +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ftext
+            FROM documents WHERE doc_id < 1500
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(ftext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(ftext, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(ftext, '\\+1-555-\\d{4}')) AS BIGINT) AS n_phone,
+               CAST(length(regexp_replace(regexp_replace(regexp_replace(ftext,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                    '\\+1-555-\\d{4}', '[PII]', 'g')) AS BIGINT) AS redacted_len
+        FROM d
+    """,
+    "tile_augment": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, tiles.w, gx.x AS x, gy.y AS y,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id,
+               CAST(sum(v * (y + 2 * (w - 1 - x))) AS BIGINT) AS rot_sum,
+               CAST(sum(v * ((w - 1 - x) + 2 * y)) AS BIGINT) AS flip_sum
+        FROM px GROUP BY image_id
+    """,
     "recode_stats_webp": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -9325,6 +9466,9 @@ QUERIES = {
     "recode_stats_zstd": q_recode_stats_zstd,
     "recode_stats_lerc": q_recode_stats_lerc,
     "recode_stats_webp": q_recode_stats_webp,
+    # -- NEW in r05: PII scrub + deterministic augmentation ----------
+    "pii_scrub": q_pii_scrub,
+    "tile_augment": q_tile_augment,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
