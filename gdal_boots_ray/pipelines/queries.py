@@ -9443,8 +9443,14 @@ QUERIES = {
     #          bucket index, Arrow quantile/HLL/Bloom exchanges,
     #          grouped_top_k order refactor, zip_pair multiplicity,
     #          jaccard-verify cache, LZW tail fix, JPEG photometric),
-    #          or (c) r04-new codecs/pipelines worth a second driver
-    #          round.  Long-green unchanged entries sit below. -------
+    #          (c) r04-new codecs/pipelines worth a second driver
+    #          round, or (d) BRAND NEW in the r05 codec wave
+    #          (audio_flac, recode_stats_zstd/lerc/webp, line_dedup,
+    #          pii_scrub, tile_augment).  The entries each new one
+    #          displaces below position 50 (knn_ivfpq, audio_rms,
+    #          video_frames/motion, recode_stats_jp2/_lossy,
+    #          pansharpen) are all r04-driver-green and untouched
+    #          since.  Long-green unchanged entries sit below. ------
     "audio_spectrum": q_audio_spectrum,
     "bigram_pmi": q_bigram_pmi,
     "cms_sketch": q_cms_sketch,
