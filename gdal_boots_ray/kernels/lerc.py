@@ -99,6 +99,18 @@ def lerc_encode_band(band: np.ndarray, max_z_error: float = 0.0) -> bytes:
                 q = np.floor((flat.astype(np.float64) - float(vmin)) / step + 0.5
                              ).astype(np.int64)
                 q = np.maximum(q, 0).astype(np.uint64)
+                # HARD error guarantee: the decoder reconstructs in
+                # float64 then casts to the storage dtype; the cast
+                # rounding can push the worst-case half-step error a
+                # few ulp past max_z_error.  Verify the exact decoded
+                # values here and fall back to RAW if the bound would
+                # be exceeded — the bound is a contract, not a hope.
+                recon = (float(vmin) + q.astype(np.float64) * step).astype(dt)
+                if np.abs(recon.astype(np.float64)
+                          - flat.astype(np.float64)).max() > max_z_error:
+                    body.append(_RAW)
+                    body += flat.astype(le, copy=False).tobytes()
+                    continue
             else:  # float lossless: raw block
                 body.append(_RAW)
                 body += flat.astype(le, copy=False).tobytes()

@@ -360,14 +360,16 @@ def _read_prefix_code(r: _Reader, alphabet: int) -> _PrefixDecoder:
 
 
 def webp_encode(img: np.ndarray, cache_bits: int = 8) -> bytes:
-    """(3|4, h, w) or (h, w, 3|4) uint8 -> lossless RIFF/WebP bytes."""
+    """(3|4, h, w) uint8 channels-FIRST (the repo's native band
+    layout — no channels-last heuristic: shapes like (3, 1, 3) are
+    ambiguous) -> lossless RIFF/WebP bytes."""
     if img.ndim != 3:
         raise ValueError("webp_encode takes a 3-D array")
-    if img.shape[0] in (3, 4) and img.shape[2] not in (3, 4):
-        img = np.transpose(img, (1, 2, 0))
-    h, w, ch = img.shape
+    ch = img.shape[0]
     if ch not in (3, 4) or img.dtype != np.uint8:
-        raise ValueError("VP8L lossless needs 3- or 4-channel uint8")
+        raise ValueError("VP8L lossless needs 3- or 4-channel uint8 (channels first)")
+    img = np.transpose(img, (1, 2, 0))
+    h, w, ch = img.shape
     if h > 16384 or w > 16384:
         raise ValueError("WebP caps dimensions at 16384")
     r = img[:, :, 0].astype(np.uint32).ravel()
