@@ -4166,6 +4166,69 @@ def q_pii_scrub(sf_dir: str, doc_cap: int = 1500):
     return docs.map_batches(scrub, batch_format="pyarrow")
 
 
+def q_bpe_pairs(sf_dir: str, doc_cap: int = 1500, top_k: int = 50):
+    """BPE tokenizer training's inner loop at corpus scale: count
+    every adjacent byte pair across the corpus and return the top-k
+    merge candidates — the statistic each BPE merge round recomputes
+    over 100 TB of text.
+
+    Scale shape: the per-batch partial is a 65,536-slot ``bincount``
+    (vectorized shift-or over the utf-8 bytes, no Python loop over
+    pairs), so each task emits at most 64k bounded count rows no
+    matter how much text it read; one small ``groupby(pair).sum``
+    merges them and a tiny sort+limit picks the winners with a
+    deterministic (count desc, pair asc) tie-break.  This is the
+    word-count exchange pattern — nothing ships raw text.
+
+    The DuckDB twin replays per-character ord() pairs, which equals
+    the byte pairs because the fixture corpus is ASCII by
+    construction (the docstring contract; non-ASCII corpora would
+    need a BLOB-level twin)."""
+    docs = _read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < doc_cap,
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros(65536, np.int64)
+        for t in batch.column("text").to_pylist():
+            b = np.frombuffer(t.encode("utf-8"), np.uint8)
+            if len(b) >= 2:
+                pairs = (b[:-1].astype(np.int32) << 8) | b[1:]
+                counts += np.bincount(pairs, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "pair": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(counts[nz]),
+            }
+        )
+
+    merged = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("cnt")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pair = batch.column("pair").to_numpy()
+        cnt = batch.column("sum(cnt)").to_numpy()
+        order = np.lexsort((pair, -cnt))[:top_k]
+        p = pair[order]
+        return pa.table(
+            {
+                "pair": pa.array(p.astype(np.int64)),
+                "b1": pa.array((p >> 8).astype(np.int64)),
+                "b2": pa.array((p & 0xFF).astype(np.int64)),
+                "cnt": pa.array(cnt[order].astype(np.int64)),
+            }
+        )
+
+    # the merged table is <= 64k bounded rows: one small final batch
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def q_tile_augment(sf_dir: str):
     """Deterministic image augmentation (the rot90 / fliplr layout
     ops a vision training pipeline applies at ingest) under the
@@ -7392,6 +7455,21 @@ ORACLE_SQL: Dict[str, str] = {
                     '\\+1-555-\\d{4}', '[PII]', 'g')) AS BIGINT) AS redacted_len
         FROM d
     """,
+    "bpe_pairs": """
+        WITH d AS (SELECT text FROM documents WHERE doc_id < 1500),
+        ch AS (
+            SELECT ord(substr(d.text, i.i, 1)) AS b1,
+                   ord(substr(d.text, i.i + 1, 1)) AS b2
+            FROM d, LATERAL (
+                SELECT unnest(generate_series(1, length(d.text) - 1)) AS i
+            ) i
+        )
+        SELECT CAST(b1 * 256 + b2 AS BIGINT) AS pair,
+               CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY 1, 2, 3
+        ORDER BY cnt DESC, pair ASC LIMIT 50
+    """,
     "tile_augment": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -9472,9 +9550,10 @@ QUERIES = {
     "recode_stats_zstd": q_recode_stats_zstd,
     "recode_stats_lerc": q_recode_stats_lerc,
     "recode_stats_webp": q_recode_stats_webp,
-    # -- NEW in r05: PII scrub + deterministic augmentation ----------
+    # -- NEW in r05: PII scrub + augmentation + BPE pair counts ------
     "pii_scrub": q_pii_scrub,
     "tile_augment": q_tile_augment,
+    "bpe_pairs": q_bpe_pairs,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
