@@ -56,6 +56,10 @@ series implementations from public literature:
   Brazil Polyconic 5880) — closed Snyder forward over the shared
   meridian-arc series, Newton inverse; pinned by arc-true central
   meridian / circular-arc parallel invariants.
+- Cassini-Soldner (``+proj=cass``, EPSG method 9806; the legacy
+  cadastral grids — Trinidad 1903, Kertau) — Guidance 7-2 A/T/C
+  series over the shared meridian arc, footpoint inverse; Trinidad
+  worked example reproduced to <0.001 link.
 - Krovak (``+proj=krovak``, EPSG method 9819; S-JTSK, proj4 only) —
   Gauss sphere + oblique-pole rotation + pseudo-standard-parallel
   conic, PROJ axis signs; Guidance 7-2 southing to <2 cm, conformal
@@ -554,6 +558,57 @@ def _poly_inverse(c: _PolyConsts, x, y):
         det = np.where(np.abs(det) < 1e-30, 1e-30, det)
         lam = lam - (rx * j22 - ry * j12) / det
         phi = phi - (j11 * ry - j21 * rx) / det
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _CassConsts:
+    """Cassini-Soldner (EPSG method 9806 — the legacy national /
+    cadastral grids: Trinidad 1903, Kertau cadastral, many German
+    and Danish survey grids).  Equidistant along the central
+    meridian and along the perpendiculars to it; formulas are the
+    EPSG Guidance Note 7-2 series over the shared meridian-arc
+    helper (forward A/T/C expansion, inverse via the footpoint
+    latitude)."""
+
+    __slots__ = ("a", "e2", "arc", "M0", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, x0, y0):
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.arc = _MeridArc(a, f)
+        self.M0 = float(self.arc.m(np.array([math.radians(lat0)]))[0])
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _cass_forward(c: _CassConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    sp, cp = np.sin(phi), np.cos(phi)
+    nu = c.a / np.sqrt(1 - c.e2 * sp * sp)
+    T = np.tan(phi) ** 2
+    A = (lam - c.lam0) * cp
+    C = c.e2 * cp * cp / (1 - c.e2)
+    A2 = A * A
+    x = nu * (A - T * A * A2 / 6 - (8 - T + 8 * C) * T * A * A2 * A2 / 120)
+    M = c.arc.m(phi)
+    y = M - c.M0 + nu * np.tan(phi) * (A2 / 2 + (5 - T + 6 * C) * A2 * A2 / 24)
+    return c.x0 + x, c.y0 + y
+
+
+def _cass_inverse(c: _CassConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    phi1 = c.arc.phi(c.M0 + yt)  # footpoint latitude
+    sp, cp = np.sin(phi1), np.cos(phi1)
+    one = 1 - c.e2 * sp * sp
+    nu1 = c.a / np.sqrt(one)
+    rho1 = c.a * (1 - c.e2) / one ** 1.5
+    T1 = np.tan(phi1) ** 2
+    D = xt / nu1
+    D2 = D * D
+    phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (D2 / 2 - (1 + 3 * T1) * D2 * D2 / 24)
+    lam = c.lam0 + (D - T1 * D * D2 / 3 + (1 + 3 * T1) * T1 * D * D2 * D2 / 15) / cp
     return np.degrees(lam), np.degrees(phi)
 
 
@@ -1344,8 +1399,8 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
             f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
-            f"krovak, eqc, sinu, cea, geos, omerc) can be passed as its proj4 "
-            f"string"
+            f"krovak, cass, eqc, sinu, cea, geos, omerc) can be passed as its "
+            f"proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1543,6 +1598,21 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _krovak_forward(c, lon, lat),
             lambda x, y, c=consts: _krovak_inverse(c, x, y),
+        )
+    elif proj == "cass":
+        a, f = _p4_ellipsoid(params)
+        consts = _CassConsts(
+            a, f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _cass_forward(c, lon, lat),
+            lambda x, y, c=consts: _cass_inverse(c, x, y),
         )
     elif proj == "poly":
         # American Polyconic (EPSG method 9818 — Brazil Polyconic)

