@@ -56,6 +56,10 @@ series implementations from public literature:
   Brazil Polyconic 5880) — closed Snyder forward over the shared
   meridian-arc series, Newton inverse; pinned by arc-true central
   meridian / circular-arc parallel invariants.
+- Equidistant Conic (``+proj=eqdc``, Snyder 16-4..16-6) — the simple
+  conic of regional atlases; pinned by its defining invariants
+  (scale exactly 1 on both standard parallels, meridians at true
+  arc length).
 - Cassini-Soldner (``+proj=cass``, EPSG method 9806; the legacy
   cadastral grids — Trinidad 1903, Kertau) — Guidance 7-2 A/T/C
   series over the shared meridian arc, footpoint inverse; Trinidad
@@ -558,6 +562,60 @@ def _poly_inverse(c: _PolyConsts, x, y):
         det = np.where(np.abs(det) < 1e-30, 1e-30, det)
         lam = lam - (rx * j22 - ry * j12) / det
         phi = phi - (j11 * ry - j21 * rx) / det
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _EqdcConsts:
+    """Equidistant Conic (``+proj=eqdc``, Snyder 16-4..16-6
+    ellipsoidal) — the simple conic of regional atlases and several
+    Asian/South-American national grids.  True scale on both
+    standard parallels AND true length along every meridian
+    (rho = a*G - M), the pair of invariants the tests pin."""
+
+    __slots__ = ("a", "arc", "n", "G", "rho0", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, lat0, lon0, lat1, lat2, x0, y0):
+        self.a = a
+        e2 = f * (2 - f)
+        self.arc = _MeridArc(a, f)
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+
+        def _m(phi):
+            return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+        m1, m2 = _m(p1), _m(p2)
+        M1 = float(self.arc.m(np.array([p1]))[0])
+        M2 = float(self.arc.m(np.array([p2]))[0])
+        if abs(lat1 - lat2) < 1e-10:
+            self.n = math.sin(p1)  # single-parallel limit
+        else:
+            self.n = a * (m1 - m2) / (M2 - M1)
+        if self.n == 0:
+            raise ValueError("eqdc: standard parallels must not straddle "
+                             "the equator symmetrically (n = 0)")
+        self.G = m1 / self.n + M1 / a
+        M0 = float(self.arc.m(np.array([math.radians(lat0)]))[0])
+        self.rho0 = a * self.G - M0
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _eqdc_forward(c: _EqdcConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    rho = c.a * c.G - c.arc.m(phi)
+    theta = c.n * (lam - c.lam0)
+    return c.x0 + rho * np.sin(theta), c.y0 + c.rho0 - rho * np.cos(theta)
+
+
+def _eqdc_inverse(c: _EqdcConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = c.rho0 - (np.asarray(y, dtype=np.float64) - c.y0)
+    sgn = 1.0 if c.n >= 0 else -1.0
+    rho = sgn * np.sqrt(xt * xt + yt * yt)
+    theta = np.arctan2(sgn * xt, sgn * yt)
+    lam = c.lam0 + theta / c.n
+    phi = c.arc.phi(c.a * c.G - rho)
     return np.degrees(lam), np.degrees(phi)
 
 
@@ -1399,8 +1457,8 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
             f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
-            f"krovak, cass, eqc, sinu, cea, geos, omerc) can be passed as its "
-            f"proj4 string"
+            f"krovak, cass, eqdc, eqc, sinu, cea, geos, omerc) can be passed "
+            f"as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1598,6 +1656,24 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _krovak_forward(c, lon, lat),
             lambda x, y, c=consts: _krovak_inverse(c, x, y),
+        )
+    elif proj == "eqdc":
+        a, f = _p4_ellipsoid(params)
+        lat1 = float(params.get("lat_1", 0))
+        consts = _EqdcConsts(
+            a, f,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            lat1,
+            float(params.get("lat_2", lat1)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _eqdc_forward(c, lon, lat),
+            lambda x, y, c=consts: _eqdc_inverse(c, x, y),
         )
     elif proj == "cass":
         a, f = _p4_ellipsoid(params)

@@ -949,6 +949,53 @@ class TestEpsgProj4Dispatch:
             assert np.abs(lon2 - lons).max() < 1e-7
             assert np.abs(lat2 - lats).max() < 1e-7
 
+    def test_equidistant_conic_invariants(self):
+        # eqdc (Snyder 16-4..16-6): the two invariants that uniquely
+        # pin the simple conic — scale EXACTLY 1 along both standard
+        # parallels, and every meridian mapped at true arc length
+        # (rho = a*G - M).  Plus machine-exact roundtrips and the
+        # single-parallel (lat_1 == lat_2) limit n = sin(lat_1).
+        import math
+
+        from gdal_boots_ray.kernels.crs import _MeridArc
+
+        crs = resolve_crs(
+            "+proj=eqdc +lat_0=0 +lon_0=105 +lat_1=15 +lat_2=65 +ellps=WGS84"
+        )
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        d = 1e-7
+        for lat in (15.0, 65.0):
+            phi = math.radians(lat)
+            N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            x0, y0 = crs.from_lonlat(np.array([100.0]), np.array([lat]))
+            x1, y1 = crs.from_lonlat(np.array([100.0 + d]), np.array([lat]))
+            kp = math.hypot(x1[0] - x0[0], y1[0] - y0[0]) / (
+                N * math.cos(phi) * math.radians(d)
+            )
+            assert abs(kp - 1.0) < 1e-6
+        # meridians are true-length: straight-line distance along the
+        # central meridian equals the meridian arc exactly
+        arc = _MeridArc(a, f)
+        _, ya = crs.from_lonlat(np.array([105.0]), np.array([10.0]))
+        _, yb = crs.from_lonlat(np.array([105.0]), np.array([60.0]))
+        dM = float(
+            arc.m(np.array([math.radians(60.0)]))[0]
+            - arc.m(np.array([math.radians(10.0)]))[0]
+        )
+        assert abs((yb[0] - ya[0]) - dM) < 1e-6
+        lons = np.array([80.0, 105.0, 130.0, 95.0])
+        lats = np.array([20.0, 35.0, 50.0, -5.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-10
+        assert np.abs(lat2 - lats).max() < 1e-10
+        # single-parallel limit
+        one = resolve_crs("+proj=eqdc +lat_1=40 +lat_2=40 +lon_0=0 +ellps=WGS84")
+        x, y = one.from_lonlat(np.array([3.0]), np.array([42.0]))
+        lon2, lat2 = one.to_lonlat(x, y)
+        assert abs(lon2[0] - 3.0) < 1e-10 and abs(lat2[0] - 42.0) < 1e-10
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
