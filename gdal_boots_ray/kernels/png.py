@@ -250,6 +250,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
         img = jpeg_decode(data)
         return img if img.shape[0] > 1 else img[0]
+    if fmt == "webp":
+        from gdal_boots_ray.kernels.webp import webp_decode
+
+        return webp_decode(data)[:3]  # RGB planes (alpha dropped)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 
@@ -270,6 +274,10 @@ def encode_image(img: np.ndarray, fmt: str, **kw) -> bytes:
         from gdal_boots_ray.kernels.jpeg import jpeg_encode
 
         return jpeg_encode(img, **kw)
+    if fmt == "webp":
+        from gdal_boots_ray.kernels.webp import webp_encode
+
+        return webp_encode(img, **kw)
     raise ValueError(f"unsupported image format {fmt!r}")
 
 

@@ -5,6 +5,7 @@ wire format is pinned by byte round-trips (the LERC/JP2 precedent);
 every decoder path the encoder emits is covered."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from gdal_boots_ray.kernels.webp import (
@@ -138,3 +139,27 @@ class TestGTiffWebp:
 
         assert codec_args(GTiff(compress=GTiff.Compress.webp))["compress"] == "webp"
         assert "COMPRESS=WEBP" in GTiff(compress=GTiff.Compress.webp).encode()
+
+
+def test_webp_through_decode_images_stage():
+    """fmt='webp' rows in the images table decode through the same
+    actor-pool stage as png/tiff/jp2/jpeg."""
+    from gdal_boots_ray.kernels.png import decode_image, encode_image
+    from gdal_boots_ray.stages.decode import DecodeImages, batch_pixel_views
+
+    rng = np.random.default_rng(10)
+    img = np.cumsum(rng.integers(-2, 3, (3, 32, 32)), axis=2).astype(np.uint8)
+    blob = encode_image(img, "webp")
+    assert np.array_equal(decode_image(blob, "webp"), img)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["w-0"]),
+            "bytes": pa.array([blob], pa.binary()),
+            "w": pa.array([32], pa.int32()),
+            "h": pa.array([32], pa.int32()),
+            "fmt": pa.array(["webp"]),
+        }
+    )
+    out = DecodeImages()(batch)
+    v = batch_pixel_views(out)[0]
+    assert np.array_equal(v if v.ndim == 3 else v[None], img)
