@@ -56,6 +56,10 @@ series implementations from public literature:
   Brazil Polyconic 5880) — closed Snyder forward over the shared
   meridian-arc series, Newton inverse; pinned by arc-true central
   meridian / circular-arc parallel invariants.
+- Bonne (``+proj=bonne``, EPSG method 9827; legacy French/Portuguese
+  survey grids) — equal-area pseudoconic pinned by numeric areal
+  scale == 1, true-scale standard parallel and arc-true central
+  meridian.
 - Equidistant Conic (``+proj=eqdc``, Snyder 16-4..16-6) — the simple
   conic of regional atlases; pinned by its defining invariants
   (scale exactly 1 on both standard parallels, meridians at true
@@ -562,6 +566,59 @@ def _poly_inverse(c: _PolyConsts, x, y):
         det = np.where(np.abs(det) < 1e-30, 1e-30, det)
         lam = lam - (rx * j22 - ry * j12) / det
         phi = phi - (j11 * ry - j21 * rx) / det
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _BonneConsts:
+    """Bonne (``+proj=bonne``, EPSG method 9827 — the legacy French /
+    Portuguese / Swiss survey grids).  Equal-area pseudoconic:
+    parallels are concentric circular arcs at true scale, the central
+    meridian is at true length; the tests pin exactly those defining
+    invariants (numeric areal scale == 1 everywhere, arc-true central
+    meridian) plus roundtrips."""
+
+    __slots__ = ("a", "e2", "arc", "c1", "M1", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, lat1, lon0, x0, y0):
+        if abs(lat1) < 1e-9:
+            raise ValueError("bonne: lat_1 = 0 degenerates (use sinusoidal)")
+        self.a = a
+        self.e2 = f * (2 - f)
+        self.arc = _MeridArc(a, f)
+        p1 = math.radians(lat1)
+        m1 = math.cos(p1) / math.sqrt(1 - self.e2 * math.sin(p1) ** 2)
+        self.c1 = a * m1 / math.sin(p1)  # rho at the standard parallel + M1
+        self.M1 = float(self.arc.m(np.array([p1]))[0])
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _bonne_forward(c: _BonneConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    sp = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1 - c.e2 * sp * sp)
+    M = c.arc.m(phi)
+    rho = c.c1 + c.M1 - M
+    with np.errstate(invalid="ignore", divide="ignore"):
+        T = c.a * m * (lam - c.lam0) / rho
+    T = np.where(np.abs(rho) < 1e-9, 0.0, T)
+    return c.x0 + rho * np.sin(T), c.y0 + c.c1 - rho * np.cos(T)
+
+
+def _bonne_inverse(c: _BonneConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = c.c1 - (np.asarray(y, dtype=np.float64) - c.y0)
+    sgn = 1.0 if c.c1 >= 0 else -1.0
+    rho = sgn * np.sqrt(xt * xt + yt * yt)
+    M = c.c1 + c.M1 - rho
+    phi = c.arc.phi(M)
+    sp = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1 - c.e2 * sp * sp)
+    T = np.arctan2(sgn * xt, sgn * yt)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = c.lam0 + rho * T / (c.a * m)
+    lam = np.where(np.abs(m) < 1e-12, c.lam0, lam)  # pole column
     return np.degrees(lam), np.degrees(phi)
 
 
@@ -1457,8 +1514,8 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
             f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
-            f"krovak, cass, eqdc, eqc, sinu, cea, geos, omerc) can be passed "
-            f"as its proj4 string"
+            f"krovak, cass, eqdc, bonne, eqc, sinu, cea, geos, omerc) can be "
+            f"passed as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1656,6 +1713,21 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _krovak_forward(c, lon, lat),
             lambda x, y, c=consts: _krovak_inverse(c, x, y),
+        )
+    elif proj == "bonne":
+        a, f = _p4_ellipsoid(params)
+        consts = _BonneConsts(
+            a, f,
+            float(params.get("lat_1", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _bonne_forward(c, lon, lat),
+            lambda x, y, c=consts: _bonne_inverse(c, x, y),
         )
     elif proj == "eqdc":
         a, f = _p4_ellipsoid(params)

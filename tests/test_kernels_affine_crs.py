@@ -996,6 +996,51 @@ class TestEpsgProj4Dispatch:
         lon2, lat2 = one.to_lonlat(x, y)
         assert abs(lon2[0] - 3.0) < 1e-10 and abs(lat2[0] - 42.0) < 1e-10
 
+    def test_bonne_invariants(self):
+        # Bonne (EPSG method 9827): the equal-area pseudoconic of the
+        # legacy French/Portuguese grids.  Pinned by its definition:
+        # numeric areal scale == 1 everywhere, true scale along the
+        # standard parallel, arc-true central meridian; roundtrips
+        # machine-exact in both hemispheres.
+        import math
+
+        from gdal_boots_ray.kernels.crs import _MeridArc
+
+        crs = resolve_crs("+proj=bonne +lat_1=45 +lon_0=3 +ellps=WGS84")
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        d = 1e-6
+        for lo, la in [(3.0, 45.0), (-1.0, 48.0), (7.5, 42.0)]:
+            phi = math.radians(la)
+            Mr = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            Nr = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            x0, y0 = crs.from_lonlat(np.array([lo]), np.array([la]))
+            x1, y1 = crs.from_lonlat(np.array([lo + d]), np.array([la]))
+            x2, y2 = crs.from_lonlat(np.array([lo]), np.array([la + d]))
+            J = (x1[0] - x0[0]) * (y2[0] - y0[0]) - (x2[0] - x0[0]) * (y1[0] - y0[0])
+            true_area = (Nr * math.cos(phi) * math.radians(d)) * (Mr * math.radians(d))
+            assert abs(abs(J) / true_area - 1.0) < 1e-6
+        arc = _MeridArc(a, f)
+        _, ya = crs.from_lonlat(np.array([3.0]), np.array([42.0]))
+        _, yb = crs.from_lonlat(np.array([3.0]), np.array([50.0]))
+        dM = float(
+            arc.m(np.array([math.radians(50.0)]))[0]
+            - arc.m(np.array([math.radians(42.0)]))[0]
+        )
+        assert abs((yb[0] - ya[0]) - dM) < 1e-6
+        lons = np.array([-5.0, 3.0, 9.0])
+        lats = np.array([41.0, 46.0, 51.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-10
+        assert np.abs(lat2 - lats).max() < 1e-10
+        south = resolve_crs("+proj=bonne +lat_1=-30 +lon_0=135 +ellps=WGS84")
+        x, y = south.from_lonlat(np.array([140.0]), np.array([-25.0]))
+        lon2, lat2 = south.to_lonlat(x, y)
+        assert abs(lon2[0] - 140.0) < 1e-10 and abs(lat2[0] + 25.0) < 1e-10
+        with pytest.raises(ValueError, match="bonne"):
+            resolve_crs("+proj=bonne +lat_1=0 +ellps=WGS84")
+
     def test_epsg_from_crs_reverse_lookup(self):
         # reference epsg_from_srs analog (gdal.py:112-117)
         from gdal_boots_ray.kernels.crs import epsg_from_crs
