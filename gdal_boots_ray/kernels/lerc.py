@@ -85,6 +85,13 @@ def lerc_encode_band(band: np.ndarray, max_z_error: float = 0.0) -> bytes:
         for bx in range(0, w, _MICRO):
             blk = band[by:by + _MICRO, bx:bx + _MICRO]
             flat = blk.ravel()
+            if is_float and not np.isfinite(flat).all():
+                # NaN/inf (nodata encodings) poison the quantizer AND
+                # its own error-bound check (NaN > err is False), so
+                # such blocks must store raw — bit-exact, bound moot
+                body.append(_RAW)
+                body += flat.astype(le, copy=False).tobytes()
+                continue
             vmin = flat.min()
             vmax = flat.max()
             if vmin == vmax:

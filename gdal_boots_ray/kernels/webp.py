@@ -166,27 +166,19 @@ class _PrefixDecoder:
 
 
 def _lengths_for(counts: np.ndarray, limit: int = 15) -> List[int]:
-    """Package-merge length-limited code lengths (0 = absent)."""
-    present = np.flatnonzero(counts)
-    n = len(present)
+    """Length-limited code lengths (0 = absent) via the shared
+    package-merge helper (kernels/huffman.py)."""
+    from gdal_boots_ray.kernels.huffman import package_merge_lengths
+
     out = [0] * len(counts)
-    if n == 0:
-        return out
-    if n == 1:
+    present = np.flatnonzero(counts)
+    if len(present) == 1:
         out[int(present[0])] = 1
         return out
-    leaves = sorted((int(counts[s]), int(s)) for s in present)
-    leaf_items = [(c, (s,)) for c, s in leaves]
-    prev: List[Tuple[int, tuple]] = []
-    for _ in range(limit):
-        packs = [
-            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
-            for i in range(0, len(prev) - 1, 2)
-        ]
-        prev = sorted(leaf_items + packs)
-    for _, syms in prev[: 2 * n - 2]:
-        for s in syms:
-            out[s] += 1
+    length = package_merge_lengths(counts, limit)
+    if length is not None:
+        for s, l in length.items():
+            out[s] = l
     return out
 
 

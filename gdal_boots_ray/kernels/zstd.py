@@ -465,31 +465,18 @@ class _HufTable:
 
 
 def _huf_weights_for(counts: np.ndarray, limit: int = 11) -> Optional[List[int]]:
-    """Optimal length-limited Huffman code lengths via package-merge,
-    converted to zstd weights.  Kraft equality (and therefore the
-    power-of-two slot sum the table needs) holds by construction.
-    Returns None when <2 distinct symbols (caller uses RLE/raw)."""
-    present = np.flatnonzero(counts)
-    n = len(present)
-    if n < 2:
+    """Optimal length-limited Huffman code lengths (shared
+    package-merge, kernels/huffman.py), converted to zstd weights.
+    Kraft equality (and therefore the power-of-two slot sum the table
+    needs) holds by construction.  Returns None when <2 distinct
+    symbols (caller uses RLE/raw)."""
+    from gdal_boots_ray.kernels.huffman import package_merge_lengths
+
+    length = package_merge_lengths(counts, limit)
+    if length is None:
         return None
-    if n > (1 << limit):
-        return None
-    leaves = sorted((int(counts[s]), int(s)) for s in present)
-    leaf_items = [(c, (s,)) for c, s in leaves]
-    prev: List[Tuple[int, tuple]] = []
-    for _ in range(limit):
-        packs = [
-            (prev[i][0] + prev[i + 1][0], prev[i][1] + prev[i + 1][1])
-            for i in range(0, len(prev) - 1, 2)
-        ]
-        prev = sorted(leaf_items + packs)
-    length: Dict[int, int] = {}
-    for _, syms in prev[: 2 * n - 2]:
-        for s in syms:
-            length[s] = length.get(s, 0) + 1
     max_len = max(length.values())
-    weights = [0] * (int(present.max()) + 1)
+    weights = [0] * (max(length) + 1)
     for s, l in length.items():
         weights[s] = max_len + 1 - l
     total_slots = sum(1 << (w - 1) for w in weights if w)
@@ -862,7 +849,6 @@ def zstd_decompress(data: bytes) -> bytes:
     if not single:
         pos += 1  # window descriptor (we rely on content growth checks)
     if dict_flag:
-        pos += (0, 1, 2, 4)[dict_flag]
         raise ValueError("zstd: dictionaries not supported")
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     content_size = None
@@ -900,6 +886,8 @@ def zstd_decompress(data: bytes) -> bytes:
     except (IndexError, struct.error) as exc:
         raise ValueError(f"zstd: truncated or corrupt stream ({exc})") from exc
     if checksum:
+        if pos + 4 > len(data):
+            raise ValueError("zstd: truncated content checksum")
         want = struct.unpack_from("<I", data, pos)[0]
         if xxh64(bytes(out)) & 0xFFFFFFFF != want:
             raise ValueError("zstd: content checksum mismatch")
@@ -1028,12 +1016,17 @@ def _seq_tables_for(codes: List[Tuple[int, int, int]], custom: bool,
     return bytes(out), tables[0], tables[1], tables[2]
 
 
-def _encode_block_body(block: bytes, level: int) -> Optional[bytes]:
-    """-> compressed-block payload, or None if expansion."""
+def _encode_block_body(block: bytes, level: int,
+                       rep1_in: int = 1) -> Tuple[Optional[bytes], int]:
+    """-> (compressed-block payload or None if expansion, decoder's
+    rep[0] AFTER this block).  ``rep1_in`` is the decoder's current
+    rep[0]: repeat-offset state persists ACROSS blocks within a frame
+    (RFC 8878; the per-block reset this replaced silently corrupted
+    any >128 KiB payload whose next block led with an offset-1 run)."""
     seqs, _tail = _find_sequences(block)
     lits = bytearray()
     pos = 0
-    rep1 = 1
+    rep1 = rep1_in
     rows: List[Tuple[int, int, int]] = []  # (lit_len, of_value, match_len)
     for lit_len, offset, mlen in seqs:
         lits.extend(block[pos:pos + lit_len])
@@ -1049,7 +1042,8 @@ def _encode_block_body(block: bytes, level: int) -> Optional[bytes]:
     n_seq = len(rows)
     if n_seq == 0:
         body = lit_payload + bytes([0])
-        return body if len(body) < len(block) else None
+        # no sequences decoded either way: rep state is untouched
+        return (body if len(body) < len(block) else None), rep1_in
     if n_seq < 128:
         nseq_hdr = bytes([n_seq])
     elif n_seq < 0x7F00:
@@ -1107,7 +1101,9 @@ def _encode_block_body(block: bytes, level: int) -> Optional[bytes]:
         w.add(v, nb)
     seq_stream = w.close()
     body = lit_payload + nseq_hdr + mode_bytes + seq_stream
-    return body if len(body) < len(block) else None
+    if len(body) < len(block):
+        return body, rep1  # decoder executed our sequences
+    return None, rep1_in  # raw fallback: decoder sees no sequences
 
 
 def zstd_compress(data: bytes, level: int = 3, checksum: bool = True) -> bytes:
@@ -1135,14 +1131,18 @@ def zstd_compress(data: bytes, level: int = 3, checksum: bool = True) -> bytes:
     out += fcs
     if n == 0:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+    rep1 = 1  # decoder's rep[0]; persists across blocks (RFC 8878)
     for off in range(0, n, _MAX_BLOCK):
         block = data[off:off + _MAX_BLOCK]
         last = 1 if off + _MAX_BLOCK >= n else 0
         if level >= 1 and len(block) >= 2 and block.count(block[0]) == len(block):
             out += (last | (1 << 1) | (len(block) << 3)).to_bytes(3, "little")
             out.append(block[0])
-            continue
-        body = _encode_block_body(block, level) if level >= 1 else None
+            continue  # RLE block: no sequences, rep1 unchanged
+        if level >= 1:
+            body, rep1 = _encode_block_body(block, level, rep1)
+        else:
+            body = None
         if body is not None and len(body) < len(block):
             out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
             out += body

@@ -3926,21 +3926,21 @@ def q_recode_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def q_recode_stats_tiff_lzw(sf_dir: str):
-    """GeoTIFF LZW fidelity gate: decode -> re-encode through the
-    pure-python TIFF codec with LZW compression + the
-    horizontal-differencing predictor (kernels/gtiff.py — reference
-    ``GTiff.Compress.lzw``, reference options.py:66-80, the single
-    most common real-world GeoTIFF compression) -> decode -> per-image
-    stats; equals the closed-form pixel-field oracle iff the LZW +
-    predictor round trip is bit-exact.  Same actor-pool plumbing as
-    recode_stats; the whole corpus streams through it."""
+def _recode_stats(sf_dir: str, encode_kwargs: dict, stack3: bool = False):
+    """Shared body of every codec fidelity gate: decode each tile,
+    re-encode through the pure-python TIFF container with
+    ``encode_kwargs``, decode again, and emit band-0 stats that equal
+    the closed-form pixel-field oracle iff the codec round trip is
+    bit-exact.  ``stack3`` replicates mono tiles to the 3-band layout
+    codecs like WEBP require (band-0 stats keep the same twin).
+    Embarrassingly parallel actor-pool map_batches; the whole corpus
+    streams through it."""
     from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
     from gdal_boots_ray.stages.decode import batch_pixel_views
 
     ds = _tiles_dataset(sf_dir, decode=True)
 
-    def tiff_roundtrip_stats(batch: pa.Table) -> pa.Table:
+    def roundtrip_stats(batch: pa.Table) -> pa.Table:
         views = batch_pixel_views(batch)
         ids = batch.column("image_id").to_pylist()
         n = len(ids)
@@ -3950,7 +3950,10 @@ def q_recode_stats_tiff_lzw(sf_dir: str):
         max_v = np.empty(n, np.int64)
         for i in range(n):
             img = views[i] if views[i].ndim == 3 else views[i][None]
-            blob = gtiff_encode(np.ascontiguousarray(img), compress="lzw", predictor=2)
+            if stack3 and img.shape[0] < 3:
+                img = np.repeat(img[:1], 3, axis=0)
+            blob = gtiff_encode(np.ascontiguousarray(img[:3] if stack3 else img),
+                                **encode_kwargs)
             rt, _, _ = gtiff_decode(blob)
             b0 = rt if rt.ndim == 2 else rt[0]
             n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
@@ -3965,142 +3968,47 @@ def q_recode_stats_tiff_lzw(sf_dir: str):
             }
         )
 
-    return ds.map_batches(tiff_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+    return ds.map_batches(roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+
+
+def q_recode_stats_tiff_lzw(sf_dir: str):
+    """GeoTIFF LZW fidelity gate: LZW + the horizontal-differencing
+    predictor (kernels/gtiff.py — reference ``GTiff.Compress.lzw``,
+    reference options.py:66-80, the single most common real-world
+    GeoTIFF compression) through the shared ``_recode_stats`` body."""
+    return _recode_stats(sf_dir, {"compress": "lzw", "predictor": 2})
 
 
 def q_recode_stats_zstd(sf_dir: str):
-    """GeoTIFF ZSTD fidelity gate: decode -> re-encode through the
-    pure-python TIFF codec with the FROM-SCRATCH RFC 8878 Zstandard
-    compressor (kernels/zstd.py: hash-table LZ, Huffman literals,
-    FSE-coded sequences; Compression=50000, GDAL's registered tag —
-    reference ``GTiff.Compress.zstd``, reference options.py:66-80,
-    previously an external-codec seam) + the horizontal-differencing
-    predictor -> decode -> per-image stats; equals the closed-form
-    pixel-field oracle iff the full LZ/FSE/Huffman round trip is
-    bit-exact.  Same actor-pool plumbing as recode_stats_tiff_lzw;
-    the whole corpus streams through it."""
-    from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
-    from gdal_boots_ray.stages.decode import batch_pixel_views
-
-    ds = _tiles_dataset(sf_dir, decode=True)
-
-    def zstd_roundtrip_stats(batch: pa.Table) -> pa.Table:
-        views = batch_pixel_views(batch)
-        ids = batch.column("image_id").to_pylist()
-        n = len(ids)
-        n_px = np.empty(n, np.int64)
-        sum_v = np.empty(n, np.int64)
-        min_v = np.empty(n, np.int64)
-        max_v = np.empty(n, np.int64)
-        for i in range(n):
-            img = views[i] if views[i].ndim == 3 else views[i][None]
-            blob = gtiff_encode(np.ascontiguousarray(img), compress="zstd", predictor=2)
-            rt, _, _ = gtiff_decode(blob)
-            b0 = rt if rt.ndim == 2 else rt[0]
-            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
-            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "n_px": pa.array(n_px),
-                "sum_v": pa.array(sum_v),
-                "min_v": pa.array(min_v),
-                "max_v": pa.array(max_v),
-            }
-        )
-
-    return ds.map_batches(zstd_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+    """GeoTIFF ZSTD fidelity gate: the FROM-SCRATCH RFC 8878
+    Zstandard compressor (kernels/zstd.py: hash-table LZ, Huffman
+    literals, FSE-coded sequences; Compression=50000, GDAL's
+    registered tag — reference ``GTiff.Compress.zstd``, previously an
+    external-codec seam) + the predictor, through the shared
+    ``_recode_stats`` body."""
+    return _recode_stats(sf_dir, {"compress": "zstd", "predictor": 2})
 
 
 def q_recode_stats_lerc(sf_dir: str):
-    """GeoTIFF LERC_ZSTD fidelity gate: decode -> re-encode through
-    the pure-python TIFF codec with the FROM-SCRATCH LERC microblock
-    codec (kernels/lerc.py, Compression=34887 + LercParameters,
-    lossless for integer data) wrapped in the RFC 8878 zstd pass
-    (kernels/zstd.py) — the reference's ``GTiff.Compress.lerc_zstd``
-    member (reference options.py:66-80), previously an external-codec
-    seam — -> decode -> per-image stats; equals the closed-form
-    pixel-field oracle iff the microblock bit-stuffing AND the zstd
-    round trip are both bit-exact.  Same actor-pool plumbing as
-    recode_stats_tiff_lzw; the whole corpus streams through it."""
-    from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
-    from gdal_boots_ray.stages.decode import batch_pixel_views
-
-    ds = _tiles_dataset(sf_dir, decode=True)
-
-    def lerc_roundtrip_stats(batch: pa.Table) -> pa.Table:
-        views = batch_pixel_views(batch)
-        ids = batch.column("image_id").to_pylist()
-        n = len(ids)
-        n_px = np.empty(n, np.int64)
-        sum_v = np.empty(n, np.int64)
-        min_v = np.empty(n, np.int64)
-        max_v = np.empty(n, np.int64)
-        for i in range(n):
-            img = views[i] if views[i].ndim == 3 else views[i][None]
-            blob = gtiff_encode(np.ascontiguousarray(img), compress="lerc_zstd")
-            rt, _, _ = gtiff_decode(blob)
-            b0 = rt if rt.ndim == 2 else rt[0]
-            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
-            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "n_px": pa.array(n_px),
-                "sum_v": pa.array(sum_v),
-                "min_v": pa.array(min_v),
-                "max_v": pa.array(max_v),
-            }
-        )
-
-    return ds.map_batches(lerc_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
+    """GeoTIFF LERC_ZSTD fidelity gate: the FROM-SCRATCH LERC
+    microblock codec (kernels/lerc.py, Compression=34887 +
+    LercParameters, lossless for integer data) wrapped in the RFC
+    8878 zstd pass — the reference's ``GTiff.Compress.lerc_zstd``
+    member, previously an external-codec seam — through the shared
+    ``_recode_stats`` body (gates the bit-stuffing AND the zstd
+    round trip together)."""
+    return _recode_stats(sf_dir, {"compress": "lerc_zstd"})
 
 
 def q_recode_stats_webp(sf_dir: str):
-    """GeoTIFF WEBP fidelity gate: decode -> stack the tile to the
-    3-band layout WEBP-in-TIFF requires (band-replicated, so band-0
-    stats keep the same closed-form twin) -> re-encode through the
-    pure-python TIFF codec with the FROM-SCRATCH VP8L lossless codec
-    (kernels/webp.py: RIFF/VP8L container, canonical prefix codes,
-    LZ77 runs + color cache; Compression=50001, the registered WEBP
-    tag — reference ``GTiff.Compress.webp``, reference
-    options.py:66-80, previously an external-codec seam) -> decode ->
-    per-image stats of band 0; equals the closed-form pixel-field
-    oracle iff the whole VP8L round trip is bit-exact.  Same
-    actor-pool plumbing as recode_stats_tiff_lzw."""
-    from gdal_boots_ray.kernels.gtiff import gtiff_decode, gtiff_encode
-    from gdal_boots_ray.stages.decode import batch_pixel_views
+    """GeoTIFF WEBP fidelity gate: the FROM-SCRATCH VP8L lossless
+    codec (kernels/webp.py: RIFF/VP8L container, canonical prefix
+    codes, LZ77 runs + color cache; Compression=50001 — reference
+    ``GTiff.Compress.webp``, previously an external-codec seam)
+    through the shared ``_recode_stats`` body with the 3-band stack
+    WEBP-in-TIFF requires."""
+    return _recode_stats(sf_dir, {"compress": "webp"}, stack3=True)
 
-    ds = _tiles_dataset(sf_dir, decode=True)
-
-    def webp_roundtrip_stats(batch: pa.Table) -> pa.Table:
-        views = batch_pixel_views(batch)
-        ids = batch.column("image_id").to_pylist()
-        n = len(ids)
-        n_px = np.empty(n, np.int64)
-        sum_v = np.empty(n, np.int64)
-        min_v = np.empty(n, np.int64)
-        max_v = np.empty(n, np.int64)
-        for i in range(n):
-            img = views[i] if views[i].ndim == 3 else views[i][None]
-            if img.shape[0] < 3:
-                img = np.repeat(img[:1], 3, axis=0)
-            blob = gtiff_encode(np.ascontiguousarray(img[:3]), compress="webp")
-            rt, _, _ = gtiff_decode(blob)
-            b0 = rt if rt.ndim == 2 else rt[0]
-            n_px[i], sum_v[i] = b0.size, int(b0.sum(dtype=np.int64))
-            min_v[i], max_v[i] = int(b0.min()), int(b0.max())
-        return pa.table(
-            {
-                "image_id": pa.array(ids, pa.string()),
-                "n_px": pa.array(n_px),
-                "sum_v": pa.array(sum_v),
-                "min_v": pa.array(min_v),
-                "max_v": pa.array(max_v),
-            }
-        )
-
-    return ds.map_batches(webp_roundtrip_stats, batch_format="pyarrow", num_cpus=1)
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -7192,6 +7100,21 @@ def _md5_minhash_sql_cte() -> str:
     """
 
 
+# shared twin for every codec fidelity gate (lzw/zstd/lerc/webp):
+# the closed-form pixel field, independent of which codec re-encodes it
+_RECODE_STATS_SQL = f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
+        FROM px GROUP BY image_id
+    """
+
 ORACLE_SQL: Dict[str, str] = {
     "tile_bounds": f"""
         WITH {TILE_SQL_CTE}
@@ -7422,18 +7345,7 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
         FROM px GROUP BY image_id
     """,
-    "recode_stats_tiff_lzw": f"""
-        WITH {TILE_SQL_CTE},
-        px AS (
-            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
-            FROM tiles,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
-        )
-        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
-               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
-        FROM px GROUP BY image_id
-    """,
+    "recode_stats_tiff_lzw": _RECODE_STATS_SQL,
     "pii_scrub": """
         WITH d AS (
             SELECT doc_id,
@@ -7484,42 +7396,9 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(v * ((w - 1 - x) + 2 * y)) AS BIGINT) AS flip_sum
         FROM px GROUP BY image_id
     """,
-    "recode_stats_webp": f"""
-        WITH {TILE_SQL_CTE},
-        px AS (
-            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
-            FROM tiles,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
-        )
-        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
-               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
-        FROM px GROUP BY image_id
-    """,
-    "recode_stats_lerc": f"""
-        WITH {TILE_SQL_CTE},
-        px AS (
-            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
-            FROM tiles,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
-        )
-        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
-               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
-        FROM px GROUP BY image_id
-    """,
-    "recode_stats_zstd": f"""
-        WITH {TILE_SQL_CTE},
-        px AS (
-            SELECT tiles.image_id, (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
-            FROM tiles,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
-                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
-        )
-        SELECT image_id, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS sum_v,
-               CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v
-        FROM px GROUP BY image_id
-    """,
+    "recode_stats_webp": _RECODE_STATS_SQL,
+    "recode_stats_lerc": _RECODE_STATS_SQL,
+    "recode_stats_zstd": _RECODE_STATS_SQL,
     "tile_bounds_6933": f"""
         WITH {TILE_SQL_CTE},
         ll AS (

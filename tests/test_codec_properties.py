@@ -26,7 +26,8 @@ _REF_ZSTD = pa.Codec("zstd")
 def _byte_payloads(draw):
     kind = draw(st.integers(0, 4))
     n = draw(st.sampled_from([0, 1, 2, 3, 7, 8, 255, 256, 257, 4095, 4096,
-                              4097, 20000]) | st.integers(0, 30000))
+                              4097, 20000, 131071, 131072, 131073, 180000])
+             | st.integers(0, 30000))
     seed = draw(st.integers(0, 2**31 - 1))
     rng = np.random.default_rng(seed)
     if kind == 0:

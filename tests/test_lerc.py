@@ -71,6 +71,29 @@ def test_band_blob_self_delimiting():
     assert np.array_equal(a2, a) and np.array_equal(b2, b)
 
 
+def test_nan_inf_blocks_stored_raw():
+    """NaN/inf (float nodata encodings) poison the quantizer and its
+    own error check (NaN > err is False), so such blocks must store
+    raw: values round-trip bit-exactly, the bound still holds for
+    finite pixels, and no numpy cast warnings are emitted."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    f = rng.normal(0, 50, (1, 40, 40)).astype(np.float32)
+    f[0, 3, 5] = np.nan
+    f[0, 20, 20] = np.inf
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        blob = lerc_encode(f, max_z_error=0.1)
+    back = lerc_decode(blob)
+    assert np.isnan(back[0, 3, 5]) and np.isinf(back[0, 20, 20])
+    finite = np.isfinite(f)
+    assert (
+        np.abs(back[finite].astype(np.float64) - f[finite].astype(np.float64)).max()
+        <= 0.1
+    )
+
+
 def test_corrupt_rejected():
     with pytest.raises(ValueError, match="Lerc2"):
         lerc_decode(b"not a lerc blob at all")

@@ -98,6 +98,25 @@ def test_we_decode_libzstd_fuzz():
         assert _ref_decompress(ours, n) == data, (trial, n)
 
 
+def test_multi_block_repeat_offset_state():
+    """Repeat-offset state persists ACROSS 128 KiB blocks (RFC 8878).
+    Regression: the encoder used to reset rep[0] per block, silently
+    corrupting any multi-block payload whose next block led with an
+    offset-1 run — libzstd and our decoder both carry the state."""
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        n = int(rng.integers(131073, 400000))
+        if trial % 2:
+            data = bytes(rng.choice(5, n).astype(np.uint8) + 97)
+        else:
+            pat = bytes(rng.integers(0, 256, n % 23 + 1, dtype=np.uint8))
+            data = (pat * (n // len(pat) + 1))[:n]
+        for cs in (False, True):
+            blob = zstd_compress(data, checksum=cs)
+            assert zstd_decompress(blob) == data
+            assert _ref_decompress(blob, n) == data
+
+
 def test_checksum_verified():
     data = b"checksum me " * 100
     blob = bytearray(zstd_compress(data, checksum=True))
@@ -113,6 +132,9 @@ def test_bad_magic_and_truncation():
     blob = zstd_compress(b"hello world " * 50)
     with pytest.raises(ValueError):
         zstd_decompress(blob[: len(blob) // 2])
+    # truncation INSIDE the trailing checksum word is still ValueError
+    with pytest.raises(ValueError, match="truncated"):
+        zstd_decompress(blob[:-2])
 
 
 def test_content_size_header_widths():
