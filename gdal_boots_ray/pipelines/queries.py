@@ -6669,6 +6669,59 @@ def q_flow_d8(sf_dir: str):
     return ds.map_batches(d8, batch_format="pyarrow")
 
 
+def q_tile_tpi(sf_dir: str):
+    """Terrain-ruggedness family (gdaldem TRI / TPI / roughness
+    parity, completing the slope / aspect / hillshade / color-relief
+    set): per interior pixel over the 3x3 window —
+      TPI (Weiss 2001):  center - mean(8 neighbors), kept integer as
+                         8*c - sum(neighbors);
+      TRI (Riley 1999):  sum over neighbors of (c - nb)^2, the
+                         integer core of sqrt(sum dz^2);
+      roughness:         max - min of the 9-pixel window.
+    Per image: interior count, ridge-pixel count (TPI > 0) and the
+    integer TPI / TRI / roughness sums — all integer-exact, so the
+    DuckDB twin replays the eight closed-form neighbor taps of the
+    synthesized field directly.  Nine-shift vectorized stencil, pure
+    map, no exchange (gdaldem analog beyond the reference surface)."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def tpi(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_interior = np.empty(n, np.int64)
+        n_ridge = np.empty(n, np.int64)
+        tpi_sum = np.empty(n, np.int64)
+        tri_sum = np.empty(n, np.int64)
+        rough_sum = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(b0, (3, 3))
+            c = b0[1:-1, 1:-1]
+            s8 = win.sum(axis=(2, 3)) - c
+            t = 8 * c - s8
+            d = win - c[..., None, None]  # center tap contributes 0
+            n_interior[i] = c.size
+            n_ridge[i] = int((t > 0).sum())
+            tpi_sum[i] = int(t.sum())
+            tri_sum[i] = int((d * d).sum())
+            rough_sum[i] = int((win.max(axis=(2, 3)) - win.min(axis=(2, 3))).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_interior": pa.array(n_interior),
+                "n_ridge": pa.array(n_ridge),
+                "tpi_sum": pa.array(tpi_sum),
+                "tri_sum": pa.array(tri_sum),
+                "rough_sum": pa.array(rough_sum),
+            }
+        )
+
+    return ds.map_batches(tpi, batch_format="pyarrow")
+
+
 def q_hist_match(sf_dir: str):
     """Histogram matching (radiometric normalization — the
     cross-sensor balancing step mosaics need): band 0 of each 2-band
@@ -7115,7 +7168,43 @@ _RECODE_STATS_SQL = f"""
         FROM px GROUP BY image_id
     """
 
+def _fld_tap(dx: int, dy: int) -> str:
+    """Closed-form synthesized-field tap at offset (dx, dy) from
+    (x, y) in image k — the same formula the TILE twins replay."""
+    return f"(((x + ({dx})) * 31 + (y + ({dy})) * 17 + k) % 256)"
+
+
+_N8 = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+_TPI_S8 = " + ".join(_fld_tap(dx, dy) for dx, dy in _N8)
+_TPI_TRI = " + ".join(
+    f"({_fld_tap(0, 0)} - {_fld_tap(dx, dy)}) * ({_fld_tap(0, 0)} - {_fld_tap(dx, dy)})"
+    for dx, dy in _N8
+)
+_TPI_ALL9 = ", ".join([_fld_tap(0, 0)] + [_fld_tap(dx, dy) for dx, dy in _N8])
+
 ORACLE_SQL: Dict[str, str] = {
+    "tile_tpi": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, tiles.k AS k
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(tiles.h - 2 AS INT))) AS y) gy
+        ),
+        s AS (
+            SELECT image_id,
+                   8 * {_fld_tap(0, 0)} - ({_TPI_S8}) AS tpi,
+                   {_TPI_TRI} AS tri,
+                   greatest({_TPI_ALL9}) - least({_TPI_ALL9}) AS rough
+            FROM px
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+               CAST(sum(CASE WHEN tpi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ridge,
+               CAST(sum(tpi) AS BIGINT) AS tpi_sum,
+               CAST(sum(tri) AS BIGINT) AS tri_sum,
+               CAST(sum(rough) AS BIGINT) AS rough_sum
+        FROM s GROUP BY image_id
+    """,
     "tile_bounds": f"""
         WITH {TILE_SQL_CTE}
         SELECT image_id, x0 AS minx, y0 - h * 10.0 AS miny, x0 + w * 10.0 AS maxx, y0 AS maxy
@@ -9433,6 +9522,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "tile_augment": q_tile_augment,
     "bpe_pairs": q_bpe_pairs,
+    # -- NEW in r05 wave 3: gdaldem TPI/TRI/roughness ----------------
+    "tile_tpi": q_tile_tpi,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
