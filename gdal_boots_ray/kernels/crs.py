@@ -68,6 +68,19 @@ series implementations from public literature:
   cadastral grids — Trinidad 1903, Kertau) — Guidance 7-2 A/T/C
   series over the shared meridian arc, footpoint inverse; Trinidad
   worked example reproduced to <0.001 link.
+- World compromise/pseudocylindrical wave: Mollweide
+  (``+proj=moll``, ESRI:54009 — equal-area, pinned by numeric areal
+  scale == 1 and the 2:1 elliptical outline), Robinson
+  (``+proj=robin``, ESRI:54030 — Robinson's published 5-degree table
+  IS the definition; node-exact, natural-cubic between nodes),
+  Miller (``+proj=mill``, ESRI:54003 — Snyder 11-1..11-5).
+- Spherical azimuthal family (Snyder ch. 20/22/25): orthographic
+  (``+proj=ortho``; far hemisphere -> NaN), gnomonic (``+proj=gnom``;
+  great circles project to straight lines — the pinned invariant),
+  azimuthal equidistant (``+proj=aeqd`` — rho IS the great-circle
+  distance from the center; ellipsoidal POLAR aspects use the
+  meridian-arc series exactly, oblique ellipsoidal raises toward the
+  +R spherical form).
 - Krovak (``+proj=krovak``, EPSG method 9819; S-JTSK, proj4 only) —
   Gauss sphere + oblique-pole rotation + pseudo-standard-parallel
   conic, PROJ axis signs; Guidance 7-2 southing to <2 cm, conformal
@@ -1514,8 +1527,8 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"omerc {sorted(_EPSG_OMERC)}, proj4-defined {sorted(_EPSG_PROJ4)}; "
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
             f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
-            f"krovak, cass, eqdc, bonne, eqc, sinu, cea, geos, omerc) can be "
-            f"passed as its proj4 string"
+            f"krovak, cass, eqdc, bonne, eqc, sinu, cea, geos, omerc, moll, "
+            f"robin, mill, ortho, gnom, aeqd) can be passed as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1585,10 +1598,353 @@ _EPSG_PROJ4 = {
     5041: "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS North (E,N)
     5042: "+proj=stere +lat_0=-90 +lat_ts=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84",  # WGS 84 / UPS South (E,N)
     25832: "+proj=utm +zone=32 +ellps=GRS80",  # ETRS89 / UTM zone 32N
+    # ESRI world WKIDs (the 54xxx family is routinely passed as a bare
+    # int where an EPSG is expected; spherical world projections on
+    # the WGS84 a-axis, as in PROJ/ESRI)
+    54003: "+proj=mill +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Miller
+    54009: "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Mollweide
+    54030: "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Robinson
 }
 
 
 _P4_FLOAT = re.compile(r"\+([a-zA-Z_0-9]+)=([^\s]+)")
+
+
+class _MollConsts:
+    """Mollweide (``+proj=moll``; ESRI:54009 World Mollweide).
+    Spherical, as in PROJ (the a-axis sphere): the unique equal-area
+    pseudocylindrical whose meridians are ellipses on a 2:1 world
+    outline — the tests pin exactly that (numeric areal scale == 1,
+    boundary ellipse semi-axes 2*sqrt(2)*a x sqrt(2)*a) plus
+    roundtrips.  theta solves 2t + sin 2t = pi sin phi by Newton
+    (Snyder 31-1..31-5)."""
+
+    __slots__ = ("a", "lam0", "x0", "y0")
+
+    def __init__(self, a, lon0, x0, y0):
+        self.a = a
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _wrap_pi(dlam: np.ndarray) -> np.ndarray:
+    """Normalize a longitude difference to (-pi, pi] (PROJ adjlon)."""
+    return dlam - 2.0 * math.pi * np.ceil((dlam - math.pi) / (2.0 * math.pi))
+
+
+def _moll_theta(phi: np.ndarray) -> np.ndarray:
+    rhs = math.pi * np.sin(phi)
+    t = phi.copy()
+    for _ in range(12):
+        f = 2.0 * t + np.sin(2.0 * t) - rhs
+        fp = 2.0 + 2.0 * np.cos(2.0 * t)
+        step = np.where(np.abs(fp) < 1e-12, 0.0, f / np.where(np.abs(fp) < 1e-12, 1.0, fp))
+        t = t - step
+    # poles: derivative vanishes; the exact solution is +-pi/2
+    return np.where(np.abs(phi) >= math.pi / 2 - 1e-10, np.sign(phi) * (math.pi / 2), t)
+
+
+def _moll_forward(c: _MollConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    t = _moll_theta(phi)
+    x = (2.0 * _SQRT2 / math.pi) * c.a * _wrap_pi(lam - c.lam0) * np.cos(t)
+    y = _SQRT2 * c.a * np.sin(t)
+    return c.x0 + x, c.y0 + y
+
+
+def _moll_inverse(c: _MollConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    t = np.arcsin(np.clip(yt / (_SQRT2 * c.a), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * t + np.sin(2.0 * t)) / math.pi, -1.0, 1.0))
+    ct = np.cos(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = c.lam0 + math.pi * xt / (2.0 * _SQRT2 * c.a * ct)
+    lam = np.where(ct < 1e-12, c.lam0, lam)
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _MillConsts:
+    """Miller cylindrical (``+proj=mill``; ESRI:54003) — spherical,
+    Snyder eqs. 11-1..11-5: y = (5/4) R ln tan(pi/4 + 2 phi/5),
+    computed as asinh(tan(4 phi / 5)) for stability near the poles."""
+
+    __slots__ = ("a", "lam0", "x0", "y0")
+
+    def __init__(self, a, lon0, x0, y0):
+        self.a = a
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _mill_forward(c: _MillConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    x = c.a * _wrap_pi(lam - c.lam0)
+    y = 1.25 * c.a * np.arcsinh(np.tan(0.8 * phi))
+    return c.x0 + x, c.y0 + y
+
+
+def _mill_inverse(c: _MillConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    lam = c.lam0 + xt / c.a
+    phi = 1.25 * np.arctan(np.sinh(0.8 * yt / c.a))
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _AzSphConsts:
+    """Shared constants for the spherical azimuthal family
+    (orthographic / gnomonic / azimuthal equidistant), Snyder
+    chapters 20/22/25: projection center (lat_0, lon_0) on the
+    a-axis sphere."""
+
+    __slots__ = ("a", "sp0", "cp0", "lam0", "x0", "y0")
+
+    def __init__(self, a, lat0, lon0, x0, y0):
+        self.a = a
+        p0 = math.radians(lat0)
+        self.sp0, self.cp0 = math.sin(p0), math.cos(p0)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _az_cos_c(c: _AzSphConsts, phi, dlam):
+    """Angular distance from the projection center (Snyder 5-3)."""
+    return c.sp0 * np.sin(phi) + c.cp0 * np.cos(phi) * np.cos(dlam)
+
+
+def _az_xy(c: _AzSphConsts, kp, phi, dlam):
+    """x, y for radial scale factor kp (Snyder 22-4/22-5 family)."""
+    x = c.a * kp * np.cos(phi) * np.sin(dlam)
+    y = c.a * kp * (c.cp0 * np.sin(phi) - c.sp0 * np.cos(phi) * np.cos(dlam))
+    return c.x0 + x, c.y0 + y
+
+
+def _az_inverse(c: _AzSphConsts, xt, yt, sin_c, cos_c, rho):
+    """Shared azimuthal inverse (Snyder 20-14/20-15) given the
+    angular distance decomposition of rho."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = np.arcsin(np.clip(cos_c * c.sp0 + yt * sin_c * c.cp0 / rho, -1.0, 1.0))
+        lam = c.lam0 + np.arctan2(xt * sin_c, rho * c.cp0 * cos_c - yt * c.sp0 * sin_c)
+    center = rho < 1e-12
+    phi = np.where(center, math.asin(max(-1.0, min(1.0, c.sp0))), phi)
+    lam = np.where(center, c.lam0, lam)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _ortho_forward(c: _AzSphConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlam = _wrap_pi(lam - c.lam0)
+    cos_c = _az_cos_c(c, phi, dlam)
+    kp = np.where(cos_c >= -1e-12, 1.0, np.nan)  # far hemisphere: undefined
+    return _az_xy(c, kp, phi, dlam)
+
+
+def _ortho_inverse(c: _AzSphConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    rho = np.hypot(xt, yt)
+    sin_c = np.clip(rho / c.a, 0.0, 1.0)
+    cos_c = np.sqrt(1.0 - sin_c * sin_c)
+    return _az_inverse(c, xt, yt, sin_c, cos_c, rho)
+
+
+def _gnom_forward(c: _AzSphConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlam = _wrap_pi(lam - c.lam0)
+    cos_c = _az_cos_c(c, phi, dlam)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kp = np.where(cos_c > 1e-9, 1.0 / cos_c, np.nan)  # horizon at infinity
+    return _az_xy(c, kp, phi, dlam)
+
+
+def _gnom_inverse(c: _AzSphConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    rho = np.hypot(xt, yt)
+    cang = np.arctan2(rho, np.full_like(rho, c.a))  # c = atan(rho / a)
+    return _az_inverse(c, xt, yt, np.sin(cang), np.cos(cang), rho)
+
+
+def _aeqd_forward(c: _AzSphConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlam = _wrap_pi(lam - c.lam0)
+    cos_c = np.clip(_az_cos_c(c, phi, dlam), -1.0, 1.0)
+    cang = np.arccos(cos_c)
+    sin_c = np.sin(cang)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kp = np.where(sin_c < 1e-12, 1.0, cang / np.where(sin_c < 1e-12, 1.0, sin_c))
+    kp = np.where(cos_c <= -1.0 + 1e-12, np.nan, kp)  # antipode: azimuth undefined
+    return _az_xy(c, kp, phi, dlam)
+
+
+def _aeqd_inverse(c: _AzSphConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    rho = np.hypot(xt, yt)
+    cang = rho / c.a  # rho IS the great-circle distance
+    return _az_inverse(c, xt, yt, np.sin(cang), np.cos(cang), rho)
+
+
+class _AeqdPolarConsts:
+    """Azimuthal equidistant, ellipsoidal POLAR aspect (Snyder
+    25-16): rho = |Mp -+ M(phi)| along every meridian — true
+    meridian distances from the pole, the defining invariant the
+    tests pin.  Oblique/equatorial ellipsoidal aspects need geodesic
+    azimuth/distance (Karney); pass ``+R=`` for the spherical form
+    instead (documented seam)."""
+
+    __slots__ = ("a", "arc", "north", "Mp", "lam0", "x0", "y0")
+
+    def __init__(self, a, f, north, lon0, x0, y0):
+        self.a = a
+        self.arc = _MeridArc(a, f)
+        self.north = north
+        self.Mp = float(self.arc.m(np.array([math.pi / 2]))[0])
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _aeqd_polar_forward(c: _AeqdPolarConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    M = c.arc.m(phi)
+    dlam = lam - c.lam0
+    if c.north:
+        rho = c.Mp - M
+        return c.x0 + rho * np.sin(dlam), c.y0 - rho * np.cos(dlam)
+    rho = c.Mp + M
+    return c.x0 + rho * np.sin(dlam), c.y0 + rho * np.cos(dlam)
+
+
+def _aeqd_polar_inverse(c: _AeqdPolarConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    rho = np.hypot(xt, yt)
+    if c.north:
+        phi = c.arc.phi(c.Mp - rho)
+        lam = c.lam0 + np.arctan2(xt, -yt)
+    else:
+        phi = c.arc.phi(rho - c.Mp)
+        lam = c.lam0 + np.arctan2(xt, yt)
+    lam = np.where(rho < 1e-9, c.lam0, lam)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# Robinson 1974 table: (X, Y) at 5-degree latitude steps 0..90 —
+# X scales parallel length, Y scales pole-ward distance; the map is
+# x = 0.8487 R X dlam, y = 1.3523 R Y sign(phi).  The table itself is
+# the published definition (Robinson, "A New Map Projection", 1974);
+# between nodes this implementation interpolates with a NATURAL CUBIC
+# SPLINE (documented choice: PROJ fits its own local cubics, so
+# off-node values differ at the 1e-4 relative level — there is no
+# single canonical interpolant).
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+
+
+def _nat_cubic_d2(y: np.ndarray, h: float) -> np.ndarray:
+    """Second derivatives of the natural cubic spline through equally
+    spaced nodes (classic tridiagonal solve)."""
+    n = len(y)
+    d2 = np.zeros(n)
+    # tridiagonal: h/6 * [1 4 1] pattern; natural ends d2[0]=d2[-1]=0
+    sub = np.full(n - 2, 1.0)
+    diag = np.full(n - 2, 4.0)
+    rhs = 6.0 * (y[2:] - 2 * y[1:-1] + y[:-2]) / (h * h)
+    # Thomas algorithm
+    cp = np.zeros(n - 2)
+    dp = np.zeros(n - 2)
+    cp[0] = sub[0] / diag[0]
+    dp[0] = rhs[0] / diag[0]
+    for i in range(1, n - 2):
+        m = diag[i] - sub[i] * cp[i - 1]
+        cp[i] = sub[i] / m
+        dp[i] = (rhs[i] - sub[i] * dp[i - 1]) / m
+    x = np.zeros(n - 2)
+    x[-1] = dp[-1]
+    for i in range(n - 4, -1, -1):
+        x[i] = dp[i] - cp[i] * x[i + 1]
+    d2[1:-1] = x
+    return d2
+
+
+_ROBIN_H = 5.0
+_ROBIN_X_D2 = _nat_cubic_d2(_ROBIN_X, _ROBIN_H)
+_ROBIN_Y_D2 = _nat_cubic_d2(_ROBIN_Y, _ROBIN_H)
+
+
+def _robin_spline(table: np.ndarray, d2: np.ndarray, latdeg: np.ndarray) -> np.ndarray:
+    """Evaluate the natural cubic spline at |latdeg| in [0, 90]."""
+    t = np.clip(latdeg, 0.0, 90.0)
+    i = np.minimum((t / _ROBIN_H).astype(np.int64), len(table) - 2)
+    u = (t - i * _ROBIN_H) / _ROBIN_H  # in [0, 1]
+    h2 = _ROBIN_H * _ROBIN_H
+    a, b = 1.0 - u, u
+    return (
+        a * table[i]
+        + b * table[i + 1]
+        + ((a ** 3 - a) * d2[i] + (b ** 3 - b) * d2[i + 1]) * h2 / 6.0
+    )
+
+
+class _RobinConsts:
+    """Robinson (``+proj=robin``; ESRI:54030) — the compromise world
+    projection, defined by Robinson's published 5-degree table (see
+    _ROBIN_X/_ROBIN_Y above)."""
+
+    __slots__ = ("a", "lam0", "x0", "y0")
+
+    def __init__(self, a, lon0, x0, y0):
+        self.a = a
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+def _robin_forward(c: _RobinConsts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    alat = np.abs(lat)
+    X = _robin_spline(_ROBIN_X, _ROBIN_X_D2, alat)
+    Y = _robin_spline(_ROBIN_Y, _ROBIN_Y_D2, alat)
+    x = 0.8487 * c.a * X * _wrap_pi(lam - c.lam0)
+    y = 1.3523 * c.a * Y * np.sign(lat)
+    return c.x0 + x, c.y0 + y
+
+
+def _robin_inverse(c: _RobinConsts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    yn = np.clip(np.abs(yt) / (1.3523 * c.a), 0.0, 1.0)
+    # invert the monotone Y spline by bisection (vectorized, 48 steps
+    # -> ~90 / 2^48 deg, far below float64 output rounding)
+    lo = np.zeros_like(yn)
+    hi = np.full_like(yn, 90.0)
+    for _ in range(48):
+        mid = 0.5 * (lo + hi)
+        below = _robin_spline(_ROBIN_Y, _ROBIN_Y_D2, mid) < yn
+        lo = np.where(below, mid, lo)
+        hi = np.where(below, hi, mid)
+    alat = 0.5 * (lo + hi)
+    X = _robin_spline(_ROBIN_X, _ROBIN_X_D2, alat)
+    lam = c.lam0 + xt / (0.8487 * c.a * X)
+    return np.degrees(lam), alat * np.sign(yt)
 
 
 def _p4_ellipsoid(params: dict) -> Tuple[float, float]:
@@ -1965,6 +2321,94 @@ def crs_from_proj4(proj4: str) -> CRS:
             lambda lon, lat, c=consts: _tm_forward(c, lon, lat),
             lambda x, y, c=consts: _tm_inverse(c, x, y),
         )
+    elif proj == "moll":
+        a, _f = _p4_ellipsoid(params)  # spherical on the a-axis, as in PROJ
+        consts = _MollConsts(
+            a,
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _moll_forward(c, lon, lat),
+            lambda x, y, c=consts: _moll_inverse(c, x, y),
+        )
+    elif proj == "mill":
+        a, _f = _p4_ellipsoid(params)  # spherical on the a-axis, as in PROJ
+        consts = _MillConsts(
+            a,
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _mill_forward(c, lon, lat),
+            lambda x, y, c=consts: _mill_inverse(c, x, y),
+        )
+    elif proj == "robin":
+        a, _f = _p4_ellipsoid(params)  # spherical on the a-axis, as in PROJ
+        consts = _RobinConsts(
+            a,
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts: _robin_forward(c, lon, lat),
+            lambda x, y, c=consts: _robin_inverse(c, x, y),
+        )
+    elif proj in ("ortho", "gnom"):
+        a, _f = _p4_ellipsoid(params)  # spherical forms (Snyder ch. 20/22)
+        consts = _AzSphConsts(
+            a,
+            float(params.get("lat_0", 0)),
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        fwd = _ortho_forward if proj == "ortho" else _gnom_forward
+        inv = _ortho_inverse if proj == "ortho" else _gnom_inverse
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=consts, f_=fwd: f_(c, lon, lat),
+            lambda x, y, c=consts, i_=inv: i_(c, x, y),
+        )
+    elif proj == "aeqd":
+        a, f = _p4_ellipsoid(params)
+        lat0 = float(params.get("lat_0", 0))
+        lon0 = float(params.get("lon_0", 0))
+        x0 = float(params.get("x_0", 0))
+        y0 = float(params.get("y_0", 0))
+        if f > 0 and abs(lat0) >= 90.0 - 1e-9:
+            pconsts = _AeqdPolarConsts(a, f, lat0 > 0, lon0, x0, y0)
+            crs = CRS(
+                "projected",
+                proj4,
+                lambda lon, lat, c=pconsts: _aeqd_polar_forward(c, lon, lat),
+                lambda x, y, c=pconsts: _aeqd_polar_inverse(c, x, y),
+            )
+        elif f > 0:
+            raise ValueError(
+                "aeqd: oblique/equatorial ellipsoidal aspects need geodesic "
+                "azimuth/distance (not implemented) — pass the spherical form "
+                "with +R=<radius> (PROJ's pre-geodesic behavior), or a polar "
+                "+lat_0=+-90 for the exact ellipsoidal aspect"
+            )
+        else:
+            consts = _AzSphConsts(a, lat0, lon0, x0, y0)
+            crs = CRS(
+                "projected",
+                proj4,
+                lambda lon, lat, c=consts: _aeqd_forward(c, lon, lat),
+                lambda x, y, c=consts: _aeqd_inverse(c, x, y),
+            )
     else:
         raise ValueError(f"unsupported proj4: {proj4}")
     _CRS_CACHE[proj4] = crs

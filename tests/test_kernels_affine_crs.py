@@ -1064,3 +1064,201 @@ class TestEpsgProj4Dispatch:
         for code in (27700, 23030, 31370):
             with pytest.raises(ValueError, match="proj4"):
                 resolve_crs(code)
+
+
+class TestWorldAndAzimuthal:
+    """Mollweide / Robinson / Miller world projections and the
+    spherical azimuthal family (ortho / gnom / aeqd), each pinned by
+    its DEFINING invariant rather than self-derived constants."""
+
+    def test_mollweide_invariants(self):
+        import math
+
+        a = 6378137.0
+        crs = resolve_crs("+proj=moll +lon_0=0 +a=6378137")
+        # outline anchors: pole at sqrt(2)*a, equatorial edge at
+        # 2*sqrt(2)*a — the 2:1 ellipse that DEFINES Mollweide
+        _, yp = crs.from_lonlat(np.array([0.0]), np.array([90.0]))
+        assert abs(yp[0] - math.sqrt(2) * a) < 1e-6
+        xe, _ = crs.from_lonlat(np.array([180.0]), np.array([0.0]))
+        assert abs(xe[0] - 2 * math.sqrt(2) * a) < 1e-6
+        # equal-area: numeric Jacobian == a^2 cos(phi) everywhere
+        d = 1e-6
+        for lo, la in [(0.0, 0.0), (40.0, 35.0), (-120.0, -60.0), (10.0, 80.0)]:
+            x0, y0 = crs.from_lonlat(np.array([lo]), np.array([la]))
+            x1, y1 = crs.from_lonlat(np.array([lo + d]), np.array([la]))
+            x2, y2 = crs.from_lonlat(np.array([lo]), np.array([la + d]))
+            J = (x1[0] - x0[0]) * (y2[0] - y0[0]) - (x2[0] - x0[0]) * (y1[0] - y0[0])
+            true_area = a * a * math.cos(math.radians(la)) * math.radians(d) ** 2
+            assert abs(abs(J) / true_area - 1.0) < 1e-5
+        lons = np.array([-170.0, -45.0, 0.0, 60.0, 179.0])
+        lats = np.array([-85.0, -30.0, 0.0, 45.0, 85.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-9
+        assert np.abs(lat2 - lats).max() < 1e-9
+        # ESRI WKID routes through the same kernel, key preserved
+        esri = resolve_crs(54009)
+        assert esri.key == 54009
+        xw, yw = esri.from_lonlat(np.array([10.0]), np.array([50.0]))
+        xp, yp2 = crs.from_lonlat(np.array([10.0]), np.array([50.0]))
+        assert abs(xw[0] - xp[0]) < 1e-6 and abs(yw[0] - yp2[0]) < 1e-6
+
+    def test_robinson_published_table_nodes(self):
+        import math
+
+        from gdal_boots_ray.kernels.crs import _ROBIN_X, _ROBIN_Y
+
+        a = 6378137.0
+        crs = resolve_crs(54030)  # World Robinson
+        # at every 5-degree node the published 1974 table IS the map
+        for i, lat in enumerate(range(0, 95, 5)):
+            x, y = crs.from_lonlat(np.array([30.0]), np.array([float(lat)]))
+            assert abs(y[0] - 1.3523 * a * _ROBIN_Y[i]) < 1e-6
+            assert abs(x[0] - 0.8487 * a * _ROBIN_X[i] * math.radians(30.0)) < 1e-6
+        # southern hemisphere: odd symmetry in y, even in x
+        xn, yn = crs.from_lonlat(np.array([25.0]), np.array([37.3]))
+        xs, ys = crs.from_lonlat(np.array([25.0]), np.array([-37.3]))
+        assert abs(xn[0] - xs[0]) < 1e-9 and abs(yn[0] + ys[0]) < 1e-9
+        # roundtrip incl. off-node latitudes (spline-inverse path)
+        lons = np.array([-150.0, -60.0, 0.0, 33.0, 178.0])
+        lats = np.array([-88.7, -42.2, 0.0, 12.34, 67.89])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-8
+        assert np.abs(lat2 - lats).max() < 1e-8
+
+    def test_miller_snyder_example(self):
+        # Snyder (PP 1395) Miller numerical example: R = 1, phi = 50N
+        # -> y = 0.9536371
+        crs = resolve_crs("+proj=mill +R=1")
+        x, y = crs.from_lonlat(np.array([-75.0]), np.array([50.0]))
+        assert abs(y[0] - 0.9536371) < 5e-7
+        import math
+
+        assert abs(x[0] - math.radians(-75.0)) < 1e-12  # x = R * lam
+        crs54003 = resolve_crs(54003)
+        lons = np.array([-179.0, -10.0, 0.0, 120.0])
+        lats = np.array([-89.0, -45.0, 0.0, 72.0])
+        xx, yy = crs54003.from_lonlat(lons, lats)
+        lon2, lat2 = crs54003.to_lonlat(xx, yy)
+        assert np.abs(lon2 - lons).max() < 1e-9
+        assert np.abs(lat2 - lats).max() < 1e-9
+
+    def test_orthographic_snyder_example(self):
+        import math
+
+        # Snyder (PP 1395, ch. 20) worked geometry: center 40N 100W,
+        # point 30N 110W -> x = -0.1503837, y = -0.1651911 (R = 1)
+        crs = resolve_crs("+proj=ortho +lat_0=40 +lon_0=-100 +R=1")
+        x, y = crs.from_lonlat(np.array([-110.0]), np.array([30.0]))
+        assert abs(x[0] + 0.1503837) < 5e-7
+        assert abs(y[0] + 0.1651911) < 5e-7
+        # defining invariant: rho = R sin(c), c = angular distance
+        rng = np.random.default_rng(7)
+        lons = -100.0 + rng.uniform(-80, 80, 32)
+        lats = 40.0 + rng.uniform(-45, 45, 32)
+        xx, yy = crs.from_lonlat(lons, lats)
+        sp0, cp0 = math.sin(math.radians(40)), math.cos(math.radians(40))
+        cosc = sp0 * np.sin(np.radians(lats)) + cp0 * np.cos(np.radians(lats)) * np.cos(
+            np.radians(lons + 100.0)
+        )
+        vis = cosc >= 0
+        assert vis.all()
+        assert np.abs(np.hypot(xx, yy) - np.sqrt(1 - cosc**2)).max() < 1e-12
+        lon2, lat2 = crs.to_lonlat(xx, yy)
+        assert np.abs(lon2 - lons).max() < 1e-7
+        assert np.abs(lat2 - lats).max() < 1e-7
+        # far hemisphere is undefined -> NaN
+        xf, yf = crs.from_lonlat(np.array([80.0]), np.array([-40.0]))
+        assert np.isnan(xf[0]) and np.isnan(yf[0])
+
+    def test_gnomonic_great_circles_are_straight(self):
+        # THE gnomonic property: any great circle maps to a straight
+        # line.  Take random great-circle arcs through the visible
+        # hemisphere and check exact collinearity of 3 samples.
+        crs = resolve_crs("+proj=gnom +lat_0=35 +lon_0=20 +R=1")
+        rng = np.random.default_rng(11)
+
+        def unit(v):
+            return v / np.linalg.norm(v)
+
+        center = unit(
+            np.array(
+                [
+                    np.cos(np.radians(35)) * np.cos(np.radians(20)),
+                    np.cos(np.radians(35)) * np.sin(np.radians(20)),
+                    np.sin(np.radians(35)),
+                ]
+            )
+        )
+        for _ in range(16):
+            a3 = unit(center + 0.35 * rng.standard_normal(3))
+            b3 = unit(center + 0.35 * rng.standard_normal(3))
+            pts = []
+            for t in (0.0, 0.5, 1.0):  # slerp samples on the great circle
+                w = unit((1 - t) * a3 + t * b3)
+                lon = np.degrees(np.arctan2(w[1], w[0]))
+                lat = np.degrees(np.arcsin(w[2]))
+                x, y = crs.from_lonlat(np.array([lon]), np.array([lat]))
+                pts.append((x[0], y[0]))
+            (x1, y1), (x2, y2), (x3, y3) = pts
+            cross = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+            span = max(abs(x3 - x1), abs(y3 - y1), 1e-9)
+            assert abs(cross) / (span * span) < 1e-9
+        # roundtrip + horizon NaN
+        lons = np.array([10.0, 40.0, 22.0])
+        lats = np.array([20.0, 55.0, 33.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-8
+        assert np.abs(lat2 - lats).max() < 1e-8
+        xh, _ = crs.from_lonlat(np.array([-160.0]), np.array([-35.0]))
+        assert np.isnan(xh[0])
+
+    def test_aeqd_distance_invariant(self):
+        import math
+
+        # spherical: rho IS the great-circle distance from the center
+        R = 6370997.0
+        crs = resolve_crs(f"+proj=aeqd +lat_0=40 +lon_0=-100 +R={R}")
+        rng = np.random.default_rng(3)
+        lons = rng.uniform(-179, 179, 48)
+        lats = rng.uniform(-89, 89, 48)
+        xx, yy = crs.from_lonlat(lons, lats)
+        sp0, cp0 = math.sin(math.radians(40)), math.cos(math.radians(40))
+        cosc = np.clip(
+            sp0 * np.sin(np.radians(lats))
+            + cp0 * np.cos(np.radians(lats)) * np.cos(np.radians(lons + 100.0)),
+            -1,
+            1,
+        )
+        assert np.abs(np.hypot(xx, yy) - R * np.arccos(cosc)).max() < 1e-6
+        lon2, lat2 = crs.to_lonlat(xx, yy)
+        dlon = ((lon2 - lons + 180) % 360) - 180
+        assert np.abs(dlon).max() < 1e-6
+        assert np.abs(lat2 - lats).max() < 1e-7
+
+    def test_aeqd_polar_ellipsoidal(self):
+        import math
+
+        from gdal_boots_ray.kernels.crs import _MeridArc
+
+        # ellipsoidal NORTH polar aspect: rho = Mp - M(phi) exactly
+        crs = resolve_crs("+proj=aeqd +lat_0=90 +lon_0=0 +ellps=WGS84")
+        arc = _MeridArc(6378137.0, 1 / 298.257223563)
+        Mp = float(arc.m(np.array([math.pi / 2]))[0])
+        for lo, la in [(0.0, 70.0), (45.0, 80.0), (-130.0, 55.0)]:
+            x, y = crs.from_lonlat(np.array([lo]), np.array([la]))
+            M = float(arc.m(np.array([math.radians(la)]))[0])
+            assert abs(math.hypot(x[0], y[0]) - (Mp - M)) < 1e-6
+            lon2, lat2 = crs.to_lonlat(x, y)
+            assert abs(lon2[0] - lo) < 1e-9 and abs(lat2[0] - la) < 1e-9
+        # south polar aspect roundtrips too
+        south = resolve_crs("+proj=aeqd +lat_0=-90 +lon_0=0 +ellps=WGS84")
+        x, y = south.from_lonlat(np.array([100.0]), np.array([-75.0]))
+        lon2, lat2 = south.to_lonlat(x, y)
+        assert abs(lon2[0] - 100.0) < 1e-9 and abs(lat2[0] + 75.0) < 1e-9
+        # oblique ellipsoidal: documented geodesic seam
+        with pytest.raises(ValueError, match="aeqd"):
+            resolve_crs("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")
