@@ -244,6 +244,41 @@ def q_tile_bounds_6933(sf_dir: str):
     return ds.map_batches(to6933, batch_format="pyarrow")
 
 
+def q_tile_bounds_54009(sf_dir: str):
+    """Tile bounds reprojected 3857 -> 4326 -> 54009 (World
+    Mollweide, the equal-area world grid of choice for global area
+    statistics).  The DuckDB twin replays Snyder 31-1..31-5 with the
+    SAME Newton iteration t <- t - (2t + sin 2t - pi sin phi) /
+    (2 + 2 cos 2t), unrolled 10 steps in chained CTEs — both sides
+    converge to machine precision at mid-latitudes, so the round-6
+    outputs are identical and the new moll kernel (kernels/crs.py
+    _MollConsts) is oracle-checked end to end."""
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to54009(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy()
+        miny = batch.column("miny").to_numpy()
+        maxx = batch.column("maxx").to_numpy()
+        maxy = batch.column("maxy").to_numpy()
+        lon_min, lat_min = transform_points(3857, 4326, minx, miny)
+        lon_max, lat_max = transform_points(3857, 4326, maxx, maxy)
+        x_min, y_min = transform_points(4326, 54009, lon_min, lat_min)
+        x_max, y_max = transform_points(4326, 54009, lon_max, lat_max)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "mx_min": pa.array(np.round(x_min, 6)),
+                "my_min": pa.array(np.round(y_min, 6)),
+                "mx_max": pa.array(np.round(x_max, 6)),
+                "my_max": pa.array(np.round(y_max, 6)),
+            }
+        )
+
+    return ds.map_batches(to54009, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -7488,6 +7523,90 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "tile_bounds_54009": f"""
+        WITH {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        ),
+        m0 AS (
+            SELECT image_id, lon_min, lon_max,
+                   pi() * sin(radians(lat_min)) AS rhs1,
+                   pi() * sin(radians(lat_max)) AS rhs2,
+                   radians(lat_min) AS t1, radians(lat_max) AS t2
+            FROM ll
+        ),
+        m1 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m0
+        ),
+        m2 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m1
+        ),
+        m3 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m2
+        ),
+        m4 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m3
+        ),
+        m5 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m4
+        ),
+        m6 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m5
+        ),
+        m7 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m6
+        ),
+        m8 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m7
+        ),
+        m9 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m8
+        ),
+        m10 AS (
+            SELECT image_id, lon_min, lon_max, rhs1, rhs2,
+                   t1 - (2*t1 + sin(2*t1) - rhs1) / (2 + 2*cos(2*t1)) AS t1,
+                   t2 - (2*t2 + sin(2*t2) - rhs2) / (2 + 2*cos(2*t2)) AS t2
+            FROM m9
+        )
+        SELECT image_id,
+            round((2 * sqrt(2) / pi()) * 6378137.0 * radians(lon_min) * cos(t1), 6) AS mx_min,
+            round(sqrt(2) * 6378137.0 * sin(t1), 6) AS my_min,
+            round((2 * sqrt(2) / pi()) * 6378137.0 * radians(lon_max) * cos(t2), 6) AS mx_max,
+            round(sqrt(2) * 6378137.0 * sin(t2), 6) AS my_max
+        FROM m10
+    """,
     "tile_bounds_6933": f"""
         WITH {TILE_SQL_CTE},
         ll AS (
@@ -9524,6 +9643,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     # -- NEW in r05 wave 3: gdaldem TPI/TRI/roughness ----------------
     "tile_tpi": q_tile_tpi,
+    "tile_bounds_54009": q_tile_bounds_54009,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
