@@ -279,6 +279,71 @@ def q_tile_bounds_54009(sf_dir: str):
     return ds.map_batches(to54009, batch_format="pyarrow")
 
 
+def q_tile_viewshed(sf_dir: str, obs_up: int = 10):
+    """gdal_viewshed analog along the 8 principal rays: the observer
+    stands ``obs_up`` units above the field value at the tile-center
+    pixel (w//2, h//2); walking outward on each ray, a pixel is
+    visible iff its elevation angle STRICTLY exceeds every previous
+    angle on that ray.  Within one ray the geometric step length (1
+    vs sqrt(2)) is constant and cancels, so the comparison key is the
+    exact float64 (v - obs) / step_index — numpy and DuckDB evaluate
+    the identical IEEE division, and the twin's window-function
+    running max replays the prefix-max scan bit-for-bit.  (A full
+    viewshed sweeps all rays; the 8-ray census is the verifiable
+    distributed core — same per-ray kernel, more rays.)  Per image:
+    ray-pixel count and visible count.  Pure map, no exchange."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+    dirs = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def viewshed(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_ray_px = np.empty(n, np.int64)
+        n_visible = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            hh, ww = b0.shape
+            cx, cy = ww // 2, hh // 2
+            obs = int(b0[cy, cx]) + obs_up
+            tot = vis = 0
+            for dx, dy in dirs:
+                if dx > 0:
+                    steps = ww - 1 - cx
+                elif dx < 0:
+                    steps = cx
+                else:
+                    steps = 1 << 30
+                if dy > 0:
+                    steps = min(steps, hh - 1 - cy)
+                elif dy < 0:
+                    steps = min(steps, cy)
+                if steps <= 0:
+                    continue
+                k = np.arange(1, steps + 1)
+                v = b0[cy + k * dy, cx + k * dx]
+                t = (v - obs) / k
+                run = np.maximum.accumulate(t)
+                visible = np.empty(steps, bool)
+                visible[0] = True
+                visible[1:] = t[1:] > run[:-1]
+                tot += steps
+                vis += int(visible.sum())
+            n_ray_px[i] = tot
+            n_visible[i] = vis
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_ray_px": pa.array(n_ray_px),
+                "n_visible": pa.array(n_visible),
+            }
+        )
+
+    return ds.map_batches(viewshed, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -7523,6 +7588,40 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "tile_viewshed": f"""
+        WITH {TILE_SQL_CTE},
+        ctr AS (
+            SELECT image_id, k, w, h,
+                   CAST(w // 2 AS BIGINT) AS cx, CAST(h // 2 AS BIGINT) AS cy,
+                   ((w // 2) * 31 + (h // 2) * 17 + k) % 256 + 10 AS obs
+            FROM tiles
+        ),
+        dirs AS (
+            SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1),
+                                  (1, 1), (1, -1), (-1, 1), (-1, -1)) AS d(dx, dy)
+        ),
+        ray AS (
+            SELECT ctr.image_id, dirs.dx, dirs.dy, s.i,
+                   ((ctr.cx + s.i * dirs.dx) * 31
+                    + (ctr.cy + s.i * dirs.dy) * 17 + ctr.k) % 256 AS v,
+                   ctr.obs AS obs
+            FROM ctr, dirs,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(ctr.w + ctr.h AS INT))) AS i) s
+            WHERE ctr.cx + s.i * dirs.dx BETWEEN 0 AND ctr.w - 1
+              AND ctr.cy + s.i * dirs.dy BETWEEN 0 AND ctr.h - 1
+        ),
+        ang AS (
+            SELECT image_id, dx, dy, i,
+                   (v - obs) / CAST(i AS DOUBLE) AS t,
+                   max((v - obs) / CAST(i AS DOUBLE)) OVER (
+                       PARTITION BY image_id, dx, dy ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+            FROM ray
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_ray_px,
+               CAST(sum(CASE WHEN prior IS NULL OR t > prior THEN 1 ELSE 0 END) AS BIGINT) AS n_visible
+        FROM ang GROUP BY image_id
+    """,
     "tile_bounds_54009": f"""
         WITH {TILE_SQL_CTE},
         ll AS (
@@ -9644,6 +9743,7 @@ QUERIES = {
     # -- NEW in r05 wave 3: gdaldem TPI/TRI/roughness ----------------
     "tile_tpi": q_tile_tpi,
     "tile_bounds_54009": q_tile_bounds_54009,
+    "tile_viewshed": q_tile_viewshed,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
