@@ -4708,6 +4708,82 @@ def q_quality_pred(sf_dir: str, n_buckets_w: int = 4096):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def q_dsir_weights(sf_dir: str, n_buckets: int = 64, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by log p_target(x)/p_raw(x) under hashed bag-of-words unigram
+    models — the published recipe for selecting web data that looks
+    like a target domain (here: the ``lang = 'en'`` slice).  Scale
+    shape: ONE tokenize pass emits (doc_id, bucket, cnt) rows (md5
+    bucket hash, the SQL-replayable recipe); the two bucket
+    distributions are a 64-row bucketed aggregate; the per-bucket
+    log-ratios are quantized to BIGINT micro-units (floor(lr*1e6+.5),
+    the same IEEE double on both engines) so the per-doc score is an
+    order-independent INTEGER sum — one doc_id exchange, no float
+    drift.  Docs with zero tokens produce no row (SQL inner shape)."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    from gdal_boots_ray.kernels.text import _WORD_RE
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_b, out_c, out_t = [], [], [], []
+        cache: dict = {}
+        for did, text, lang in zip(batch["doc_id"], batch["text"], batch["lang"]):
+            toks = _WORD_RE.findall(text.lower())
+            if not toks:
+                continue
+            bs = np.empty(len(toks), np.int64)
+            for j, w in enumerate(toks):
+                h = cache.get(w)
+                if h is None:
+                    h = cache[w] = int(_hashlib.md5(w.encode()).hexdigest()[:16], 16) % n_buckets
+                bs[j] = h
+            cnt = np.bincount(bs, minlength=n_buckets)
+            nz = np.flatnonzero(cnt)
+            out_id.extend([int(did)] * len(nz))
+            out_b.extend(nz.tolist())
+            out_c.extend(cnt[nz].tolist())
+            out_t.extend([lang == target_lang] * len(nz))
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_id, np.int64),
+                "b": np.array(out_b, np.int64),
+                "cnt": np.array(out_c, np.int64),
+                "t": np.array(out_c, np.int64) * np.array(out_t, np.int64),
+            }
+        )
+
+    feats = docs.map_batches(featurize, batch_format="pandas").materialize()
+
+    # 64-row bucket table: target (t) and raw (cnt) token counts
+    bt = bucketed_aggregate(feats, ["b"], {"t": "sum", "cnt": "sum"}).to_pandas()
+    T = float(bt["t"].sum())
+    R = float(bt["cnt"].sum())
+    lrq = np.zeros(n_buckets, np.int64)
+    lr = (
+        np.log((bt["t"].to_numpy(np.float64) + 1.0) / (T + float(n_buckets)))
+        - np.log((bt["cnt"].to_numpy(np.float64) + 1.0) / (R + float(n_buckets)))
+    )
+    lrq[bt["b"].to_numpy(np.int64)] = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "dsir_q": batch["cnt"].to_numpy(np.int64) * lrq[batch["b"].to_numpy(np.int64)],
+            }
+        )
+
+    return bucketed_aggregate(
+        feats.map_batches(contrib, batch_format="pandas"), ["doc_id"], {"dsir_q": "sum"}
+    )
+
+
 def q_recode_stats_jp2(sf_dir: str, n_tiles: int = 24):
     """Lossless JPEG 2000 fidelity gate: decode -> re-encode through
     the from-scratch JP2 codec (kernels/jp2: 5/3 DWT + EBCOT + MQ)
@@ -7588,6 +7664,32 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "dsir_weights": """
+        WITH f AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) % 64 AS b
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+                FROM documents
+            )
+        ),
+        bt AS (
+            SELECT b, count(*) FILTER (WHERE lang = 'en') AS t, count(*) AS r
+            FROM f GROUP BY b
+        ),
+        tot AS (SELECT sum(t) AS tt, sum(r) AS rr FROM bt),
+        lr AS (
+            SELECT b, CAST(floor((ln((t + 1.0) / (tt + 64.0))
+                                  - ln((r + 1.0) / (rr + 64.0))) * 1e6 + 0.5) AS BIGINT) AS lrq
+            FROM bt, tot
+        ),
+        dc AS (SELECT doc_id, b, count(*) AS cnt FROM f GROUP BY doc_id, b)
+        SELECT CAST(dc.doc_id AS BIGINT) AS doc_id,
+               CAST(sum(dc.cnt * lr.lrq) AS BIGINT) AS dsir_q
+        FROM dc JOIN lr USING (b)
+        GROUP BY dc.doc_id
+    """,
     "tile_viewshed": f"""
         WITH {TILE_SQL_CTE},
         ctr AS (
@@ -9744,6 +9846,7 @@ QUERIES = {
     "tile_tpi": q_tile_tpi,
     "tile_bounds_54009": q_tile_bounds_54009,
     "tile_viewshed": q_tile_viewshed,
+    "dsir_weights": q_dsir_weights,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
