@@ -4784,6 +4784,81 @@ def q_dsir_weights(sf_dir: str, n_buckets: int = 64, target_lang: str = "en"):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus unigram LM (the ``doc_logprob``
+    plan — one tokenize pass, word-count-row exchanges), then split
+    EACH LANGUAGE into head / middle / tail terciles by score —
+    higher mean log-prob == lower perplexity == head, the slice CCNet
+    keeps.  The tercile thresholds come from the distributed
+    exact-quantile walk (``grouped_quantiles``, percentile_disc
+    semantics over the round-6 scores) — thresholds are a
+    langs x 2 broadcast, never a global sort of the corpus.  Docs
+    with zero tokens drop (SQL inner shape)."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate, grouped_quantiles
+    from gdal_boots_ray.stages.joins import hash_join
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    counts = docs.map_batches(_doc_word_counts, batch_format="pandas").materialize()
+    tf = bucketed_aggregate(counts, ["word"], {"cnt": "sum"}).map_batches(
+        lambda ba: ba.rename(columns={"cnt": "tot"}), batch_format="pandas"
+    )
+    total_tokens = float(tf.sum("tot"))
+    joined = hash_join(counts, tf, on="word", left_cols=["doc_id", "cnt"], right_cols=["tot"])
+
+    def contrib(batch: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(batch["tot"].to_numpy(dtype=np.float64) / total_tokens)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "s": batch["cnt"].to_numpy(dtype=np.float64) * lp,
+                "doclen": batch["cnt"].astype(np.int64),
+            }
+        )
+
+    agg = bucketed_aggregate(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"],
+        {"s": "sum", "doclen": "sum"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy().astype(np.float64)
+        n = batch.column("doclen").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "avg_logprob": pa.array(np.round(s / n, 6)),
+            }
+        )
+
+    scored = agg.map_batches(finish, batch_format="pyarrow")
+    langs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    scored = hash_join(
+        scored, langs, on="doc_id", left_cols=["avg_logprob"], right_cols=["lang"]
+    )
+    th = grouped_quantiles(scored, "lang", "avg_logprob", [1.0 / 3.0, 2.0 / 3.0]).to_pandas()
+    t1 = dict(zip(th[th["q"] < 0.5]["lang"], th[th["q"] < 0.5]["avg_logprob"]))
+    t2 = dict(zip(th[th["q"] > 0.5]["lang"], th[th["q"] > 0.5]["avg_logprob"]))
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch["avg_logprob"].to_numpy(np.float64)
+        l1 = batch["lang"].map(t1).to_numpy(np.float64)
+        l2 = batch["lang"].map(t2).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "lang": batch["lang"],
+                "avg_logprob": q,
+                "bucket": np.where(q > l2, "head", np.where(q > l1, "middle", "tail")),
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pandas")
+
+
 def q_recode_stats_jp2(sf_dir: str, n_tiles: int = 24):
     """Lossless JPEG 2000 fidelity gate: decode -> re-encode through
     the from-scratch JP2 codec (kernels/jp2: 5/3 DWT + EBCOT + MQ)
@@ -6846,16 +6921,15 @@ def q_flow_d8(sf_dir: str):
 
 
 def q_tile_tpi(sf_dir: str):
-    """Terrain-ruggedness family (gdaldem TRI / TPI / roughness
-    parity, completing the slope / aspect / hillshade / color-relief
-    set): per interior pixel over the 3x3 window —
-      TPI (Weiss 2001):  center - mean(8 neighbors), kept integer as
-                         8*c - sum(neighbors);
-      TRI (Riley 1999):  sum over neighbors of (c - nb)^2, the
-                         integer core of sqrt(sum dz^2);
-      roughness:         max - min of the 9-pixel window.
-    Per image: interior count, ridge-pixel count (TPI > 0) and the
-    integer TPI / TRI / roughness sums — all integer-exact, so the
+    """Riley-exact terrain ruggedness + ridge census.  Complements
+    ``tile_ruggedness`` (which reduces the L1 proxy sum|dz| — gdaldem
+    ``-alg`` Wilson): here TRI is Riley's ORIGINAL definition, the
+    sum of SQUARED neighbor differences (the integer core of
+    sqrt(sum dz^2), gdaldem's default TRI since 3.3), plus the
+    landform classification census TPI is actually used for: the
+    per-tile count of ridge pixels (TPI > 0, i.e. 8*c > sum of
+    neighbors).  Per image: interior count, ridge count, signed TPI
+    sum, squared-TRI sum, roughness sum — all integer-exact, so the
     DuckDB twin replays the eight closed-form neighbor taps of the
     synthesized field directly.  Nine-shift vectorized stencil, pure
     map, no exchange (gdaldem analog beyond the reference surface)."""
@@ -7664,6 +7738,40 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "ccnet_buckets": """
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY doc_id, w
+        ),
+        tf AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY w),
+        t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        s AS (
+            SELECT c.doc_id, c.cnt * ln(CAST(tf.tot AS DOUBLE) / t.total) AS contrib, c.cnt
+            FROM c JOIN tf ON c.w = tf.w, t
+        ),
+        sc0 AS (
+            SELECT doc_id, round(sum(contrib) / sum(cnt), 6) AS avg_logprob
+            FROM s GROUP BY doc_id
+        ),
+        sc AS (
+            SELECT d.doc_id, d.lang, sc0.avg_logprob
+            FROM documents d JOIN sc0 USING (doc_id)
+        ),
+        th AS (
+            SELECT lang,
+                   percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_logprob) AS t1,
+                   percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_logprob) AS t2
+            FROM sc GROUP BY lang
+        )
+        SELECT CAST(sc.doc_id AS BIGINT) AS doc_id, sc.lang, sc.avg_logprob,
+               CASE WHEN sc.avg_logprob > th.t2 THEN 'head'
+                    WHEN sc.avg_logprob > th.t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc JOIN th USING (lang)
+    """,
     "dsir_weights": """
         WITH f AS (
             SELECT doc_id, lang,
@@ -9847,6 +9955,7 @@ QUERIES = {
     "tile_bounds_54009": q_tile_bounds_54009,
     "tile_viewshed": q_tile_viewshed,
     "dsir_weights": q_dsir_weights,
+    "ccnet_buckets": q_ccnet_buckets,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -9872,6 +9981,9 @@ QUERIES = {
     # -- r04-new codec/pipeline entries, second driver round ---------
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
+    # ---- driver window ends here (50 entries above) ----------------
+    # everything below is previously-driver-green (r04 or earlier)
+    # with an unchanged plan:
     "semdedup": q_semdedup,
     "dup_components": q_dup_components,
     "embedding_neardup": q_embedding_neardup,
@@ -9885,8 +9997,6 @@ QUERIES = {
     "recode_stats_jp2": q_recode_stats_jp2,
     "recode_stats_jp2_lossy": q_recode_stats_jp2_lossy,
     "pansharpen": q_pansharpen,
-    # ---- driver window ends here (50 entries above) ----------------
-    # long-green entries, unchanged plans (latest driver check green):
     "bm25_scores": q_bm25_scores,
     "doc_logprob": q_doc_logprob,
     "doc_repetition": q_doc_repetition,
