@@ -160,6 +160,20 @@ def run_bench() -> dict:
         "zonal_majority",
         "flow_d8",
         "composite_median",
+        # round-5 additions
+        "recode_stats_zstd",
+        "recode_stats_lerc",
+        "recode_stats_webp",
+        "audio_flac",
+        "line_dedup",
+        "pii_scrub",
+        "tile_augment",
+        "bpe_pairs",
+        "tile_tpi",
+        "tile_viewshed",
+        "tile_bounds_54009",
+        "dsir_weights",
+        "ccnet_buckets",
     )
     for name in query_names:
         t = time.perf_counter()

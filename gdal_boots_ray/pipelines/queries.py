@@ -344,6 +344,118 @@ def q_tile_viewshed(sf_dir: str, obs_up: int = 10):
     return ds.map_batches(viewshed, batch_format="pyarrow")
 
 
+def q_tile_dist_aeqd(sf_dir: str, obs_lon: float = 27.0, obs_lat: float = 53.0):
+    """Azimuthal-equidistant tile centers (the range-ring /
+    coverage-radius computation every ground-station and disaster-
+    response pipeline runs): each tile center (3857 -> 4326) is
+    projected into a spherical ``+proj=aeqd`` frame centered on the
+    observer; rho IS the great-circle distance, reported alongside
+    x/y.  The DuckDB twin replays Snyder 25-2/25-3/25-4 in closed
+    form (arccos + k' = c/sin c), gating the new aeqd kernel
+    (kernels/crs.py _AzSphConsts) end to end at round-6 metres."""
+    from gdal_boots_ray.kernels.crs import crs_from_proj4, transform_points
+
+    R = 6371000.0
+    aeqd = crs_from_proj4(f"+proj=aeqd +lat_0={obs_lat} +lon_0={obs_lon} +R={R}")
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to_aeqd(batch: pa.Table) -> pa.Table:
+        cx = (batch.column("minx").to_numpy() + batch.column("maxx").to_numpy()) / 2.0
+        cy = (batch.column("miny").to_numpy() + batch.column("maxy").to_numpy()) / 2.0
+        lon, lat = transform_points(3857, 4326, cx, cy)
+        x, y = aeqd.from_lonlat(lon, lat)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "ax": pa.array(np.round(x, 6)),
+                "ay": pa.array(np.round(y, 6)),
+                # sqrt(x*x + y*y), NOT np.hypot: the twin replays the
+                # plain IEEE expression and hypot can differ by 1 ulp
+                "dist_m": pa.array(np.round(np.sqrt(x * x + y * y), 6)),
+            }
+        )
+
+    return ds.map_batches(to_aeqd, batch_format="pyarrow")
+
+
+def q_global_equalize(sf_dir: str):
+    """GLOBAL histogram equalization — the cross-image radiometric
+    normalization a mosaic of the whole corpus needs (per-tile
+    ``tile_equalize`` ignores the corpus distribution; this is the
+    two-pass distributed version): pass 1 reduces every tile to a
+    256-bin count partial (kB-sized exchanges, one small aggregate);
+    the global CDF LUT ``eq(v) = (cdf(v) - cdf_min) * 255 //
+    (N - cdf_min)`` is broadcast back; pass 2 remaps each tile
+    through the shared LUT and reports integer remap stats.  All
+    integer, so the DuckDB twin (global value counts -> window
+    cumsum -> LUT join) matches exactly.  The plan shape is the
+    100 TB one: the full pixel stream is touched twice but only
+    256-row partials and one 256-entry LUT ever cross the wire."""
+    import ray
+
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        cnt = np.zeros(256, np.int64)
+        for img in views:
+            b0 = img if img.ndim == 2 else img[0]
+            cnt += np.bincount(b0.ravel(), minlength=256)
+        return pa.table({"h": pa.array([cnt.tobytes()], pa.binary())})
+
+    def hist_merge(batch: pa.Table) -> pa.Table:
+        tot = np.zeros(256, np.int64)
+        for b in batch.column("h").to_pylist():
+            tot += np.frombuffer(b, np.int64)
+        return pa.table({"h": pa.array([tot.tobytes()], pa.binary())})
+
+    merged = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(hist_merge, batch_format="pyarrow")
+        .take_all()
+    )  # 2 KB rows — the only thing the driver ever sees
+    cnt = np.zeros(256, np.int64)
+    for row in merged:
+        cnt = cnt + np.frombuffer(row["h"], np.int64)
+    cdf = np.cumsum(cnt)
+    nz = np.flatnonzero(cnt)
+    cdf_min = int(cdf[nz[0]]) if nz.size else 0
+    n_tot = int(cdf[-1])
+    denom = max(n_tot - cdf_min, 1)
+    lut = ((np.maximum(cdf - cdf_min, 0)) * 255 // denom).astype(np.int64)
+    lut_ref = ray.put(lut)
+
+    def remap(batch: pa.Table, _state={}) -> pa.Table:
+        lt = _state.get("lut")
+        if lt is None:
+            lt = _state["lut"] = ray.get(lut_ref)
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        eq_sum = np.empty(n, np.int64)
+        eq_min = np.empty(n, np.int64)
+        eq_max = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = img if img.ndim == 2 else img[0]
+            ev = lt[b0.astype(np.int64)]
+            eq_sum[i] = int(ev.sum())
+            eq_min[i] = int(ev.min())
+            eq_max[i] = int(ev.max())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "eq_sum": pa.array(eq_sum),
+                "eq_min": pa.array(eq_min),
+                "eq_max": pa.array(eq_max),
+            }
+        )
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -7738,6 +7850,60 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "tile_dist_aeqd": f"""
+        WITH {TILE_SQL_CTE},
+        ll AS (
+            SELECT image_id,
+                   degrees((x0 + w * 10.0 / 2.0) / 6378137.0) AS lon,
+                   degrees(2 * atan(exp((y0 - h * 10.0 / 2.0) / 6378137.0)) - pi() / 2) AS lat
+            FROM tiles
+        ),
+        g AS (
+            SELECT image_id, radians(lat) AS phi,
+                   radians(lon) - radians(27.0) AS dlam
+            FROM ll
+        ),
+        k AS (
+            SELECT image_id, phi, dlam,
+                   acos(sin(radians(53.0)) * sin(phi)
+                        + cos(radians(53.0)) * cos(phi) * cos(dlam)) AS c
+            FROM g
+        ),
+        xy AS (
+            SELECT image_id,
+                   6371000.0 * (c / sin(c)) * cos(phi) * sin(dlam) AS ax,
+                   6371000.0 * (c / sin(c)) * (cos(radians(53.0)) * sin(phi)
+                       - sin(radians(53.0)) * cos(phi) * cos(dlam)) AS ay
+            FROM k
+        )
+        SELECT image_id, round(ax, 6) AS ax, round(ay, 6) AS ay,
+               round(sqrt(ax * ax + ay * ay), 6) AS dist_m
+        FROM xy
+    """,
+    "global_equalize": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS v
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        vc AS (SELECT v, count(*) AS c FROM px GROUP BY v),
+        cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+        st AS (SELECT min(cum) AS cdf_min, max(cum) AS n_tot FROM cdf),
+        lut AS (
+            SELECT v, (cum - cdf_min) * 255
+                   // (CASE WHEN n_tot - cdf_min < 1 THEN 1 ELSE n_tot - cdf_min END) AS ev
+            FROM cdf, st
+        )
+        SELECT px.image_id,
+               CAST(sum(lut.ev) AS BIGINT) AS eq_sum,
+               CAST(min(lut.ev) AS BIGINT) AS eq_min,
+               CAST(max(lut.ev) AS BIGINT) AS eq_max
+        FROM px JOIN lut USING (v)
+        GROUP BY px.image_id
+    """,
     "ccnet_buckets": """
         WITH words AS (
             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS w
@@ -9956,6 +10122,8 @@ QUERIES = {
     "tile_viewshed": q_tile_viewshed,
     "dsir_weights": q_dsir_weights,
     "ccnet_buckets": q_ccnet_buckets,
+    "tile_dist_aeqd": q_tile_dist_aeqd,
+    "global_equalize": q_global_equalize,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -9984,6 +10152,8 @@ QUERIES = {
     # ---- driver window ends here (50 entries above) ----------------
     # everything below is previously-driver-green (r04 or earlier)
     # with an unchanged plan:
+    "window_stats_cog": q_window_stats_cog,
+    "cog_pyramid": q_cog_pyramid,
     "semdedup": q_semdedup,
     "dup_components": q_dup_components,
     "embedding_neardup": q_embedding_neardup,
