@@ -137,18 +137,23 @@ class _PrefixDecoder:
         codes = _canonical_codes(lengths)
         self.max_len = max(nz)
         size = 1 << self.max_len
-        self.sym = np.zeros(size, np.int32)
-        self.len = np.zeros(size, np.int32)
+        # plain python lists: int indexing is ~3x faster than numpy
+        # scalar indexing in the per-symbol decode loop
+        sym = [0] * size
+        ln = [0] * size
         filled = 0
         for s, (c, l) in codes.items():
             rc = int(f"{c:0{l}b}"[::-1], 2)  # reverse l bits
             step = 1 << l
             for idx in range(rc, size, step):
-                self.sym[idx] = s
-                self.len[idx] = l
+                sym[idx] = s
+                ln[idx] = l
                 filled += 1
         if filled != size:
             raise ValueError("VP8L: over/under-subscribed prefix code")
+        self.sym_l = sym
+        self.len_l = ln
+        self.mask = size - 1
 
     def read(self, r: _Reader) -> int:
         if self.single is not None:
@@ -158,11 +163,10 @@ class _PrefixDecoder:
             r.pos += 1
             r.acc |= b << r.nacc
             r.nacc += 8
-        idx = r.acc & ((1 << self.max_len) - 1)
-        l = int(self.len[idx])
-        r.acc >>= l
-        r.nacc -= l
-        return int(self.sym[idx])
+        idx = r.acc & self.mask
+        r.acc >>= self.len_l[idx]
+        r.nacc -= self.len_l[idx]
+        return self.sym_l[idx]
 
 
 def _lengths_for(counts: np.ndarray, limit: int = 15) -> List[int]:
@@ -372,57 +376,82 @@ def webp_encode(img: np.ndarray, cache_bits: int = 8) -> bytes:
     argb = (a << 24) | (r << 16) | (g << 8) | b
     n = h * w
 
-    # token pass: literals / dist-1 / dist-w runs / cache hits
+    # ---- token pass, VECTORIZED (same greedy semantics as the
+    # original per-pixel loop -- identical output bytes; the
+    # per-pixel version is pinned by tests/test_webp.py goldens) ----
     cache_size = 1 << cache_bits if cache_bits else 0
-    cache = np.full(cache_size, 0xFFFFFFFFFFFFFFFF, np.uint64) if cache_bits else None
-    tokens: List[Tuple] = []  # ("lit",i) ("copy",len,dist) ("cache",idx)
+
+    # copy structure: greedy dist-1 / dist-w runs (>= 3, cap 4096).
+    # len1[i] / lenw[i] = how far the self-referential run extends
+    # from i; the greedy walk only visits candidate starts.
+    c1 = np.zeros(n + 1, bool)
+    c1[1:n] = argb[1:] == argb[:-1]
+    f1 = np.flatnonzero(~c1)
+    len1 = np.minimum(f1[np.searchsorted(f1, np.arange(n))] - np.arange(n), 4096)
+    if 0 < w < n:
+        cw = np.zeros(n + 1, bool)
+        cw[w:n] = argb[w:] == argb[:-w]
+        fw = np.flatnonzero(~cw)
+        lenw = np.minimum(fw[np.searchsorted(fw, np.arange(n))] - np.arange(n), 4096)
+    else:
+        lenw = np.zeros(n, np.int64)
+    cand = np.flatnonzero((len1 >= 3) | (lenw >= 3))
+    copies: List[Tuple[int, int, int]] = []  # (start, length, dist)
+    covered = np.zeros(n, bool)
+    pos = 0
+    while True:
+        ci = int(np.searchsorted(cand, pos))
+        if ci >= len(cand):
+            break
+        j = int(cand[ci])
+        l1, lw = int(len1[j]), int(lenw[j])
+        length, dist = (lw, w) if lw > l1 else (l1, 1)
+        copies.append((j, length, dist))
+        covered[j : j + length] = True
+        pos = j + length
+    lit = ~covered
+
+    # color-cache hits: before position i the cache holds, per key,
+    # the pixel of the most recent position < i with that key (every
+    # position -- literal or copy-covered -- wrote its pixel), so a
+    # hit is "previous same-key pixel equals mine" (stable argsort)
+    if cache_bits:
+        keys = (
+            ((np.uint64(_HASH_MUL) * argb.astype(np.uint64)) & np.uint64(0xFFFFFFFF))
+            >> np.uint64(32 - cache_bits)
+        ).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], argb[order]
+        prev_eq = np.zeros(n, bool)
+        prev_eq[1:] = (ks[1:] == ks[:-1]) & (vs[1:] == vs[:-1])
+        hit = np.zeros(n, bool)
+        hit[order] = prev_eq
+        hit &= lit
+    else:
+        keys = None
+        hit = np.zeros(n, bool)
+    miss = lit & ~hit
+
+    gsym = ((argb >> 8) & 0xFF).astype(np.int64)
+    rsym = ((argb >> 16) & 0xFF).astype(np.int64)
+    bsym = (argb & 0xFF).astype(np.int64)
+    asym = (argb >> 24).astype(np.int64)
+
     green_counts = np.zeros(256 + 24 + cache_size, np.int64)
-    red_counts = np.zeros(256, np.int64)
-    blue_counts = np.zeros(256, np.int64)
-    alpha_counts = np.zeros(256, np.int64)
+    green_counts[:256] = np.bincount(gsym[miss], minlength=256)
+    red_counts = np.bincount(rsym[miss], minlength=256)
+    blue_counts = np.bincount(bsym[miss], minlength=256)
+    alpha_counts = np.bincount(asym[miss], minlength=256)
+    if cache_bits and hit.any():
+        green_counts[280:] += np.bincount(keys[hit], minlength=cache_size)
     dist_counts = np.zeros(40, np.int64)
-
-    def cache_key(px: int) -> int:
-        return ((_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)
-
-    i = 0
-    while i < n:
-        # run of the previous pixel (dist 1) or the pixel a row up
-        best_len, best_dist = 0, 0
-        for dist in (1, w):
-            if i >= dist and argb[i] == argb[i - dist]:
-                m = i
-                stop = min(n, i + 4096)
-                while m < stop and argb[m] == argb[m - dist]:
-                    m += 1
-                if m - i > best_len:
-                    best_len, best_dist = m - i, dist
-        if best_len >= 3:
-            lcode, _, _ = _prefix_encode(best_len)
-            dcode, _, _ = _prefix_encode(best_dist + 120)
-            green_counts[256 + lcode] += 1
-            dist_counts[dcode] += 1
-            tokens.append(("copy", best_len, best_dist))
-            if cache_bits:
-                for j in range(i, i + best_len):
-                    cache[cache_key(int(argb[j]))] = argb[j]
-            i += best_len
-            continue
-        px = int(argb[i])
-        if cache_bits:
-            k = cache_key(px)
-            if cache[k] == px:
-                tokens.append(("cache", k))
-                green_counts[280 + k] += 1
-                i += 1
-                continue
-            cache[k] = px
-        tokens.append(("lit", i))
-        green_counts[(px >> 8) & 0xFF] += 1
-        red_counts[(px >> 16) & 0xFF] += 1
-        blue_counts[px & 0xFF] += 1
-        alpha_counts[px >> 24] += 1
-        i += 1
+    copy_fields: List[Tuple[int, int, int, int, int, int]] = []
+    for _, length, dist in copies:
+        lcode, lx, lxb = _prefix_encode(length)
+        dcode, dx, dxb = _prefix_encode(dist + 120)
+        green_counts[256 + lcode] += 1
+        dist_counts[dcode] += 1
+        copy_fields.append((lcode, lx, lxb, dcode, dx, dxb))
 
     g_len = _lengths_for(green_counts)
     r_len = _lengths_for(red_counts)
@@ -457,30 +486,64 @@ def webp_encode(img: np.ndarray, cache_bits: int = 8) -> bytes:
     for lens in (g_len, r_len, b_len, a_len, d_len):
         _write_prefix_code(wtr, lens)
 
-    def emit(codes, lens, s):
+    # ---- emission, VECTORIZED: every token contributes at most 4
+    # (value, nbits) fields written LSB-first (prefix codes are
+    # pre-reversed so code() MSB-first order is preserved); the body
+    # is packed with cumsum bit offsets + 5 bitwise_or scatters ----
+    def _rev_tables(codes, alphabet):
+        cv = np.zeros(alphabet, np.uint64)
+        cl = np.zeros(alphabet, np.uint32)
         if codes is not None:
-            c, l = codes[s]
-            wtr.code(c, l)
+            for s, (c, l) in codes.items():
+                rv = 0
+                for bi in range(l):
+                    rv = (rv << 1) | ((c >> bi) & 1)
+                cv[s], cl[s] = rv, l
+        return cv, cl
 
-    for tok in tokens:
-        kind = tok[0]
-        if kind == "lit":
-            px = int(argb[tok[1]])
-            emit(g_codes, g_len, (px >> 8) & 0xFF)
-            emit(r_codes, r_len, (px >> 16) & 0xFF)
-            emit(b_codes, b_len, px & 0xFF)
-            emit(a_codes, a_len, px >> 24)
-        elif kind == "copy":
-            _, length, dist = tok
-            lcode, lx, lxb = _prefix_encode(length)
-            emit(g_codes, g_len, 256 + lcode)
-            wtr.bits(lx, lxb)
-            dcode, dx, dxb = _prefix_encode(dist + 120)
-            emit(d_codes, d_len, dcode)
-            wtr.bits(dx, dxb)
-        else:
-            emit(g_codes, g_len, 280 + tok[1])
-    payload = wtr.finish()
+    g_cv, g_cl = _rev_tables(g_codes, 256 + 24 + cache_size)
+    r_cv, r_cl = _rev_tables(r_codes, 256)
+    b_cv, b_cl = _rev_tables(b_codes, 256)
+    a_cv, a_cl = _rev_tables(a_codes, 256)
+    d_cv, d_cl = _rev_tables(d_codes, 40)
+
+    V = np.zeros((n, 4), np.uint64)
+    L = np.zeros((n, 4), np.uint32)
+    V[miss, 0], L[miss, 0] = g_cv[gsym[miss]], g_cl[gsym[miss]]
+    V[miss, 1], L[miss, 1] = r_cv[rsym[miss]], r_cl[rsym[miss]]
+    V[miss, 2], L[miss, 2] = b_cv[bsym[miss]], b_cl[bsym[miss]]
+    V[miss, 3], L[miss, 3] = a_cv[asym[miss]], a_cl[asym[miss]]
+    if cache_bits and hit.any():
+        hs = 280 + keys[hit]
+        V[hit, 0], L[hit, 0] = g_cv[hs], g_cl[hs]
+    for (j, _length, _dist), (lcode, lx, lxb, dcode, dx, dxb) in zip(copies, copy_fields):
+        V[j, 0], L[j, 0] = g_cv[256 + lcode], g_cl[256 + lcode]
+        V[j, 1], L[j, 1] = lx, lxb
+        V[j, 2], L[j, 2] = d_cv[dcode], d_cl[dcode]
+        V[j, 3], L[j, 3] = dx, dxb
+
+    vals = V.reshape(-1)
+    lens_flat = L.reshape(-1)
+    nzm = lens_flat > 0
+    vals, lens_flat = vals[nzm], lens_flat[nzm]
+    # continue at the header writer's bit offset: its partial byte is
+    # the first packed item
+    all_vals = np.concatenate((np.array([wtr.acc], np.uint64), vals))
+    all_lens = np.concatenate((np.array([wtr.nacc], np.int64), lens_flat.astype(np.int64)))
+    wtr.acc = wtr.nacc = 0
+    offs = np.zeros(len(all_lens) + 1, np.int64)
+    np.cumsum(all_lens, out=offs[1:])
+    total = int(offs[-1])
+    nbytes = (total + 7) // 8
+    buf = np.zeros(nbytes + 8, np.uint8)
+    start_bits = offs[:-1]
+    sh = all_vals << (start_bits & 7).astype(np.uint64)
+    byte_idx = start_bits >> 3
+    for bs in range(5):  # value (<= 15+13 bits) + shift (<= 7) < 5 bytes
+        np.bitwise_or.at(
+            buf, byte_idx + bs, ((sh >> np.uint64(8 * bs)) & np.uint64(0xFF)).astype(np.uint8)
+        )
+    payload = bytes(wtr.buf) + buf[:nbytes].tobytes()
     vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:
         vp8l += b"\x00"
@@ -528,8 +591,11 @@ def webp_decode(data: bytes) -> np.ndarray:
     a_dec = _read_prefix_code(r, 256)
     d_dec = _read_prefix_code(r, 40)
     n = w * h
-    argb = np.zeros(n, np.uint32)
-    cache = np.zeros(cache_size, np.uint32)
+    # python-list pixel buffer: per-symbol list writes beat numpy
+    # scalar writes ~3x in this loop; converted once at the end
+    px_buf = [0] * n
+    cache = [0] * cache_size
+    shift = 32 - cache_bits if cache_bits else 0
     i = 0
     while i < n:
         s = g_dec.read(r)
@@ -538,9 +604,9 @@ def webp_decode(data: bytes) -> np.ndarray:
             blue = b_dec.read(r)
             alpha = a_dec.read(r)
             px = (alpha << 24) | (red << 16) | (s << 8) | blue
-            argb[i] = px
+            px_buf[i] = px
             if cache_bits:
-                cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> shift] = px
             i += 1
         elif s < 280:
             length = _prefix_decode(s - 256, r)
@@ -553,23 +619,23 @@ def webp_decode(data: bytes) -> np.ndarray:
             if dist > i or i + length > n:
                 raise ValueError("VP8L: backward reference out of range")
             if dist == 1:
-                argb[i:i + length] = argb[i - 1]
+                px_buf[i:i + length] = [px_buf[i - 1]] * length
             elif dist >= length:
-                argb[i:i + length] = argb[i - dist:i - dist + length]
+                px_buf[i:i + length] = px_buf[i - dist:i - dist + length]
             else:
-                for j in range(length):
-                    argb[i + j] = argb[i + j - dist]
+                for j in range(i, i + length):
+                    px_buf[j] = px_buf[j - dist]
             if cache_bits:
                 for j in range(i, i + length):
-                    px = int(argb[j])
-                    cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                    px = px_buf[j]
+                    cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> shift] = px
             i += length
         else:
             if not cache_bits:
                 raise ValueError("VP8L: cache symbol without color cache")
-            argb[i] = cache[s - 280]
+            px_buf[i] = cache[s - 280]
             i += 1
-    grid = argb.reshape(h, w)
+    grid = np.asarray(px_buf, np.uint32).reshape(h, w)
     out = np.stack([
         ((grid >> 16) & 0xFF).astype(np.uint8),
         ((grid >> 8) & 0xFF).astype(np.uint8),

@@ -163,3 +163,30 @@ def test_webp_through_decode_images_stage():
     out = DecodeImages()(batch)
     v = batch_pixel_views(out)[0]
     assert np.array_equal(v if v.ndim == 3 else v[None], img)
+
+
+def test_huffman_fast_path_and_length_limited_fallback():
+    # two-queue fast path: optimal + Kraft equality on ordinary
+    # histograms; fibonacci-skewed counts force depth > 15 so the
+    # package-merge fallback must produce a limit-respecting code
+    # (still Kraft-complete)
+    import numpy as np
+
+    from gdal_boots_ray.kernels.huffman import package_merge_lengths
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        counts = np.zeros(128, np.int64)
+        idx = rng.choice(128, int(rng.integers(2, 50)), replace=False)
+        counts[idx] = rng.integers(1, 500, len(idx))
+        lens = package_merge_lengths(counts, 15)
+        assert lens is not None and max(lens.values()) <= 15
+        assert abs(sum(2.0 ** -l for l in lens.values()) - 1.0) < 1e-12
+    fib = [1, 1]
+    for _ in range(26):
+        fib.append(fib[-1] + fib[-2])
+    counts = np.zeros(32, np.int64)
+    counts[:28] = fib[:28]
+    lens = package_merge_lengths(counts, 15)
+    assert lens is not None and max(lens.values()) == 15
+    assert abs(sum(2.0 ** -l for l in lens.values()) - 1.0) < 1e-12
