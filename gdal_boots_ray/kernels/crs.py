@@ -73,7 +73,8 @@ series implementations from public literature:
   scale == 1 and the 2:1 elliptical outline), Robinson
   (``+proj=robin``, ESRI:54030 — Robinson's published 5-degree table
   IS the definition; node-exact, natural-cubic between nodes),
-  Miller (``+proj=mill``, ESRI:54003 — Snyder 11-1..11-5).
+  Miller (``+proj=mill``, ESRI:54003 — Snyder 11-1..11-5), Eckert IV
+  (``+proj=eck4``, ESRI:54012 — equal-area, Snyder ch. 32).
 - Spherical azimuthal family (Snyder ch. 20/22/25): orthographic
   (``+proj=ortho``; far hemisphere -> NaN), gnomonic (``+proj=gnom``;
   great circles project to straight lines — the pinned invariant),
@@ -1528,7 +1529,7 @@ def crs_from_epsg(epsg: int) -> CRS:
             f"any other CRS of a supported family (longlat, merc/webmerc, tmerc, "
             f"utm, aea, lcc, laea incl. polar, stere all aspects, sterea, poly, "
             f"krovak, cass, eqdc, bonne, eqc, sinu, cea, geos, omerc, moll, "
-            f"robin, mill, ortho, gnom, aeqd) can be passed as its proj4 string"
+            f"robin, mill, eck4, ortho, gnom, aeqd) can be passed as its proj4 string"
         )
     _CRS_CACHE[epsg] = crs
     return crs
@@ -1603,6 +1604,7 @@ _EPSG_PROJ4 = {
     # the WGS84 a-axis, as in PROJ/ESRI)
     54003: "+proj=mill +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Miller
     54009: "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Mollweide
+    54012: "+proj=eck4 +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Eckert IV
     54030: "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +a=6378137",  # World Robinson
 }
 
@@ -1665,6 +1667,60 @@ def _moll_inverse(c: _MollConsts, x, y):
     with np.errstate(invalid="ignore", divide="ignore"):
         lam = c.lam0 + math.pi * xt / (2.0 * _SQRT2 * c.a * ct)
     lam = np.where(ct < 1e-12, c.lam0, lam)
+    return np.degrees(lam), np.degrees(phi)
+
+
+class _Eck4Consts:
+    """Eckert IV (``+proj=eck4``; ESRI:54012) — the equal-area
+    pseudocylindrical with elliptic-arc meridians (Snyder ch. 32,
+    eqs. 32-1..32-6), spherical on the a-axis as in PROJ.  theta
+    solves theta + sin t cos t + 2 sin t = (2 + pi/2) sin phi by
+    Newton; the tests pin the equal-area Jacobian and the published
+    outline constants."""
+
+    __slots__ = ("a", "lam0", "x0", "y0")
+
+    def __init__(self, a, lon0, x0, y0):
+        self.a = a
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = x0, y0
+
+
+_ECK4_CX = 2.0 / math.sqrt(4.0 * math.pi + math.pi * math.pi)
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+
+def _eck4_theta(phi: np.ndarray) -> np.ndarray:
+    rhs = (2.0 + math.pi / 2.0) * np.sin(phi)
+    t = phi / 2.0
+    for _ in range(14):
+        st, ct = np.sin(t), np.cos(t)
+        f = t + st * ct + 2.0 * st - rhs
+        fp = 1.0 + ct * ct - st * st + 2.0 * ct
+        step = np.where(np.abs(fp) < 1e-12, 0.0, f / np.where(np.abs(fp) < 1e-12, 1.0, fp))
+        t = t - step
+    return np.where(np.abs(phi) >= math.pi / 2 - 1e-10, np.sign(phi) * (math.pi / 2), t)
+
+
+def _eck4_forward(c: _Eck4Consts, lon_deg, lat_deg):
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    t = _eck4_theta(phi)
+    x = _ECK4_CX * c.a * _wrap_pi(lam - c.lam0) * (1.0 + np.cos(t))
+    y = _ECK4_CY * c.a * np.sin(t)
+    return c.x0 + x, c.y0 + y
+
+
+def _eck4_inverse(c: _Eck4Consts, x, y):
+    xt = np.asarray(x, dtype=np.float64) - c.x0
+    yt = np.asarray(y, dtype=np.float64) - c.y0
+    t = np.arcsin(np.clip(yt / (_ECK4_CY * c.a), -1.0, 1.0))
+    st, ct = np.sin(t), np.cos(t)
+    phi = np.arcsin(np.clip((t + st * ct + 2.0 * st) / (2.0 + math.pi / 2.0), -1.0, 1.0))
+    denom = _ECK4_CX * c.a * (1.0 + ct)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = c.lam0 + xt / denom
+    lam = np.where(denom < 1e-12, c.lam0, lam)
     return np.degrees(lam), np.degrees(phi)
 
 
@@ -2320,6 +2376,20 @@ def crs_from_proj4(proj4: str) -> CRS:
             proj4,
             lambda lon, lat, c=consts: _tm_forward(c, lon, lat),
             lambda x, y, c=consts: _tm_inverse(c, x, y),
+        )
+    elif proj == "eck4":
+        a, _f = _p4_ellipsoid(params)  # spherical on the a-axis, as in PROJ
+        ec = _Eck4Consts(
+            a,
+            float(params.get("lon_0", 0)),
+            float(params.get("x_0", 0)),
+            float(params.get("y_0", 0)),
+        )
+        crs = CRS(
+            "projected",
+            proj4,
+            lambda lon, lat, c=ec: _eck4_forward(c, lon, lat),
+            lambda x, y, c=ec: _eck4_inverse(c, x, y),
         )
     elif proj == "moll":
         a, _f = _p4_ellipsoid(params)  # spherical on the a-axis, as in PROJ

@@ -1262,3 +1262,33 @@ class TestWorldAndAzimuthal:
         # oblique ellipsoidal: documented geodesic seam
         with pytest.raises(ValueError, match="aeqd"):
             resolve_crs("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")
+
+    def test_eckert4_invariants(self):
+        import math
+
+        a = 6378137.0
+        crs = resolve_crs(54012)  # World Eckert IV
+        # equal-area: numeric Jacobian == a^2 cos(phi)
+        d = 1e-6
+        for lo, la in [(0.0, 0.0), (60.0, 40.0), (-130.0, -70.0), (20.0, 85.0)]:
+            x0, y0 = crs.from_lonlat(np.array([lo]), np.array([la]))
+            x1, y1 = crs.from_lonlat(np.array([lo + d]), np.array([la]))
+            x2, y2 = crs.from_lonlat(np.array([lo]), np.array([la + d]))
+            J = (x1[0] - x0[0]) * (y2[0] - y0[0]) - (x2[0] - x0[0]) * (y1[0] - y0[0])
+            true_area = a * a * math.cos(math.radians(la)) * math.radians(d) ** 2
+            assert abs(abs(J) / true_area - 1.0) < 1e-5
+        # published outline constants (Snyder ch. 32): pole at
+        # 2 sqrt(pi/(4+pi)) a, equator edge at 4/sqrt(4 pi + pi^2) a pi
+        _, yp = crs.from_lonlat(np.array([0.0]), np.array([90.0]))
+        assert abs(yp[0] - 2 * math.sqrt(math.pi / (4 + math.pi)) * a) < 1e-6
+        xe, _ = crs.from_lonlat(np.array([180.0]), np.array([0.0]))
+        assert abs(xe[0] - (4 / math.sqrt(4 * math.pi + math.pi**2)) * a * math.pi) < 1e-6
+        # pole line is HALF the equator line (the Eckert IV signature)
+        xp, _ = crs.from_lonlat(np.array([180.0]), np.array([90.0]))
+        assert abs(xp[0] - xe[0] / 2.0) < 1e-6
+        lons = np.array([-170.0, -45.0, 0.0, 60.0, 179.0])
+        lats = np.array([-85.0, -30.0, 0.0, 45.0, 85.0])
+        x, y = crs.from_lonlat(lons, lats)
+        lon2, lat2 = crs.to_lonlat(x, y)
+        assert np.abs(lon2 - lons).max() < 1e-8
+        assert np.abs(lat2 - lats).max() < 1e-8
