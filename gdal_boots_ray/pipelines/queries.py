@@ -7232,6 +7232,107 @@ def q_zonal_majority(sf_dir: str):
     return hist.groupby("poly_id").map_groups(majority, batch_format="pyarrow")
 
 
+def q_zonal_median(sf_dir: str):
+    """Zonal QUARTILES (ArcGIS zonal stats MEDIAN / PCT): per polygon
+    zone, exact p25 / median / p75 of the covered pixel-center values
+    plus the pixel count.  Identical plan to ``zonal_majority`` —
+    the exchange carries 256-bounded (poly_id, v, cnt) histogram
+    partials, never pixels — with a weighted cumulative walk as the
+    per-poly finish (percentile_disc semantics: smallest value whose
+    cumulative count reaches q*n, the rule the DuckDB twin computes
+    natively).  Integer-exact."""
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.joins import BroadcastPIPJoin, put_polygons
+    from gdal_boots_ray.stages.zonal import select_zone_pixels
+
+    import ray
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    polys = nation_polygons(nk)
+    poly_ref = put_polygons(polys)
+
+    ds = _with_bounds(_tiles_dataset(sf_dir, decode=True))
+    joined = ds.map_batches(
+        BroadcastPIPJoin,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"polygons_ref": poly_ref},
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def hist_rows(batch: pa.Table, _cache={}) -> pa.Table:
+        from gdal_boots_ray.stages.decode import batch_pixel_views
+
+        pmap = _cache.get("p")
+        if pmap is None:
+            pmap = _cache["p"] = dict(ray.get(poly_ref))
+        gts = batch.column("gt").combine_chunks().flatten().to_numpy(zero_copy_only=False).reshape(-1, 6)
+        hs = batch.column("h").to_numpy()
+        ws = batch.column("w").to_numpy()
+        views = batch_pixel_views(batch)
+        pids = batch.column("poly_id").to_numpy()
+        out_pid, out_v, out_cnt = [], [], []
+        for i in range(batch.num_rows):
+            rings = pmap.get(int(pids[i]))
+            if rings is None:
+                continue
+            img = views[i]
+            band0 = img if img.ndim == 2 else img[0]
+            sel = select_zone_pixels(rings, band0, (int(hs[i]), int(ws[i])), gts[i])
+            if not sel.size:
+                continue
+            cnt = np.bincount(sel.astype(np.int64), minlength=0)
+            nz = np.flatnonzero(cnt)
+            out_pid.append(np.full(len(nz), int(pids[i]), np.int64))
+            out_v.append(nz.astype(np.int64))
+            out_cnt.append(cnt[nz].astype(np.int64))
+        if not out_pid:
+            return pa.table(
+                {
+                    "poly_id": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "poly_id": pa.array(np.concatenate(out_pid)),
+                "v": pa.array(np.concatenate(out_v)),
+                "cnt": pa.array(np.concatenate(out_cnt)),
+            }
+        )
+
+    parts = joined.map_batches(hist_rows, batch_format="pyarrow", num_cpus=1)
+    hist = bucketed_aggregate(parts, ["poly_id", "v"], {"cnt": "sum"})
+
+    def quartiles(g: pa.Table) -> pa.Table:
+        pid = g.column("poly_id").to_numpy()
+        v = g.column("v").to_numpy()
+        cnt = g.column("cnt").to_numpy()
+        out = {"poly_id": [], "p25": [], "median": [], "p75": [], "n_px": []}
+        for p in np.unique(pid):
+            m = pid == p
+            order = np.argsort(v[m])
+            vv = v[m][order]
+            cum = np.cumsum(cnt[m][order])
+            n = int(cum[-1])
+            qs = []
+            for q in (0.25, 0.5, 0.75):
+                idx = int(np.searchsorted(cum, q * n, side="left"))
+                qs.append(int(vv[min(idx, len(vv) - 1)]))
+            out["poly_id"].append(int(p))
+            out["p25"].append(qs[0])
+            out["median"].append(qs[1])
+            out["p75"].append(qs[2])
+            out["n_px"].append(n)
+        return pa.table({k: pa.array(vals, pa.int64()) for k, vals in out.items()})
+
+    return hist.groupby("poly_id").map_groups(quartiles, batch_format="pyarrow")
+
+
 _RELIEF_BREAKS = (0, 64, 128, 192, 255)
 _RELIEF_COLORS = ((0, 0, 128), (0, 128, 64), (32, 192, 0), (192, 128, 0), (255, 255, 255))
 
@@ -7850,6 +7951,30 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "zonal_median": f"""
+        WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
+        pairs AS (
+            SELECT t.*, p.poly_id, p.pcx, p.pcy, p.rx, p.ry
+            FROM tiles t, polys p
+            WHERE abs(t.x0 + t.w * 10.0 / 2 - p.pcx) / p.rx
+                + abs(t.y0 - t.h * 10.0 / 2 - p.pcy) / p.ry < 1.0
+        ),
+        px AS (
+            SELECT pairs.poly_id,
+                   (gx.x * 31 + gy.y * 17 + pairs.k) % 256 AS v
+            FROM pairs,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(pairs.h - 1 AS INT))) AS y) gy
+            WHERE abs(pairs.x0 + (gx.x + 0.5) * 10.0 - pairs.pcx) / pairs.rx
+                + abs(pairs.y0 - (gy.y + 0.5) * 10.0 - pairs.pcy) / pairs.ry < 1.0
+        )
+        SELECT poly_id,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p25,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS median,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p75,
+               CAST(count(*) AS BIGINT) AS n_px
+        FROM px GROUP BY poly_id
+    """,
     "tile_dist_aeqd": f"""
         WITH {TILE_SQL_CTE},
         ll AS (
@@ -10124,6 +10249,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "tile_dist_aeqd": q_tile_dist_aeqd,
     "global_equalize": q_global_equalize,
+    "zonal_median": q_zonal_median,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -10152,6 +10278,7 @@ QUERIES = {
     # ---- driver window ends here (50 entries above) ----------------
     # everything below is previously-driver-green (r04 or earlier)
     # with an unchanged plan:
+    "recode_stats_jpeg": q_recode_stats_jpeg,
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
     "semdedup": q_semdedup,
