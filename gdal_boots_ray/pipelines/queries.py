@@ -7333,6 +7333,66 @@ def q_zonal_median(sf_dir: str):
     return hist.groupby("poly_id").map_groups(quartiles, batch_format="pyarrow")
 
 
+def q_point_poly_distance(sf_dir: str):
+    """Nearest-feature distance (the ST_Distance / gdal_proximity-
+    to-vector primitive): for every sample point, the euclidean
+    distance to the nearest polygon (0 when inside), the nearest
+    poly_id (ties: smallest d2 then smallest id) and round-6 metres.
+    Plan: the 25-diamond table broadcasts (closure constant), each
+    point batch evaluates point-to-segment distance over a (batch x
+    poly x 4-segment) numpy panel — a pure map, no exchange; at 100
+    TB the poly side stays a broadcast and points stream.  The twin
+    replays the IDENTICAL IEEE expression tree (clamped projection
+    onto each diamond edge, same parenthesization), so round-6
+    distances hash-match."""
+    import pyarrow.parquet as pq
+
+    from gdal_boots_ray.sources.fixtures import nation_polygon_params
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"]).column(0).to_numpy()
+    params = np.array([nation_polygon_params(int(n)) for n in nk], np.float64)  # (P, 4)
+    pids_poly = np.asarray(nk, np.int64)
+    # diamond edges as (sax, say) -> (sbx, sby) radius multipliers
+    segs = np.array(
+        [[-1, 0, 0, 1], [0, 1, 1, 0], [1, 0, 0, -1], [0, -1, -1, 0]], np.float64
+    )
+    cx, cy, rx, ry = params[:, 0], params[:, 1], params[:, 2], params[:, 3]
+    ax = cx[:, None] + segs[None, :, 0] * rx[:, None]  # (P, 4)
+    ay = cy[:, None] + segs[None, :, 1] * ry[:, None]
+    bx = cx[:, None] + segs[None, :, 2] * rx[:, None]
+    by = cy[:, None] + segs[None, :, 3] * ry[:, None]
+    ex, ey = bx - ax, by - ay
+    ll = ex * ex + ey * ey
+
+    pts = _points_dataset(sf_dir, id_col="pid")
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        pid = batch.column("pid").to_numpy()
+        px = batch.column("x").to_numpy()[:, None, None]  # (N, 1, 1)
+        py = batch.column("y").to_numpy()[:, None, None]
+        t = ((px - ax) * ex + (py - ay) * ey) / ll
+        t = np.clip(t, 0.0, 1.0)
+        dx = px - (ax + t * ex)
+        dy = py - (ay + t * ey)
+        d2 = (dx * dx + dy * dy).min(axis=2)  # (N, P)
+        inside = (
+            np.abs(px[:, :, 0] - cx) / rx + np.abs(py[:, :, 0] - cy) / ry
+        ) < 1.0
+        d2 = np.where(inside, 0.0, d2)
+        # lexicographic (d2, poly_id) argmin, deterministic on ties
+        best = np.lexsort((np.broadcast_to(pids_poly, d2.shape), d2), axis=1)[:, 0]
+        rows = np.arange(len(pid))
+        return pa.table(
+            {
+                "pid": pa.array(pid.astype(np.int64)),
+                "nearest_poly": pa.array(pids_poly[best]),
+                "dist_m": pa.array(np.round(np.sqrt(d2[rows, best]), 6)),
+            }
+        )
+
+    return pts.map_batches(nearest, batch_format="pyarrow")
+
+
 _RELIEF_BREAKS = (0, 64, 128, 192, 255)
 _RELIEF_COLORS = ((0, 0, 128), (0, 128, 64), (32, 192, 0), (192, 128, 0), (255, 255, 255))
 
@@ -7951,6 +8011,51 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "point_poly_distance": f"""
+        WITH {POLY_SQL_CTE}, {POINT_SQL_CTE},
+        segs AS (
+            SELECT * FROM (VALUES (-1.0, 0.0, 0.0, 1.0), (0.0, 1.0, 1.0, 0.0),
+                                  (1.0, 0.0, 0.0, -1.0), (0.0, -1.0, -1.0, 0.0))
+                   AS s(sax, say, sbx, sby)
+        ),
+        e AS (
+            SELECT poly_id, pcx, pcy, rx, ry,
+                   pcx + sax * rx AS ax, pcy + say * ry AS ay,
+                   (pcx + sbx * rx) - (pcx + sax * rx) AS ex,
+                   (pcy + sby * ry) - (pcy + say * ry) AS ey
+            FROM polys, segs
+        ),
+        pd AS (
+            SELECT p.pid, e.poly_id,
+                   CASE WHEN abs(p.px - e.pcx) / e.rx + abs(p.py - e.pcy) / e.ry < 1.0
+                        THEN 0.0
+                        ELSE min(
+                            (p.px - (e.ax + (CASE WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) < 0.0 THEN 0.0
+                                                  WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) > 1.0 THEN 1.0
+                                                  ELSE ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) END) * e.ex))
+                          * (p.px - (e.ax + (CASE WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) < 0.0 THEN 0.0
+                                                  WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) > 1.0 THEN 1.0
+                                                  ELSE ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) END) * e.ex))
+                          + (p.py - (e.ay + (CASE WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) < 0.0 THEN 0.0
+                                                  WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) > 1.0 THEN 1.0
+                                                  ELSE ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) END) * e.ey))
+                          * (p.py - (e.ay + (CASE WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) < 0.0 THEN 0.0
+                                                  WHEN ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) > 1.0 THEN 1.0
+                                                  ELSE ((p.px - e.ax) * e.ex + (p.py - e.ay) * e.ey) / (e.ex * e.ex + e.ey * e.ey) END) * e.ey)))
+                        END AS d2
+            FROM pt_coords p, e
+            GROUP BY p.pid, e.poly_id, e.pcx, e.pcy, e.rx, e.ry, p.px, p.py
+        ),
+        best AS (
+            SELECT pid, poly_id, d2,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, poly_id) AS rn
+            FROM (SELECT pid, poly_id, min(d2) AS d2 FROM pd GROUP BY pid, poly_id)
+        )
+        SELECT CAST(pid AS BIGINT) AS pid,
+               CAST(poly_id AS BIGINT) AS nearest_poly,
+               round(sqrt(d2), 6) AS dist_m
+        FROM best WHERE rn = 1
+    """,
     "zonal_median": f"""
         WITH {TILE_SQL_CTE}, {POLY_SQL_CTE},
         pairs AS (
@@ -10250,6 +10355,7 @@ QUERIES = {
     "tile_dist_aeqd": q_tile_dist_aeqd,
     "global_equalize": q_global_equalize,
     "zonal_median": q_zonal_median,
+    "point_poly_distance": q_point_poly_distance,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -10278,6 +10384,7 @@ QUERIES = {
     # ---- driver window ends here (50 entries above) ----------------
     # everything below is previously-driver-green (r04 or earlier)
     # with an unchanged plan:
+    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
