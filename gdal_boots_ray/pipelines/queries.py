@@ -7333,6 +7333,44 @@ def q_zonal_median(sf_dir: str):
     return hist.groupby("poly_id").map_groups(quartiles, batch_format="pyarrow")
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel analysis (the product-analytics sequence match:
+    signup -> click -> purchase, each step STRICTLY after the
+    previous one): per user, the funnel depth reached (0-3) and the
+    microsecond timestamp of each completed step (-1 sentinel keeps
+    the row integer-typed instead of NULL).  Step k's timestamp is
+    the MINIMUM qualifying time given step k-1 — the standard
+    earliest-completion funnel semantics.  Plan: one user-key
+    exchange, per-user groups are tiny; integers end to end."""
+    import pandas as pd
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+
+        def step(kind, after):
+            m = (et == kind) & (t > after)
+            return int(t[m].min()) if m.any() else -1
+
+        t1 = step("signup", np.iinfo(np.int64).min)
+        t2 = step("click", t1) if t1 >= 0 else -1
+        t3 = step("purchase", t2) if t2 >= 0 else -1
+        depth = 3 if t3 >= 0 else 2 if t2 >= 0 else 1 if t1 >= 0 else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "depth": [depth],
+                "t1_us": [t1],
+                "t2_us": [t2],
+                "t3_us": [t3],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8011,6 +8049,27 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "event_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (
+            SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t > s1.t1 GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND t > s2.t2 GROUP BY e.user_id
+        ),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CAST(u.user_id AS BIGINT) AS user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+               CAST(coalesce(t1, -1) AS BIGINT) AS t1_us,
+               CAST(coalesce(t2, -1) AS BIGINT) AS t2_us,
+               CAST(coalesce(t3, -1) AS BIGINT) AS t3_us
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id)
+    """,
     "point_poly_distance": f"""
         WITH {POLY_SQL_CTE}, {POINT_SQL_CTE},
         segs AS (
@@ -10356,6 +10415,7 @@ QUERIES = {
     "global_equalize": q_global_equalize,
     "zonal_median": q_zonal_median,
     "point_poly_distance": q_point_poly_distance,
+    "event_funnel": q_event_funnel,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -10384,6 +10444,7 @@ QUERIES = {
     # ---- driver window ends here (50 entries above) ----------------
     # everything below is previously-driver-green (r04 or earlier)
     # with an unchanged plan:
+    "decontaminate": q_decontaminate,
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "window_stats_cog": q_window_stats_cog,
