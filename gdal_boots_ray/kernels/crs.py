@@ -1953,10 +1953,12 @@ def _robin_spline(table: np.ndarray, d2: np.ndarray, latdeg: np.ndarray) -> np.n
     u = (t - i * _ROBIN_H) / _ROBIN_H  # in [0, 1]
     h2 = _ROBIN_H * _ROBIN_H
     a, b = 1.0 - u, u
+    # explicit a*a*a (not a**3): both this kernel and the DuckDB twin
+    # then evaluate the identical IEEE multiply chain
     return (
         a * table[i]
         + b * table[i + 1]
-        + ((a ** 3 - a) * d2[i] + (b ** 3 - b) * d2[i + 1]) * h2 / 6.0
+        + ((a * a * a - a) * d2[i] + (b * b * b - b) * d2[i + 1]) * h2 / 6.0
     )
 
 

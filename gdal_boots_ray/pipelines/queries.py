@@ -456,6 +456,40 @@ def q_global_equalize(sf_dir: str):
     return ds.map_batches(remap, batch_format="pyarrow")
 
 
+def q_tile_bounds_54030(sf_dir: str):
+    """Tile bounds reprojected 3857 -> 4326 -> 54030 (World Robinson,
+    the compromise world-map grid).  The DuckDB twin inlines
+    Robinson's published 1974 table AND the natural-cubic-spline
+    second derivatives (solved once at import in kernels/crs.py) as
+    exact float literals, then evaluates the SAME IEEE cubic —
+    gating the robin kernel including its between-node interpolation
+    (the tile latitudes sit off-node at ~45.3 deg)."""
+    from gdal_boots_ray.kernels.crs import transform_points
+
+    ds = _with_bounds(_tiles_dataset(sf_dir))
+
+    def to54030(batch: pa.Table) -> pa.Table:
+        minx = batch.column("minx").to_numpy()
+        miny = batch.column("miny").to_numpy()
+        maxx = batch.column("maxx").to_numpy()
+        maxy = batch.column("maxy").to_numpy()
+        lon_min, lat_min = transform_points(3857, 4326, minx, miny)
+        lon_max, lat_max = transform_points(3857, 4326, maxx, maxy)
+        x_min, y_min = transform_points(4326, 54030, lon_min, lat_min)
+        x_max, y_max = transform_points(4326, 54030, lon_max, lat_max)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "rx_min": pa.array(np.round(x_min, 6)),
+                "ry_min": pa.array(np.round(y_min, 6)),
+                "rx_max": pa.array(np.round(x_max, 6)),
+                "ry_max": pa.array(np.round(y_max, 6)),
+            }
+        )
+
+    return ds.map_batches(to54030, batch_format="pyarrow")
+
+
 def q_tile_grid_cells(sf_dir: str):
     from gdal_boots_ray.stages.geo import make_add_grid_cell
 
@@ -8139,6 +8173,62 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_px
         FROM px GROUP BY poly_id
     """,
+    "tile_bounds_54030": f"""
+        WITH {TILE_SQL_CTE},
+        rob(i, xt, yt, xd2, yd2) AS (
+            VALUES (0, 1.0, 0.0, 0.0, 0.0),\n                   (1, 0.9986, 0.062, -8.813833427955961e-05, -2.535965511654069e-09),\n                   (2, 0.9954, 0.124, -7.944666288182056e-05, 1.0143862046616277e-08),\n                   (3, 0.99, 0.186, -0.00012207501419312665, -3.803948267481104e-08),\n                   (4, 0.9822, 0.248, -8.253280345689287e-06, 1.420140686526279e-07),\n                   (5, 0.973, 0.31, -0.00018091186442410583, -5.300167919357005e-07),\n                   (6, 0.96, 0.372, -0.00018009926195789347, 1.9780530990901743e-06),\n                   (7, 0.9427, 0.434, -0.00013069108774431328, -7.382195604424996e-06),\n                   (8, 0.9216, 0.4958, -0.00020913638706485964, -2.0449270681384906e-05),\n                   (9, 0.8962, 0.5571, -6.476336399624129e-05, -3.082072167003548e-05),\n                   (10, 0.8679, 0.6176, -0.00022781015695017842, -4.8267842638478684e-05),\n                   (11, 0.835, 0.6769, -0.00012799600820305684, -6.41079077760714e-05),\n                   (12, 0.7986, 0.7346, -0.00010020581023758172, -7.930052625719342e-05),\n                   (13, 0.7597, 0.7903, -7.118075084660354e-05, -9.868998719518193e-05),\n                   (14, 0.7186, 0.8435, -0.00014307118637602598, -0.0001259395249620661),\n                   (15, 0.6732, 0.8936, -0.00038853450364928553, -0.00014155191295657824),\n                   (16, 0.6213, 0.9394, 0.00013720920097315336, -0.0003398528232115873),\n                   (17, 0.5722, 0.9761, 0.0005116976997567048, -0.0006830367941970985),\n                   (18, 0.5322, 1.0, 0.0, 0.0)
+        ),
+        ll AS (
+            SELECT image_id,
+                degrees(x0 / 6378137.0) AS lon_min,
+                degrees(2 * atan(exp((y0 - h * 10.0) / 6378137.0)) - pi() / 2) AS lat_min,
+                degrees((x0 + w * 10.0) / 6378137.0) AS lon_max,
+                degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2) AS lat_max
+            FROM tiles
+        ),
+        c AS (
+            SELECT image_id, lon_min, lon_max, lat_min, lat_max,
+                   least(CAST(floor(abs(lat_min) / 5.0) AS INT), 17) AS i1,
+                   least(CAST(floor(abs(lat_max) / 5.0) AS INT), 17) AS i2
+            FROM ll
+        ),
+        s AS (
+            SELECT image_id, lon_min, lon_max, lat_min, lat_max, i1, i2,
+                   (abs(lat_min) - i1 * 5.0) / 5.0 AS u1,
+                   (abs(lat_max) - i2 * 5.0) / 5.0 AS u2
+            FROM c
+        ),
+        v1 AS (
+            SELECT s.*, (1.0 - u1) AS a, u1 AS b,
+                   t0.xt AS x0t, t1.xt AS x1t, t0.xd2 AS xd0, t1.xd2 AS xd1,
+                   t0.yt AS y0t, t1.yt AS y1t, t0.yd2 AS yd0, t1.yd2 AS yd1
+            FROM s JOIN rob t0 ON t0.i = s.i1 JOIN rob t1 ON t1.i = s.i1 + 1
+        ),
+        e1 AS (
+            SELECT image_id, lon_min, lon_max, lat_min, lat_max, i2, u2,
+                   a * x0t + b * x1t + ((a * a * a - a) * xd0 + (b * b * b - b) * xd1) * 25.0 / 6.0 AS X1,
+                   a * y0t + b * y1t + ((a * a * a - a) * yd0 + (b * b * b - b) * yd1) * 25.0 / 6.0 AS Y1
+            FROM v1
+        ),
+        v2 AS (
+            SELECT e1.*, (1.0 - u2) AS a, u2 AS b,
+                   t0.xt AS x0t, t1.xt AS x1t, t0.xd2 AS xd0, t1.xd2 AS xd1,
+                   t0.yt AS y0t, t1.yt AS y1t, t0.yd2 AS yd0, t1.yd2 AS yd1
+            FROM e1 JOIN rob t0 ON t0.i = e1.i2 JOIN rob t1 ON t1.i = e1.i2 + 1
+        ),
+        e2 AS (
+            SELECT image_id, lon_min, lon_max, lat_min, lat_max, X1, Y1,
+                   a * x0t + b * x1t + ((a * a * a - a) * xd0 + (b * b * b - b) * xd1) * 25.0 / 6.0 AS X2,
+                   a * y0t + b * y1t + ((a * a * a - a) * yd0 + (b * b * b - b) * yd1) * 25.0 / 6.0 AS Y2
+            FROM v2
+        )
+        SELECT image_id,
+            round(0.8487 * 6378137.0 * X1 * radians(lon_min), 6) AS rx_min,
+            round(1.3523 * 6378137.0 * Y1 * (CASE WHEN lat_min > 0 THEN 1.0 WHEN lat_min < 0 THEN -1.0 ELSE 0.0 END), 6) AS ry_min,
+            round(0.8487 * 6378137.0 * X2 * radians(lon_max), 6) AS rx_max,
+            round(1.3523 * 6378137.0 * Y2 * (CASE WHEN lat_max > 0 THEN 1.0 WHEN lat_max < 0 THEN -1.0 ELSE 0.0 END), 6) AS ry_max
+        FROM e2
+    """,
     "tile_dist_aeqd": f"""
         WITH {TILE_SQL_CTE},
         ll AS (
@@ -10416,6 +10506,7 @@ QUERIES = {
     "zonal_median": q_zonal_median,
     "point_poly_distance": q_point_poly_distance,
     "event_funnel": q_event_funnel,
+    "tile_bounds_54030": q_tile_bounds_54030,
     # -- plan-rewritten in r05 ---------------------------------------
     "grid_interp": q_grid_interp,
     "tile_warp_bilinear": q_tile_warp_bilinear,
@@ -10444,6 +10535,7 @@ QUERIES = {
     # ---- driver window ends here (50 entries above) ----------------
     # everything below is previously-driver-green (r04 or earlier)
     # with an unchanged plan:
+    "doc_pack": q_doc_pack,
     "decontaminate": q_decontaminate,
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "recode_stats_jpeg": q_recode_stats_jpeg,
