@@ -174,6 +174,12 @@ def run_bench() -> dict:
         "tile_bounds_54009",
         "dsir_weights",
         "ccnet_buckets",
+        "tile_dist_aeqd",
+        "global_equalize",
+        "zonal_median",
+        "point_poly_distance",
+        "event_funnel",
+        "tile_bounds_54030",
     )
     for name in query_names:
         t = time.perf_counter()
