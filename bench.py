@@ -180,6 +180,8 @@ def run_bench() -> dict:
         "point_poly_distance",
         "event_funnel",
         "tile_bounds_54030",
+        "embedding_cov",
+        "poly_geodesic",
     )
     for name in query_names:
         t = time.perf_counter()

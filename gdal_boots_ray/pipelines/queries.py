@@ -2154,6 +2154,50 @@ def q_embedding_centroids(sf_dir: str, n_groups: int = 8):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_embedding_cov(sf_dir: str):
+    """Corpus-wide second-moment (Gram) matrix of the embedding table —
+    the one-pass statistic behind PCA whitening, decorrelation and
+    OPQ rotation fitting in a vector pipeline.  Scale shape: each
+    batch quantizes the per-row products X[:,a]*X[:,b] (float32
+    promoted to float64, exactly as SQL promotes FLOAT to DOUBLE) to
+    integer micro-units and sums them locally, so the corpus total is
+    an order-independent INTEGER sum; one D*(D+1)/2-long int64 blob
+    (~16.6 kB for D=64) leaves each task and there is NO shuffle at
+    all — the driver folds the bounded per-block partials and unpacks
+    the upper triangle to (dim_a, dim_b, sxy) rows.  At 100 TB the
+    reduce input is (#blocks) 16 kB rows; the vector table itself
+    never moves."""
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding").combine_chunks()
+        dim = len(emb[0])
+        x = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim).astype(np.float64)
+        ia, ib = np.triu_indices(dim)
+        # per-row quantized product, THEN integer sum: order-free
+        q = np.floor(x[:, ia] * x[:, ib] * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array([dim], pa.int64()),
+                "part": pa.array([q.tobytes()], pa.binary()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    dim = int(rows[0]["dim"])
+    total = np.zeros(dim * (dim + 1) // 2, np.int64)
+    for r in rows:
+        total += np.frombuffer(r["part"], np.int64)
+    ia, ib = np.triu_indices(dim)
+    return pa.table(
+        {
+            "dim_a": pa.array(ia.astype(np.int64)),
+            "dim_b": pa.array(ib.astype(np.int64)),
+            "sxy": pa.array(total),
+        }
+    )
+
+
 def _doc_word_counts(batch):
     """Per-(doc, word) counts + doc length, computed in ONE pass inside
     the batch (a document is one row, so tf/doclen are exact without a
@@ -6740,6 +6784,66 @@ def q_poly_metrics(sf_dir: str):
     return ds.map_batches(metrics, batch_format="pyarrow")
 
 
+def q_poly_geodesic(sf_dir: str):
+    """Geodesic polygon metrics — OGR's ``Geometry.Area()`` /
+    ``Length()`` on a geographic SRS (the reference reaches them via
+    ogr with a 4326 layer; planar ``poly_metrics`` is the projected
+    twin of this).  Each diamond is inverse-mercatored to lon/lat and
+    measured on the authalic sphere: area by the Chamberlain-Duquette
+    (JPL) edge sum (the short-edge discretization of the spherical
+    Green's-theorem integral — exact in the densified limit, and at
+    the ~3 km feature scale here within 1e-6 of truth), perimeter by
+    the haversine — a pure map over the nation features, no shuffle.
+    The DuckDB
+    twin unrolls the four diamond vertices and replays BOTH formulas
+    closed-form with the same association order, so values match at
+    round-6 (km^2 / km)."""
+    from gdal_boots_ray.kernels.crs import transform_points
+    from gdal_boots_ray.kernels.geometry import polygon_rings
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+
+    R = 6371000.0
+    ds = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_numpy()
+        polys = nation_polygons(keys)
+        pid = np.empty(len(polys), np.int64)
+        verts = np.empty((len(polys), 4, 2), np.float64)
+        for i, p in enumerate(polys):
+            pid[i] = p["poly_id"]
+            ring = np.asarray(polygon_rings(p["geometry"])[0], np.float64)
+            verts[i] = ring[:4]  # closed ring: drop the repeated vertex
+        lon, lat = transform_points(
+            3857, 4326, verts[..., 0].ravel(), verts[..., 1].ravel()
+        )
+        lam = np.radians(lon).reshape(-1, 4)
+        phi = np.radians(lat).reshape(-1, 4)
+        nxt = [1, 2, 3, 0]
+        ts = np.zeros(len(polys), np.float64)
+        per = np.zeros(len(polys), np.float64)
+        # explicit edge-by-edge accumulation: the twin sums the four
+        # terms in this exact left-to-right order
+        for a in range(4):
+            b = nxt[a]
+            ts = ts + (lam[:, b] - lam[:, a]) * (
+                2.0 + np.sin(phi[:, a]) + np.sin(phi[:, b])
+            )
+            sp = np.sin((phi[:, b] - phi[:, a]) / 2.0)
+            sl = np.sin((lam[:, b] - lam[:, a]) / 2.0)
+            h = sp * sp + np.cos(phi[:, a]) * np.cos(phi[:, b]) * sl * sl
+            per = per + 2.0 * R * np.arcsin(np.sqrt(h))
+        return pa.table(
+            {
+                "poly_id": pa.array(pid),
+                "area_km2": pa.array(np.round(np.abs(ts) * R * R / 2.0 / 1e6, 6)),
+                "perim_km": pa.array(np.round(per / 1e3, 6)),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
 def q_tile_fillnodata(sf_dir: str, n_tiles: int = 8, nodata_below: int = 32):
     """Fill nodata from the nearest valid pixel (the gdal_fillnodata
     analog, nearest-neighbor mode): pixels below ``nodata_below`` take
@@ -9353,6 +9457,49 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(cell_id) AS BIGINT) AS sum_cell_id
         FROM hit GROUP BY poly_id
     """,
+    "poly_geodesic": f"""
+        WITH {POLY_SQL_CTE},
+        v AS (
+            SELECT poly_id,
+                   pcx - rx AS x0, pcy AS y0,
+                   pcx AS x1, pcy + ry AS y1,
+                   pcx + rx AS x2, pcy AS y2,
+                   pcx AS x3, pcy - ry AS y3
+            FROM polys
+        ),
+        ll AS (
+            SELECT poly_id,
+                   radians(degrees(x0 / 6378137.0)) AS lam0,
+                   radians(degrees(x1 / 6378137.0)) AS lam1,
+                   radians(degrees(x2 / 6378137.0)) AS lam2,
+                   radians(degrees(x3 / 6378137.0)) AS lam3,
+                   radians(degrees(2 * atan(exp(y0 / 6378137.0)) - pi() / 2)) AS phi0,
+                   radians(degrees(2 * atan(exp(y1 / 6378137.0)) - pi() / 2)) AS phi1,
+                   radians(degrees(2 * atan(exp(y2 / 6378137.0)) - pi() / 2)) AS phi2,
+                   radians(degrees(2 * atan(exp(y3 / 6378137.0)) - pi() / 2)) AS phi3
+            FROM v
+        ),
+        terms AS (
+            SELECT poly_id,
+                   (lam1 - lam0) * (2.0 + sin(phi0) + sin(phi1))
+                   + (lam2 - lam1) * (2.0 + sin(phi1) + sin(phi2))
+                   + (lam3 - lam2) * (2.0 + sin(phi2) + sin(phi3))
+                   + (lam0 - lam3) * (2.0 + sin(phi3) + sin(phi0)) AS ts,
+                   2.0 * 6371000.0 * asin(sqrt(sin((phi1 - phi0) / 2.0) * sin((phi1 - phi0) / 2.0)
+                       + cos(phi0) * cos(phi1) * sin((lam1 - lam0) / 2.0) * sin((lam1 - lam0) / 2.0)))
+                   + 2.0 * 6371000.0 * asin(sqrt(sin((phi2 - phi1) / 2.0) * sin((phi2 - phi1) / 2.0)
+                       + cos(phi1) * cos(phi2) * sin((lam2 - lam1) / 2.0) * sin((lam2 - lam1) / 2.0)))
+                   + 2.0 * 6371000.0 * asin(sqrt(sin((phi3 - phi2) / 2.0) * sin((phi3 - phi2) / 2.0)
+                       + cos(phi2) * cos(phi3) * sin((lam3 - lam2) / 2.0) * sin((lam3 - lam2) / 2.0)))
+                   + 2.0 * 6371000.0 * asin(sqrt(sin((phi0 - phi3) / 2.0) * sin((phi0 - phi3) / 2.0)
+                       + cos(phi3) * cos(phi0) * sin((lam0 - lam3) / 2.0) * sin((lam0 - lam3) / 2.0))) AS per
+            FROM ll
+        )
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               round(abs(ts) * 6371000.0 * 6371000.0 / 2.0 / 1000000.0, 6) AS area_km2,
+               round(per / 1000.0, 6) AS perim_km
+        FROM terms
+    """,
     "poly_metrics": f"""
         WITH {POLY_SQL_CTE}
         SELECT CAST(poly_id AS BIGINT) AS poly_id,
@@ -10028,6 +10175,17 @@ ORACLE_SQL: Dict[str, str] = {
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
         GROUP BY grp, i.i
     """,
+    "embedding_cov": """
+        SELECT CAST(a.i AS BIGINT) AS dim_a, CAST(b.i AS BIGINT) AS dim_b,
+               SUM(CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE)
+                              * CAST(embedding[b.i + 1] AS DOUBLE)
+                              * 1000000.0 + 0.5) AS BIGINT)) AS sxy
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, 63)) AS i) a,
+             (SELECT unnest(generate_series(0, 63)) AS i) b
+        WHERE a.i <= b.i
+        GROUP BY dim_a, dim_b
+    """,
     "corpus_clean": """
         WITH words AS (
             SELECT DISTINCT doc_id, w FROM (
@@ -10499,6 +10657,9 @@ QUERIES = {
     "point_poly_distance": q_point_poly_distance,
     "event_funnel": q_event_funnel,
     "tile_bounds_54030": q_tile_bounds_54030,
+    # -- NEW in r05 wave 4 --------------------------------------------
+    "embedding_cov": q_embedding_cov,
+    "poly_geodesic": q_poly_geodesic,
     # -- plan-rewritten and never externally re-checked since --------
     #    (a) the r05 rewrites: grid_interp bucket index, Arrow
     #        quantile/HLL exchanges, grouped_top_k order refactor,
@@ -10524,9 +10685,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "simhash_neardup": q_simhash_neardup,
     "top_orders_per_nation": q_top_orders_per_nation,
-    "tile_warp_bilinear": q_tile_warp_bilinear,
     "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
-    "recode_stats_jpeg": q_recode_stats_jpeg,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "approx_distinct": q_approx_distinct,
     "minhash_neardup": q_minhash_neardup,
@@ -10537,7 +10696,13 @@ QUERIES = {
     # price_quantiles (same ungrouped-quantile path as
     # token_quantiles), jaccard_neardup / corpus_clean / minhash_pairs
     # (same verify cache as minhash_neardup), top_terms / doc_keywords
-    # / capped_sample (same grouped_top_k as top_orders_per_nation).
+    # / capped_sample (same grouped_top_k as top_orders_per_nation),
+    # recode_stats_jpeg (r04-green; the r05 photometric fix changes a
+    # written TIFF tag, not decoded stats — pytest pins the tag),
+    # tile_warp_bilinear (r04-green; the r05 change only tightens the
+    # in-task kernel assertion, the emitted rows are unchanged).
+    "recode_stats_jpeg": q_recode_stats_jpeg,
+    "tile_warp_bilinear": q_tile_warp_bilinear,
     "price_quantiles": q_price_quantiles,
     "jaccard_neardup": q_jaccard_neardup,
     "corpus_clean": q_corpus_clean,
