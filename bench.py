@@ -182,6 +182,9 @@ def run_bench() -> dict:
         "tile_bounds_54030",
         "embedding_cov",
         "poly_geodesic",
+        "tile_temporal_interp",
+        "poly_buffer",
+        "cohort_retention",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -536,6 +536,72 @@ def ring_area(ring: np.ndarray) -> float:
     return float(0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def buffer_convex_ring(
+    ring: np.ndarray, dist: float, steps_per_corner: int = 8
+) -> np.ndarray:
+    """Positive buffer of a CONVEX ring — the ogr
+    ``Geometry.Buffer`` analog for the convex case (the reference
+    reaches Buffer through ogr.Geometry; the general concave case
+    needs a full offset-curve/self-intersection pass and is out of
+    scope).  Each edge translates outward by ``dist`` along its
+    normal; each vertex gets a circular fan of ``steps_per_corner``
+    equal angular steps between the adjacent edge normals, so for a
+    convex input the exact polygon area of the result is
+    ``A + P*dist + (dist^2/2) * sum_i m*sin(theta_i/m)`` (edge
+    rectangles + corner fans, no overlaps).  Works for either
+    orientation; raises ValueError on non-convex or degenerate
+    input.  Returns a closed ring."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    n = len(r)
+    if n < 3:
+        raise ValueError("buffer_convex_ring: need >= 3 distinct vertices")
+    if dist <= 0:
+        raise ValueError("buffer_convex_ring: dist must be positive")
+    d = np.roll(r, -1, axis=0) - r  # edge i: r[i] -> r[i+1]
+    lens = np.hypot(d[:, 0], d[:, 1])
+    if (lens == 0).any():
+        raise ValueError("buffer_convex_ring: repeated vertex")
+    cross = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+    sgn = np.sign(np.sum(cross))
+    if sgn == 0 or (np.sign(cross) == -sgn).any():
+        raise ValueError("buffer_convex_ring: ring is not strictly convex")
+    # outward unit normal per edge: right of travel for CW (sgn<0),
+    # left for CCW (sgn>0)
+    if sgn < 0:
+        nx, ny = -d[:, 1] / lens, d[:, 0] / lens
+    else:
+        nx, ny = d[:, 1] / lens, -d[:, 0] / lens
+    ang = np.arctan2(ny, nx)
+    out_x: list = []
+    out_y: list = []
+    m = int(steps_per_corner)
+    for i in range(n):
+        # offset edge i
+        out_x += [r[i, 0] + dist * nx[i], r[(i + 1) % n, 0] + dist * nx[i]]
+        out_y += [r[i, 1] + dist * ny[i], r[(i + 1) % n, 1] + dist * ny[i]]
+        # fan at vertex i+1 between normals of edge i and edge i+1,
+        # turning through the exterior (the ring's own orientation)
+        j = (i + 1) % n
+        delta = ang[j] - ang[i]
+        if sgn < 0:  # CW: exterior turn is clockwise (negative)
+            delta = delta - 2 * np.pi * np.ceil(delta / (2 * np.pi))
+            if delta == 0.0:
+                delta = -2 * np.pi
+        else:
+            delta = delta - 2 * np.pi * np.floor(delta / (2 * np.pi))
+            if delta == 0.0:
+                delta = 2 * np.pi
+        steps = np.arange(1, m) / m
+        a = ang[i] + delta * steps
+        out_x += (r[j, 0] + dist * np.cos(a)).tolist()
+        out_y += (r[j, 1] + dist * np.sin(a)).tolist()
+    out_x.append(out_x[0])
+    out_y.append(out_y[0])
+    return np.column_stack([out_x, out_y])
+
+
 def ring_metrics(ring: np.ndarray) -> Tuple[float, float, float, float]:
     """(abs area, perimeter, centroid_x, centroid_y) of a closed ring
     — the OGR ``GetArea`` / ``Length`` / ``Centroid`` accessor family

