@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "tile_temporal_interp",
         "poly_buffer",
         "cohort_retention",
+        "basket_pairs",
     )
     for name in query_names:
         t = time.perf_counter()

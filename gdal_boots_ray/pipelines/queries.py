@@ -7664,6 +7664,80 @@ def q_cohort_retention(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_basket_pairs(sf_dir: str, min_count: int = 2):
+    """Market-basket co-occurrence with lift (the association-rule
+    primitive behind recommender candidate generation): every pair
+    of distinct parts ordered together at least ``min_count`` times,
+    with pair support and lift = P(a,b) / (P(a)·P(b)).  Plan: ONE
+    order-key exchange; each per-order group (TPC-H orders hold <= 7
+    lineitems, so pair fan-out per group is <= 21) emits its part
+    pairs, per-part item rows and an order marker in a single
+    unified-schema pass, then a bucketed partial->final SUM
+    aggregates all three row kinds at once.  Item counts and the
+    order total are #parts + 1 rows — they come back to the driver
+    and broadcast as a closure dict; the pair stream never leaves
+    the cluster.  Lift is ONE IEEE division of two exactly-
+    representable integer products (counts < 2^26), so the DuckDB
+    twin hash-matches bit for bit."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["l_partkey"].to_numpy().astype(np.int64))
+        m = len(pk)
+        ia, ib = np.triu_indices(m, k=1)
+        return pd.DataFrame(
+            {
+                # kind 0: pair rows, kind 1: per-part item rows,
+                # kind 2: the order marker (one per group)
+                "kind": np.concatenate(
+                    [np.zeros(len(ia), np.int64), np.ones(m, np.int64), [2]]
+                ),
+                "pa": np.concatenate([pk[ia], pk, [-1]]),
+                "pb": np.concatenate([pk[ib], np.full(m, -1, np.int64), [-1]]),
+                "cnt": np.ones(len(ia) + m + 1, np.int64),
+            }
+        )
+
+    rows = ds.groupby("l_orderkey").map_groups(explode, batch_format="pandas")
+    agg = bucketed_aggregate(rows, ["kind", "pa", "pb"], {"cnt": "sum"})
+
+    # item counts + order total: #parts + 1 rows — bounded, driver-side
+    small = agg.filter(lambda r: r["kind"] != 0).to_pandas()
+    n_orders = int(small.loc[small["kind"] == 2, "cnt"].iloc[0])
+    item = dict(
+        zip(
+            small.loc[small["kind"] == 1, "pa"].astype(np.int64),
+            small.loc[small["kind"] == 1, "cnt"].astype(np.int64),
+        )
+    )
+
+    def lift(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy()
+        keep = kind == 0
+        a = batch.column("pa").to_numpy()[keep].astype(np.int64)
+        b = batch.column("pb").to_numpy()[keep].astype(np.int64)
+        c = batch.column("cnt").to_numpy()[keep].astype(np.int64)
+        keep2 = c >= min_count
+        a, b, c = a[keep2], b[keep2], c[keep2]
+        ca = np.array([item[x] for x in a], np.int64)
+        cb = np.array([item[x] for x in b], np.int64)
+        lf = (c * n_orders).astype(np.float64) / (ca * cb).astype(np.float64)
+        return pa.table(
+            {
+                "part_a": pa.array(a, pa.int64()),
+                "part_b": pa.array(b, pa.int64()),
+                "pair_count": pa.array(c, pa.int64()),
+                "lift": pa.array(lf, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(lift, batch_format="pyarrow")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8342,6 +8416,26 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "basket_pairs": """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+        cnt AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS pair_count
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(part_a AS BIGINT) AS part_a,
+               CAST(part_b AS BIGINT) AS part_b,
+               CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(pair_count * tot.n AS DOUBLE) / (ca.c * cb.c) AS lift
+        FROM pairs, tot
+        JOIN cnt ca ON ca.l_partkey = pairs.part_a
+        JOIN cnt cb ON cb.l_partkey = pairs.part_b
+        WHERE pair_count >= 2
+    """,
     "cohort_retention": """
         WITH f AS (
             SELECT user_id,
@@ -10921,6 +11015,7 @@ QUERIES = {
     # regression; it overflowed the window and is gated locally at
     # sf0.001 + sf0.01 like everything else.
     "cohort_retention": q_cohort_retention,
+    "basket_pairs": q_basket_pairs,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
