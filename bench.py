@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "poly_buffer",
         "cohort_retention",
         "basket_pairs",
+        "price_outliers",
     )
     for name in query_names:
         t = time.perf_counter()

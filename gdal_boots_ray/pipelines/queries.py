@@ -7738,6 +7738,53 @@ def q_basket_pairs(sf_dir: str, min_count: int = 2):
     return agg.map_batches(lift, batch_format="pyarrow")
 
 
+def q_price_outliers(sf_dir: str, k_sigma: int = 2):
+    """Per-group anomaly flags (the data-quality / fraud-screen
+    primitive): every lineitem whose extended price sits more than
+    ``k_sigma`` standard deviations from its part's mean price.
+    The sigma test is INTEGER-EXACT — prices become cents, and
+    |x - mu| > k*sigma is cross-multiplied into
+    (n*c - S)^2 > k^2 * (n*Q - S^2) with S = sum(c), Q = sum(c^2),
+    so no float mean/variance ever exists and the DuckDB twin (which
+    runs the same integer inequality in HUGEINT) hash-matches bit for
+    bit regardless of partial-aggregation order.  Plan: ONE part-key
+    exchange, per-part groups are TPC-H-tiny (~30 rows), all work is
+    vectorized inside the group; int64 magnitudes are guarded and
+    overflow-escape to Python arbitrary precision for pathological
+    group sizes."""
+    import pandas as pd
+
+    ds = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    k2 = k_sigma * k_sigma
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        n = len(c)
+        s = int(c.sum())
+        q = int((c * c).sum())
+        # int64 guard: the largest intermediate is (n*c - S)^2
+        if n * max(abs(int(c.max())), 1) < (1 << 31) and n * q < (1 << 62):
+            lhs = (n * c - s).astype(np.int64) ** 2
+            rhs = k2 * (n * q - s * s)
+            out = lhs > rhs
+        else:  # arbitrary-precision escape hatch (never hit at TPC-H shapes)
+            rhs = k2 * (n * q - s * s)
+            out = np.array([(n * int(ci) - s) ** 2 > rhs for ci in c], bool)
+        return pd.DataFrame(
+            {
+                "l_partkey": g["l_partkey"].to_numpy()[out].astype(np.int64),
+                "l_orderkey": g["l_orderkey"].to_numpy()[out].astype(np.int64),
+                "l_linenumber": g["l_linenumber"].to_numpy()[out].astype(np.int64),
+                "price_cents": c[out],
+            }
+        )
+
+    return ds.groupby("l_partkey").map_groups(flag, batch_format="pandas")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8416,6 +8463,22 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "price_outliers": """
+        WITH c AS (
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        s AS (
+            SELECT l_partkey, count(*) AS n,
+                   sum(cents) AS s, sum(cents * cents) AS q
+            FROM c GROUP BY l_partkey
+        )
+        SELECT c.l_partkey, c.l_orderkey, c.l_linenumber,
+               c.cents AS price_cents
+        FROM c JOIN s USING (l_partkey)
+        WHERE (n * cents - s) * (n * cents - s) > 4 * (n * q - s * s)
+    """,
     "basket_pairs": """
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
@@ -11016,6 +11079,7 @@ QUERIES = {
     # sf0.001 + sf0.01 like everything else.
     "cohort_retention": q_cohort_retention,
     "basket_pairs": q_basket_pairs,
+    "price_outliers": q_price_outliers,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
