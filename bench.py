@@ -187,6 +187,7 @@ def run_bench() -> dict:
         "cohort_retention",
         "basket_pairs",
         "price_outliers",
+        "customer_gini",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -7785,6 +7785,99 @@ def q_price_outliers(sf_dir: str, k_sigma: int = 2):
     return ds.groupby("l_partkey").map_groups(flag, batch_format="pandas")
 
 
+def q_customer_gini(sf_dir: str, range_bits: int = 20):
+    """Gini coefficient of customer spend (the inequality statistic:
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over rank-sorted
+    per-customer cent totals).  No global sort: sum(i*x_(i)) is
+    TIE-INVARIANT, so it decomposes over DISTINCT values — a value x
+    with count c and L smaller elements contributes
+    x*(c*L + c*(c+1)/2) — and exclusive prefix counts L come from the
+    doc_pack-style two-pass scan keyed on the VALUE DOMAIN
+    (rng = cents >> range_bits): per-range count partials, a driver
+    exclusive scan over the ~domain/2^20 range offsets broadcast once,
+    then per-range local cumsums.  Customer totals never sort and
+    never gather; per-range partial moments travel as decimal strings
+    and fold on the driver in Python arbitrary precision, so the
+    result is exact at any scale and matches DuckDB's HUGEINT
+    row_number() twin bit for bit after ONE final double division."""
+    import pandas as pd
+    import ray
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    percust = bucketed_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"), ["o_custkey"], {"cents": "sum"}
+    )
+
+    def value_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("cents").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "c": pa.array(np.ones(len(v), np.int64), pa.int64()),
+            }
+        )
+
+    vals = bucketed_aggregate(
+        percust.map_batches(value_rows, batch_format="pyarrow"), ["v"], {"c": "sum"}
+    )
+
+    def add_rng(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy().astype(np.int64)
+        return batch.append_column("rng", pa.array(v >> range_bits, pa.int64()))
+
+    vals = vals.map_batches(add_rng, batch_format="pyarrow")
+
+    rparts = bucketed_aggregate(vals, ["rng"], {"c": "sum"}).to_pandas().sort_values("rng")
+    offsets = dict(
+        zip(
+            rparts["rng"].astype("int64"),
+            rparts["c"].astype("int64").cumsum().shift(fill_value=0),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def moments(group: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        offs = _cache.get("o")
+        if offs is None:
+            offs = _cache["o"] = ray.get(off_ref)
+        g = group.sort_values("v")
+        v = [int(x) for x in g["v"]]
+        c = [int(x) for x in g["c"]]
+        L = int(offs[int(g["rng"].iloc[0])])
+        s1 = s = n = 0
+        for vi, ci in zip(v, c):  # distinct values per range, <= 2^range_bits rows
+            s1 += vi * (ci * L + ci * (ci + 1) // 2)
+            s += vi * ci
+            n += ci
+            L += ci
+        return pd.DataFrame({"s1": [str(s1)], "s": [str(s)], "n": [str(n)]})
+
+    parts = vals.groupby("rng").map_groups(moments, batch_format="pandas").to_pandas()
+    s1 = sum(int(x) for x in parts["s1"])
+    s = sum(int(x) for x in parts["s"])
+    n = sum(int(x) for x in parts["n"])
+    gini = float(2 * s1 - (n + 1) * s) / float(n * s)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([s], dtype="int64"),
+            "gini": pd.Series([gini], dtype="float64"),
+        }
+    )
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8463,6 +8556,21 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "customer_gini": """
+        WITH t AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        r AS (
+            SELECT cents, row_number() OVER (ORDER BY cents) AS i FROM t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+                   / CAST(count(*) * sum(cents) AS DOUBLE) AS gini
+        FROM r
+    """,
     "price_outliers": """
         WITH c AS (
             SELECT l_partkey, l_orderkey, l_linenumber,
@@ -11080,6 +11188,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "basket_pairs": q_basket_pairs,
     "price_outliers": q_price_outliers,
+    "customer_gini": q_customer_gini,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
