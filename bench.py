@@ -188,6 +188,7 @@ def run_bench() -> dict:
         "basket_pairs",
         "price_outliers",
         "customer_gini",
+        "order_percentile",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -7878,6 +7878,110 @@ def q_customer_gini(sf_dir: str, range_bits: int = 20):
     )
 
 
+def q_order_percentile(sf_dir: str, range_bits: int = 20):
+    """Global PERCENT_RANK() window function at scale: every order's
+    percentile of o_totalprice across the WHOLE table, without a
+    global sort.  SQL's PERCENT_RANK is (rank-1)/(n-1) with rank =
+    min-rank over ties = (#values strictly smaller) + 1, so the only
+    global state needed is the exclusive prefix COUNT below each
+    DISTINCT value — the same value-domain two-pass scan as
+    customer_gini (rng = cents >> range_bits: per-range count
+    partials, driver exclusive scan, broadcast offsets dict, local
+    cumsum per range).  The orders stream then picks up its rank via
+    a bounded per-range merge and performs ONE IEEE division; the
+    full table is touched exactly twice (count pass + rank pass) and
+    rows never leave their range bucket."""
+    import pandas as pd
+    import ray
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+                "rng": pa.array(c >> range_bits, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(cents, batch_format="pyarrow")
+
+    def value_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": batch.column("cents"),
+                "rng": batch.column("rng"),
+                "c": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    vals = bucketed_aggregate(
+        rows.map_batches(value_rows, batch_format="pyarrow"), ["rng", "v"], {"c": "sum"}
+    )
+
+    rparts = bucketed_aggregate(vals, ["rng"], {"c": "sum"}).to_pandas().sort_values("rng")
+    counts = rparts["c"].astype("int64")
+    n_total = int(counts.sum())
+    offsets = dict(zip(rparts["rng"].astype("int64"), counts.cumsum().shift(fill_value=0)))
+    off_ref = ray.put(offsets)
+
+    # per-range rank table: distinct value -> exclusive count below it
+    def ranks(group: pd.DataFrame, _cache={}) -> pd.DataFrame:
+        offs = _cache.get("o")
+        if offs is None:
+            offs = _cache["o"] = ray.get(off_ref)
+        g = group.sort_values("v")
+        c = g["c"].to_numpy().astype(np.int64)
+        below = int(offs[int(g["rng"].iloc[0])]) + np.concatenate([[0], np.cumsum(c[:-1])])
+        return pd.DataFrame(
+            {
+                "rng": g["rng"].to_numpy().astype(np.int64),
+                "v": g["v"].to_numpy().astype(np.int64),
+                "below": below.astype(np.int64),
+            }
+        )
+
+    rank_tab = vals.groupby("rng").map_groups(ranks, batch_format="pandas")
+
+    # bounded per-range merge: both sides co-partition on rng, the rank
+    # side holds <= 2^range_bits distinct values per group
+    def join_rank(group: pd.DataFrame) -> pd.DataFrame:
+        tab = group[group["_side"] == 1]
+        lut = dict(zip(tab["v"].astype(np.int64), tab["below"].astype(np.int64)))
+        o = group[group["_side"] == 0]
+        c = o["cents"].to_numpy().astype(np.int64)
+        below = np.array([lut[x] for x in c], np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": o["o_orderkey"].to_numpy().astype(np.int64),
+                "price_cents": c,
+                "pct_rank": below.astype(np.float64) / np.float64(n_total - 1),
+            }
+        )
+
+    import ray.data as rd
+
+    left = rows.map_batches(
+        lambda b: b.append_column("_side", pa.array(np.zeros(b.num_rows, np.int64), pa.int64()))
+        .append_column("v", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()))
+        .append_column("below", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    right = rank_tab.map_batches(
+        lambda b: b.append_column("_side", pa.array(np.ones(b.num_rows, np.int64), pa.int64()))
+        .append_column("o_orderkey", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()))
+        .append_column("cents", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    cols = ["o_orderkey", "cents", "v", "below", "rng", "_side"]
+    both = left.select_columns(cols).union(right.select_columns(cols))
+    return both.groupby("rng").map_groups(join_rank, batch_format="pandas")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8556,6 +8660,13 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "order_percentile": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(percent_rank() OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   AS pct_rank
+        FROM orders
+    """,
     "customer_gini": """
         WITH t AS (
             SELECT o_custkey,
@@ -11189,6 +11300,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "price_outliers": q_price_outliers,
     "customer_gini": q_customer_gini,
+    "order_percentile": q_order_percentile,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
