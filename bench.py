@@ -189,6 +189,7 @@ def run_bench() -> dict:
         "price_outliers",
         "customer_gini",
         "order_percentile",
+        "rfm_segments",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -7982,6 +7982,81 @@ def q_order_percentile(sf_dir: str, range_bits: int = 20):
     return both.groupby("rng").map_groups(join_rank, batch_format="pandas")
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile codes — the classic CRM scoring pipeline): per-customer
+    (days since last order vs the global max order day, order count,
+    cent total), quartile thresholds over each of the three
+    per-customer distributions via the EXACT distributed quantile
+    walk (percentile_disc semantics, histogram partials — never a
+    global sort), and the 3-digit code
+    100*sR + 10*sF + sM with s = 1 + (v>q25) + (v>q50) + (v>q75).
+    Plan: one customer-key bucketed aggregate compresses the orders
+    stream to per-customer rows; the quantile walks and the global
+    max-day run over THAT compressed stream; thresholds broadcast as
+    nine closure integers.  All integer end to end, so the DuckDB
+    twin (same percentile_disc thresholds, same CASE sums)
+    hash-matches exactly."""
+    from gdal_boots_ray.stages.agg import bucketed_aggregate, exact_quantiles
+
+    ds = _read(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "last_day": pa.array(day, pa.int64()),
+                "m_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    per = bucketed_aggregate(
+        prepped, ["o_custkey"], {"last_day": "max", "f_cnt": "count", "m_cents": "sum"}
+    )
+
+    def daymax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({"d": pa.array([_pc.max(batch.column("last_day")).as_py()], pa.int64())})
+
+    anchor = int(per.map_batches(daymax, batch_format="pyarrow").to_pandas()["d"].max())
+
+    def rdays(batch: pa.Table) -> pa.Table:
+        ld = batch.column("last_day").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "r_days": pa.array(anchor - ld, pa.int64()),
+                "f_cnt": batch.column("f_cnt").cast(pa.int64()),
+                "m_cents": batch.column("m_cents").cast(pa.int64()),
+            }
+        )
+
+    per = per.map_batches(rdays, batch_format="pyarrow")
+
+    qs = (0.25, 0.5, 0.75)
+    th = {
+        col: exact_quantiles(per, col, qs)[col].astype("int64").tolist()
+        for col in ("r_days", "f_cnt", "m_cents")
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        def s(col):
+            v = batch.column(col).to_numpy().astype(np.int64)
+            t = th[col]
+            return 1 + (v > t[0]).astype(np.int64) + (v > t[1]) + (v > t[2])
+
+        code = 100 * s("r_days") + 10 * s("f_cnt") + s("m_cents")
+        return batch.append_column("rfm_code", pa.array(code.astype(np.int64), pa.int64()))
+
+    return per.map_batches(score, batch_format="pyarrow")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8660,6 +8735,39 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "rfm_segments": """
+        WITH per AS (
+            SELECT o_custkey,
+                   (SELECT max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000) FROM orders)
+                       - max(CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000) AS r_days,
+                   count(*) AS f_cnt,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        th AS (
+            SELECT
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days) AS r1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY r_days) AS r2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days) AS r3,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY f_cnt) AS f1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY f_cnt) AS f2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY f_cnt) AS f3,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents) AS m1,
+                percentile_disc(0.50) WITHIN GROUP (ORDER BY m_cents) AS m2,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents) AS m3
+            FROM per
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(r_days AS BIGINT) AS r_days,
+               CAST(f_cnt AS BIGINT) AS f_cnt,
+               CAST(m_cents AS BIGINT) AS m_cents,
+               CAST(
+                 100 * (1 + (r_days > r1)::INT + (r_days > r2)::INT + (r_days > r3)::INT)
+               + 10 * (1 + (f_cnt > f1)::INT + (f_cnt > f2)::INT + (f_cnt > f3)::INT)
+               +      (1 + (m_cents > m1)::INT + (m_cents > m2)::INT + (m_cents > m3)::INT)
+               AS BIGINT) AS rfm_code
+        FROM per, th
+    """,
     "order_percentile": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
@@ -11301,6 +11409,7 @@ QUERIES = {
     "price_outliers": q_price_outliers,
     "customer_gini": q_customer_gini,
     "order_percentile": q_order_percentile,
+    "rfm_segments": q_rfm_segments,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
