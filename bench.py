@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "customer_gini",
         "order_percentile",
         "rfm_segments",
+        "pagerank_parts",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -8057,6 +8057,147 @@ def q_rfm_segments(sf_dir: str):
     return per.map_batches(score, batch_format="pyarrow")
 
 
+def q_pagerank_parts(sf_dir: str, iters: int = 3):
+    """Integer-exact PageRank power iteration (the canonical
+    iterative-graph algorithm at scale) over the undirected bipartite
+    part <-> supplier graph from lineitem.  The update is
+    r_{t+1}(v) = 150000 + sum_{u->v} floor(r_t(u)*85 / (100*deg(u)))
+    in micro-units — FLOOR DIVISION makes every iteration integer, so
+    the result is independent of partial-aggregation order and the
+    DuckDB twin (k unrolled CTE stages with the same // arithmetic)
+    hash-matches bit for bit; no float PageRank ever converges
+    reproducibly across cluster sizes, this one does.  Plan: edges
+    dedup once (one pair-key exchange); degree attaches via a
+    co-partitioned union-groupby on src; each iteration is one src-key
+    scatter + one dst-key bucketed SUM — 2 exchanges per iteration of
+    narrow integer rows, the textbook Pregel schedule expressed as
+    Ray Data groupbys."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    SUPP = 1_000_000_000
+
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy().astype(np.int64) + SUPP
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([p, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, p]), pa.int64()),
+                "c": pa.array(np.ones(2 * len(p), np.int64), pa.int64()),
+            }
+        )
+
+    edges = bucketed_aggregate(
+        ds.map_batches(both_dirs, batch_format="pyarrow"), ["src", "dst"], {"c": "sum"}
+    ).select_columns(["src", "dst"])
+
+    deg = bucketed_aggregate(edges, ["src"], {"d": "count"})
+
+    # attach deg to each edge once (static across iterations)
+    def attach_deg(group: pd.DataFrame) -> pd.DataFrame:
+        dv = int(group.loc[group["dst"] < 0, "d_"].iloc[0])
+        e = group[group["dst"] >= 0]
+        return pd.DataFrame(
+            {
+                "src": e["src"].to_numpy().astype(np.int64),
+                "dst": e["dst"].to_numpy().astype(np.int64),
+                "d": np.full(len(e), dv, np.int64),
+            }
+        )
+
+    e_side = edges.map_batches(
+        lambda b: b.append_column("d_", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    d_side = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "d_": b.column("d").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ecols = ["src", "dst", "d_"]
+    edges_d = (
+        e_side.select_columns(ecols)
+        .union(d_side.select_columns(ecols))
+        .groupby("src")
+        .map_groups(attach_deg, batch_format="pandas")
+        .materialize()  # static per-iteration input: pin it once
+    )
+
+    # r_0 = 1e6 for every node (nodes = deg keys)
+    r = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "r": pa.array(np.full(b.num_rows, 1_000_000, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def scatter(group: pd.DataFrame) -> pd.DataFrame:
+        rv = int(group.loc[group["dst"] < 0, "r_"].iloc[0])
+        e = group[group["dst"] >= 0]
+        d = e["d"].to_numpy().astype(np.int64)
+        contrib = (rv * 85) // (100 * d)
+        return pd.DataFrame(
+            {"node": e["dst"].to_numpy().astype(np.int64), "r": contrib.astype(np.int64)}
+        )
+
+    for _ in range(iters):
+        r_side = r.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src").cast(pa.int64()),
+                    "dst": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                    "d": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                    "r_": b.column("r").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ed_side = edges_d.map_batches(
+            lambda b: b.append_column(
+                "r_", pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        cols = ["src", "dst", "d", "r_"]
+        contribs = (
+            ed_side.select_columns(cols)
+            .union(r_side.select_columns(cols))
+            .groupby("src")
+            .map_groups(scatter, batch_format="pandas")
+        )
+        summed = bucketed_aggregate(contribs, ["node"], {"r": "sum"})
+        r = summed.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("node").cast(pa.int64()),
+                    "r": pa.array(
+                        b.column("r").to_numpy().astype(np.int64) + 150_000, pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return r.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("src").cast(pa.int64()), "pagerank": b.column("r").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8735,6 +8876,32 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "pagerank_parts": """
+        WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        edges AS (
+            SELECT p AS src, 1000000000 + s AS dst FROM e0
+            UNION ALL
+            SELECT 1000000000 + s AS src, p AS dst FROM e0
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        r1 AS (
+            SELECT e.dst AS node, 150000 + sum((r0.r * 85) // (100 * deg.d)) AS r
+            FROM edges e JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT e.dst AS node, 150000 + sum((r1.r * 85) // (100 * deg.d)) AS r
+            FROM edges e JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT e.dst AS node, 150000 + sum((r2.r * 85) // (100 * deg.d)) AS r
+            FROM edges e JOIN deg ON deg.src = e.src JOIN r2 ON r2.node = e.src
+            GROUP BY e.dst
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS pagerank FROM r3
+    """,
     "rfm_segments": """
         WITH per AS (
             SELECT o_custkey,
@@ -11410,6 +11577,7 @@ QUERIES = {
     "customer_gini": q_customer_gini,
     "order_percentile": q_order_percentile,
     "rfm_segments": q_rfm_segments,
+    "pagerank_parts": q_pagerank_parts,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
