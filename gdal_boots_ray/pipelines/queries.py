@@ -7669,44 +7669,84 @@ def q_basket_pairs(sf_dir: str, min_count: int = 2):
     primitive behind recommender candidate generation): every pair
     of distinct parts ordered together at least ``min_count`` times,
     with pair support and lift = P(a,b) / (P(a)·P(b)).  Plan: ONE
-    order-key exchange; each per-order group (TPC-H orders hold <= 7
-    lineitems, so pair fan-out per group is <= 21) emits its part
-    pairs, per-part item rows and an order marker in a single
-    unified-schema pass, then a bucketed partial->final SUM
-    aggregates all three row kinds at once.  Item counts and the
-    order total are #parts + 1 rows — they come back to the driver
-    and broadcast as a closure dict; the pair stream never leaves
-    the cluster.  Lift is ONE IEEE division of two exactly-
-    representable integer products (counts < 2^26), so the DuckDB
-    twin hash-matches bit for bit."""
+    bucketed order-key exchange (orders hash into ~2xCPU buckets, so
+    group count is BOUNDED — never one pandas group per order, which
+    is pathological at 150k+ orders); inside a bucket, pair fan-out is
+    fully vectorized by grouping order-runs BY SIZE (TPC-H orders hold
+    <= 7 lineitems, so <= 7 stacked triu_indices gathers emit every
+    pair, item row and order marker with zero per-order Python work).
+    A bucketed partial->final SUM aggregates all three row kinds at
+    once; item counts and the order total are #parts + 1 rows — they
+    come back to the driver and broadcast as a closure dict; the pair
+    stream never leaves the cluster.  Lift is ONE IEEE division of
+    two exactly-representable integer products (counts < 2^26), so
+    the DuckDB twin hash-matches bit for bit."""
     import pandas as pd
 
-    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.agg import (
+        _default_n_buckets,
+        _key_buckets_arrow,
+        bucketed_aggregate,
+    )
 
     ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    n_ob = _default_n_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_ob", pa.array(_key_buckets_arrow(batch, ["l_orderkey"], n_ob), pa.int64())
+        )
 
     def explode(g: pd.DataFrame) -> pd.DataFrame:
-        pk = np.unique(g["l_partkey"].to_numpy().astype(np.int64))
-        m = len(pk)
-        ia, ib = np.triu_indices(m, k=1)
+        ok = g["l_orderkey"].to_numpy().astype(np.int64)
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # dedup (order, part) then split into per-order runs
+        keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        runlen = np.diff(np.r_[starts, len(ok)])
+        out_a, out_b = [], []
+        for m in np.unique(runlen):  # <= max items/order distinct sizes
+            if m < 2:
+                continue
+            s = starts[runlen == m]
+            items = pk[(s[:, None] + np.arange(m)[None, :])]  # (R, m)
+            ia, ib = np.triu_indices(int(m), k=1)
+            out_a.append(items[:, ia].ravel())
+            out_b.append(items[:, ib].ravel())
+        pa_ = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        pb_ = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        n_pairs, m_items, n_orders = len(pa_), len(pk), len(starts)
         return pd.DataFrame(
             {
                 # kind 0: pair rows, kind 1: per-part item rows,
-                # kind 2: the order marker (one per group)
+                # kind 2: the order-count marker (one per bucket run)
                 "kind": np.concatenate(
-                    [np.zeros(len(ia), np.int64), np.ones(m, np.int64), [2]]
+                    [np.zeros(n_pairs, np.int64), np.ones(m_items, np.int64), [2]]
                 ),
-                "pa": np.concatenate([pk[ia], pk, [-1]]),
-                "pb": np.concatenate([pk[ib], np.full(m, -1, np.int64), [-1]]),
-                "cnt": np.ones(len(ia) + m + 1, np.int64),
+                "pa": np.concatenate([pa_, pk, [-1]]),
+                "pb": np.concatenate([pb_, np.full(m_items, -1, np.int64), [-1]]),
+                "cnt": np.concatenate(
+                    [np.ones(n_pairs + m_items, np.int64), [n_orders]]
+                ),
             }
         )
 
-    rows = ds.groupby("l_orderkey").map_groups(explode, batch_format="pandas")
+    rows = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_ob")
+        .map_groups(explode, batch_format="pandas")
+    )
     agg = bucketed_aggregate(rows, ["kind", "pa", "pb"], {"cnt": "sum"})
 
     # item counts + order total: #parts + 1 rows — bounded, driver-side
-    small = agg.filter(lambda r: r["kind"] != 0).to_pandas()
+    def nonpair(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind").to_numpy()
+        return batch.filter(pa.array(kind != 0))
+
+    small = agg.map_batches(nonpair, batch_format="pyarrow").to_pandas()
     n_orders = int(small.loc[small["kind"] == 2, "cnt"].iloc[0])
     item = dict(
         zip(
