@@ -7787,42 +7787,71 @@ def q_price_outliers(sf_dir: str, k_sigma: int = 2):
     (n*c - S)^2 > k^2 * (n*Q - S^2) with S = sum(c), Q = sum(c^2),
     so no float mean/variance ever exists and the DuckDB twin (which
     runs the same integer inequality in HUGEINT) hash-matches bit for
-    bit regardless of partial-aggregation order.  Plan: ONE part-key
-    exchange, per-part groups are TPC-H-tiny (~30 rows), all work is
-    vectorized inside the group; int64 magnitudes are guarded and
+    bit regardless of partial-aggregation order.  Plan: ONE bucketed
+    part-key exchange (parts hash into ~2xCPU buckets — never one
+    pandas group per part, pathological at 20k+ parts); inside a
+    bucket every per-part (n, S, Q) reduces via ``np.add.reduceat``
+    over part-sorted runs, and the inequality evaluates for all rows
+    of all parts at once.  int64 magnitudes are guarded and
     overflow-escape to Python arbitrary precision for pathological
     group sizes."""
     import pandas as pd
+
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
 
     ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"],
     )
     k2 = k_sigma * k_sigma
+    n_pb = _default_n_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pb", pa.array(_key_buckets_arrow(batch, ["l_partkey"], n_pb), pa.int64())
+        )
 
     def flag(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
         c = np.round(g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
-        n = len(c)
-        s = int(c.sum())
-        q = int((c * c).sum())
-        # int64 guard: the largest intermediate is (n*c - S)^2
-        if n * max(abs(int(c.max())), 1) < (1 << 31) and n * q < (1 << 62):
-            lhs = (n * c - s).astype(np.int64) ** 2
-            rhs = k2 * (n * q - s * s)
-            out = lhs > rhs
+        order = np.argsort(pk, kind="stable")
+        pk, c = pk[order], c[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        n = np.diff(np.r_[starts, len(pk)])  # per-part row counts
+        s = np.add.reduceat(c, starts)
+        q = np.add.reduceat(c * c, starts)
+        nn = np.repeat(n, n)  # broadcast per-part stats back to rows
+        ss = np.repeat(s, n)
+        rhs_g = np.repeat(k2 * (n * q - s * s), n)
+        # |n*c - S| < 2*(n_max*c_max) must square inside int64, and
+        # 4*(n*Q - S^2) <= 4*n*Q must not wrap: bound both at 2^30/2^60
+        if int(n.max()) * max(abs(int(c.max())), 1) < (1 << 30) and int(
+            (n * q).max()
+        ) < (1 << 60):
+            out = (nn * c - ss) ** 2 > rhs_g
         else:  # arbitrary-precision escape hatch (never hit at TPC-H shapes)
-            rhs = k2 * (n * q - s * s)
-            out = np.array([(n * int(ci) - s) ** 2 > rhs for ci in c], bool)
+            out = np.array(
+                [
+                    (int(ni) * int(ci) - int(si)) ** 2 > int(ri)
+                    for ni, ci, si, ri in zip(nn, c, ss, rhs_g)
+                ],
+                bool,
+            )
+        sel = order[out]
         return pd.DataFrame(
             {
-                "l_partkey": g["l_partkey"].to_numpy()[out].astype(np.int64),
-                "l_orderkey": g["l_orderkey"].to_numpy()[out].astype(np.int64),
-                "l_linenumber": g["l_linenumber"].to_numpy()[out].astype(np.int64),
+                "l_partkey": g["l_partkey"].to_numpy()[sel].astype(np.int64),
+                "l_orderkey": g["l_orderkey"].to_numpy()[sel].astype(np.int64),
+                "l_linenumber": g["l_linenumber"].to_numpy()[sel].astype(np.int64),
                 "price_cents": c[out],
             }
         )
 
-    return ds.groupby("l_partkey").map_groups(flag, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(flag, batch_format="pandas")
+    )
 
 
 def q_customer_gini(sf_dir: str, range_bits: int = 20):
@@ -8108,13 +8137,26 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
     hash-matches bit for bit; no float PageRank ever converges
     reproducibly across cluster sizes, this one does.  Plan: edges
     dedup once (one pair-key exchange); degree attaches via a
-    co-partitioned union-groupby on src; each iteration is one src-key
-    scatter + one dst-key bucketed SUM — 2 exchanges per iteration of
-    narrow integer rows, the textbook Pregel schedule expressed as
-    Ray Data groupbys."""
+    BUCKETED co-partitioned union-groupby on src (nodes hash into
+    ~2xCPU buckets — never one pandas group per node — and the merge
+    inside a bucket is a sorted ``np.searchsorted`` gather); each
+    iteration is one bucketed src-key scatter + one dst-key bucketed
+    SUM — 2 exchanges per iteration of narrow integer rows, the
+    textbook Pregel schedule expressed as Ray Data groupbys."""
     import pandas as pd
 
-    from gdal_boots_ray.stages.agg import bucketed_aggregate
+    from gdal_boots_ray.stages.agg import (
+        _default_n_buckets,
+        _key_buckets_arrow,
+        bucketed_aggregate,
+    )
+
+    n_nb = _default_n_buckets()
+
+    def add_nbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_nb", pa.array(_key_buckets_arrow(batch, ["src"], n_nb), pa.int64())
+        )
 
     SUPP = 1_000_000_000
 
@@ -8137,15 +8179,21 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
 
     deg = bucketed_aggregate(edges, ["src"], {"d": "count"})
 
-    # attach deg to each edge once (static across iterations)
+    # attach deg to each edge once (static across iterations); the
+    # per-bucket merge is a sorted searchsorted gather, all vectorized
     def attach_deg(group: pd.DataFrame) -> pd.DataFrame:
-        dv = int(group.loc[group["dst"] < 0, "d_"].iloc[0])
+        tab = group[group["dst"] < 0]
+        keys = tab["src"].to_numpy().astype(np.int64)
+        vals = tab["d_"].to_numpy().astype(np.int64)
+        o = np.argsort(keys)
+        keys, vals = keys[o], vals[o]
         e = group[group["dst"] >= 0]
+        src = e["src"].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
-                "src": e["src"].to_numpy().astype(np.int64),
+                "src": src,
                 "dst": e["dst"].to_numpy().astype(np.int64),
-                "d": np.full(len(e), dv, np.int64),
+                "d": vals[np.searchsorted(keys, src)],
             }
         )
 
@@ -8167,7 +8215,8 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
     edges_d = (
         e_side.select_columns(ecols)
         .union(d_side.select_columns(ecols))
-        .groupby("src")
+        .map_batches(add_nbucket, batch_format="pyarrow")
+        .groupby("_nb")
         .map_groups(attach_deg, batch_format="pandas")
         .materialize()  # static per-iteration input: pin it once
     )
@@ -8184,8 +8233,14 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
     )
 
     def scatter(group: pd.DataFrame) -> pd.DataFrame:
-        rv = int(group.loc[group["dst"] < 0, "r_"].iloc[0])
+        tab = group[group["dst"] < 0]
+        keys = tab["src"].to_numpy().astype(np.int64)
+        vals = tab["r_"].to_numpy().astype(np.int64)
+        o = np.argsort(keys)
+        keys, vals = keys[o], vals[o]
         e = group[group["dst"] >= 0]
+        src = e["src"].to_numpy().astype(np.int64)
+        rv = vals[np.searchsorted(keys, src)]
         d = e["d"].to_numpy().astype(np.int64)
         contrib = (rv * 85) // (100 * d)
         return pd.DataFrame(
@@ -8214,7 +8269,8 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
         contribs = (
             ed_side.select_columns(cols)
             .union(r_side.select_columns(cols))
-            .groupby("src")
+            .map_batches(add_nbucket, batch_format="pyarrow")
+            .groupby("_nb")
             .map_groups(scatter, batch_format="pandas")
         )
         summed = bucketed_aggregate(contribs, ["node"], {"r": "sum"})
