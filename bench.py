@@ -191,6 +191,8 @@ def run_bench() -> dict:
         "order_percentile",
         "rfm_segments",
         "pagerank_parts",
+        "part_mad",
+        "revenue_autocorr",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -8294,6 +8294,119 @@ def q_pagerank_parts(sf_dir: str, iters: int = 3):
     )
 
 
+def q_part_mad(sf_dir: str):
+    """Robust statistics per group — median and MAD (median absolute
+    deviation) of lineitem prices per part, the outlier-resistant
+    sibling of q_price_outliers' sigma rule.  percentile_disc
+    semantics on cent-integers, so everything is exact.  Plan: ONE
+    bucketed part-key exchange; inside a bucket, per-part medians
+    come from ONE lexsort + per-run index gather, deviations from a
+    broadcast-back repeat, and MAD from a second lexsort — all
+    vectorized over every part in the bucket at once (never one
+    pandas group per part)."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import _default_n_buckets, _key_buckets_arrow
+
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"])
+    n_pb = _default_n_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_pb", pa.array(_key_buckets_arrow(batch, ["l_partkey"], n_pb), pa.int64())
+        )
+
+    def _disc_idx(n: np.ndarray) -> np.ndarray:
+        # percentile_disc(0.5): first sorted index with cum >= 0.5*n
+        return np.ceil(0.5 * n).astype(np.int64) - 1
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        c = np.round(g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        o = np.lexsort((c, pk))
+        pk, c = pk[o], c[o]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        n = np.diff(np.r_[starts, len(pk)])
+        med = c[starts + _disc_idx(n)]
+        dev = np.abs(c - np.repeat(med, n))
+        o2 = np.lexsort((dev, pk))
+        dev = dev[o2]
+        madv = dev[starts + _disc_idx(n)]
+        return pd.DataFrame(
+            {
+                "l_partkey": pk[starts],
+                "median_cents": med,
+                "mad_cents": madv,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(mad, batch_format="pandas")
+    )
+
+
+def q_revenue_autocorr(sf_dir: str, lag_days: int = 7):
+    """Lag-k autocorrelation of the daily revenue series (the
+    seasonality statistic: Pearson r between revenue(d) and
+    revenue(d+k) over all day pairs where both exist).  Plan: the
+    orders stream compresses to the per-day series with one bucketed
+    SUM (the series is CALENDAR-BOUNDED — ~365 rows/year regardless
+    of data volume, so the driver-side pair join is O(days), not
+    O(rows)); moments accumulate as Python arbitrary-precision
+    integers and the final r replays DuckDB's exact IEEE tree
+    (cast num -> double, cast each variance -> double, multiply,
+    sqrt, divide), so the twin hash-matches bit for bit."""
+    import math
+
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(day, pa.int64()), "rev": pa.array(c, pa.int64())}
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow"), ["day"], {"rev": "sum"}
+        )
+        .to_pandas()
+        .sort_values("day")
+    )
+    days = daily["day"].astype("int64").to_numpy()
+    rev = daily["rev"].astype("int64").to_numpy()
+    lut = dict(zip(days, rev))
+    n = sx = sy = sxx = syy = sxy = 0
+    for d, x in lut.items():
+        y = lut.get(d + lag_days)
+        if y is None:
+            continue
+        x, y = int(x), int(y)
+        n += 1
+        sx += x
+        sy += y
+        sxx += x * x
+        syy += y * y
+        sxy += x * y
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    r = float(num) / math.sqrt(float(d1) * float(d2))
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([n], dtype="int64"),
+            "autocorr": pd.Series([r], dtype="float64"),
+        }
+    )
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -8972,6 +9085,42 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "revenue_autocorr": """
+        WITH daily AS (
+            SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY 1
+        ),
+        p AS (
+            SELECT a.rev AS x, b.rev AS y
+            FROM daily a JOIN daily b ON b.day = a.day + 7
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                   / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                        * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))
+                   AS autocorr
+        FROM p
+    """,
+    "part_mad": """
+        WITH c AS (
+            SELECT l_partkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_partkey,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+            FROM c GROUP BY l_partkey
+        ),
+        d AS (
+            SELECT c.l_partkey, abs(c.cents - m.med) AS dev, m.med AS med
+            FROM c JOIN m USING (l_partkey)
+        )
+        SELECT l_partkey,
+               CAST(max(med) AS BIGINT) AS median_cents,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS BIGINT) AS mad_cents
+        FROM d GROUP BY l_partkey
+    """,
     "pagerank_parts": """
         WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
         edges AS (
@@ -11674,6 +11823,8 @@ QUERIES = {
     "order_percentile": q_order_percentile,
     "rfm_segments": q_rfm_segments,
     "pagerank_parts": q_pagerank_parts,
+    "part_mad": q_part_mad,
+    "revenue_autocorr": q_revenue_autocorr,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
