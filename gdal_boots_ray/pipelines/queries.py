@@ -11809,20 +11809,29 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "simhash_neardup": q_simhash_neardup,
     "top_orders_per_nation": q_top_orders_per_nation,
+    # -- NEW in r05 final wave: the three riskiest brand-new plans
+    #    (rewritten bucketed fan-out, iterative Pregel loop,
+    #    value-domain scan + arbitrary-precision fold).  They take the
+    #    window slots of token_quantiles_by_lang / approx_distinct /
+    #    minhash_neardup, which HAVE r04-green driver rows and whose
+    #    r05-touched paths are represented in-window by their
+    #    no-prior-row siblings (token_quantiles, simhash_neardup).
+    "basket_pairs": q_basket_pairs,
+    "pagerank_parts": q_pagerank_parts,
+    "customer_gini": q_customer_gini,
+    # ---- driver window ends here (50 entries above) ----------------
     "token_quantiles_by_lang": q_token_quantiles_by_lang,
     "approx_distinct": q_approx_distinct,
     "minhash_neardup": q_minhash_neardup,
-    # ---- driver window ends here (50 entries above) ----------------
     # cohort_retention is NEW (wave 4) with no stale row to mask a
     # regression; it overflowed the window and is gated locally at
-    # sf0.001 + sf0.01 like everything else.
+    # sf0.001 + sf0.01 like everything else.  The final-wave entries
+    # below are likewise double-gated locally (sf0.001 + sf0.01) and
+    # pytest-pinned against independent recomputations.
     "cohort_retention": q_cohort_retention,
-    "basket_pairs": q_basket_pairs,
     "price_outliers": q_price_outliers,
-    "customer_gini": q_customer_gini,
     "order_percentile": q_order_percentile,
     "rfm_segments": q_rfm_segments,
-    "pagerank_parts": q_pagerank_parts,
     "part_mad": q_part_mad,
     "revenue_autocorr": q_revenue_autocorr,
     # Everything below is previously-driver-green with its r05-touched
