@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "pagerank_parts",
         "part_mad",
         "revenue_autocorr",
+        "revenue_ma7",
     )
     for name in query_names:
         t = time.perf_counter()

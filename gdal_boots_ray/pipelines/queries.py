@@ -8407,6 +8407,57 @@ def q_revenue_autocorr(sf_dir: str, lag_days: int = 7):
     )
 
 
+def q_revenue_ma7(sf_dir: str, window: int = 7):
+    """Trailing 7-day moving average of daily revenue (the
+    RANGE BETWEEN INTERVAL window frame — completes the time-series
+    family next to running_total / sliding windows / autocorr).
+    Plan: one bucketed SUM compresses orders to the CALENDAR-BOUNDED
+    daily series; window sums come from a prefix-sum over the
+    day-indexed dense array (absent days contribute nothing, exactly
+    like SQL's RANGE frame) — integer cents end to end, ONE IEEE
+    division per row, so the DuckDB window twin hash-matches."""
+    import pandas as pd
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    ds = _read(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"day": pa.array(day, pa.int64()), "rev": pa.array(c, pa.int64())})
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow"), ["day"], {"rev": "sum"}
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = daily["day"].astype("int64").to_numpy()
+    rev = daily["rev"].astype("int64").to_numpy()
+    d0 = int(days.min())
+    dense = np.zeros(int(days.max()) - d0 + 1, np.int64)
+    cnt = np.zeros_like(dense)
+    dense[days - d0] = rev
+    cnt[days - d0] = 1
+    ps = np.concatenate([[0], np.cumsum(dense)])
+    pc = np.concatenate([[0], np.cumsum(cnt)])
+    idx = days - d0
+    lo = np.maximum(idx - (window - 1), 0)
+    wsum = ps[idx + 1] - ps[lo]
+    wcnt = pc[idx + 1] - pc[lo]
+    ma = wsum.astype(np.float64) / wcnt.astype(np.float64)
+    return pd.DataFrame(
+        {
+            "day": pd.Series(days, dtype="int64"),
+            "rev_cents": pd.Series(rev, dtype="int64"),
+            "ma7": pd.Series(ma, dtype="float64"),
+        }
+    )
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -9085,6 +9136,18 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "revenue_ma7": """
+        WITH daily AS (
+            SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(rev AS BIGINT) AS rev_cents,
+               CAST(sum(rev) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
     "revenue_autocorr": """
         WITH daily AS (
             SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
@@ -11834,6 +11897,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "part_mad": q_part_mad,
     "revenue_autocorr": q_revenue_autocorr,
+    "revenue_ma7": q_revenue_ma7,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
