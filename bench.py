@@ -194,6 +194,7 @@ def run_bench() -> dict:
         "part_mad",
         "revenue_autocorr",
         "revenue_ma7",
+        "tile_glcm",
     )
     for name in query_names:
         t = time.perf_counter()

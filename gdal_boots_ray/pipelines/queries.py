@@ -1115,6 +1115,53 @@ def q_tile_focal_sum(sf_dir: str):
     return ds.map_batches(focal, batch_format="pyarrow")
 
 
+def q_tile_glcm(sf_dir: str, levels_shift: int = 4):
+    """GLCM texture metrics (Haralick contrast / homogeneity / energy
+    over the horizontal gray-level co-occurrence matrix) — the classic
+    remote-sensing texture stage (Haralick, Shanmugam & Dinstein 1973).
+    Pixels quantize to 16 levels (>> 4); per tile the UN-normalized
+    integer statistics are contrast = sum (qi-qj)^2, homogeneity =
+    sum floor(1e6 / (1 + (qi-qj)^2)) (micro-unit rationals — the
+    divisor takes only 16 distinct values so floor is exact), and
+    energy = sum c_ij^2 over the joint histogram.  All integer, so
+    the DuckDB twin (pair replay + a GROUP BY joint histogram)
+    hash-matches bit for bit.  Pure map over decoded tiles — one row
+    per tile, no exchange, vectorized bincount per image."""
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def glcm(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        n = len(ids)
+        n_pairs = np.empty(n, np.int64)
+        contrast = np.empty(n, np.int64)
+        homog = np.empty(n, np.int64)
+        energy = np.empty(n, np.int64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            q = b0 >> levels_shift
+            qi, qj = q[:, :-1], q[:, 1:]
+            d2 = (qi - qj) ** 2
+            n_pairs[i] = d2.size
+            contrast[i] = int(d2.sum())
+            homog[i] = int((1_000_000 // (1 + d2)).sum())
+            c = np.bincount((qi * 16 + qj).ravel(), minlength=256)
+            energy[i] = int((c.astype(np.int64) ** 2).sum())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pairs": pa.array(n_pairs),
+                "contrast_sum": pa.array(contrast),
+                "homog_sum": pa.array(homog),
+                "energy_sum": pa.array(energy),
+            }
+        )
+
+    return ds.map_batches(glcm, batch_format="pyarrow")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Overview/pyramid build — the GDAL ``BuildOverviews('AVERAGE')``
     analog the reference relies on GDAL for: per tile, downsample
@@ -10310,6 +10357,34 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(v * wx * wy) AS BIGINT) AS box_total
         FROM px GROUP BY image_id, w, h
     """,
+    "tile_glcm": f"""
+        WITH {TILE_SQL_CTE},
+        pairs AS (
+            SELECT tiles.image_id,
+                   ((gx.x * 31 + gy.y * 17 + tiles.k) % 256) // 16 AS v1,
+                   (((gx.x + 1) * 31 + gy.y * 17 + tiles.k) % 256) // 16 AS v2
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        ),
+        joint AS (
+            SELECT image_id, v1, v2, count(*) AS c FROM pairs GROUP BY 1, 2, 3
+        ),
+        en AS (
+            SELECT image_id, sum(c * c) AS energy_sum FROM joint GROUP BY image_id
+        ),
+        st AS (
+            SELECT image_id, count(*) AS n_pairs,
+                   sum((v1 - v2) * (v1 - v2)) AS contrast_sum,
+                   sum(1000000 // (1 + (v1 - v2) * (v1 - v2))) AS homog_sum
+            FROM pairs GROUP BY image_id
+        )
+        SELECT st.image_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(contrast_sum AS BIGINT) AS contrast_sum,
+               CAST(homog_sum AS BIGINT) AS homog_sum,
+               CAST(energy_sum AS BIGINT) AS energy_sum
+        FROM st JOIN en ON en.image_id = st.image_id
+    """,
     "tile_pyramid": f"""
         WITH {TILE_SQL_CTE},
         px AS (
@@ -11898,6 +11973,7 @@ QUERIES = {
     "part_mad": q_part_mad,
     "revenue_autocorr": q_revenue_autocorr,
     "revenue_ma7": q_revenue_ma7,
+    "tile_glcm": q_tile_glcm,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
