@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "revenue_autocorr",
         "revenue_ma7",
         "tile_glcm",
+        "nation_hhi",
     )
     for name in query_names:
         t = time.perf_counter()

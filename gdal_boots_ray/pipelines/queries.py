@@ -8505,6 +8505,84 @@ def q_revenue_ma7(sf_dir: str, window: int = 7):
     )
 
 
+def q_nation_hhi(sf_dir: str):
+    """Herfindahl-Hirschman market-concentration index per nation
+    (the antitrust statistic: 10000 * sum of squared supplier revenue
+    shares).  HHI = 10000 * sum(rev_s^2) / (sum(rev_s))^2 — both
+    moments are exact integers, so ONE IEEE expression replays in the
+    twin.  Plan: lineitem compresses to per-(supplier) revenue with
+    one bucketed SUM; the supplier -> nation map is entity-bounded
+    and broadcasts via ray.put; the per-nation fold runs over the
+    COMPRESSED supplier stream (#suppliers rows, not #lineitems) with
+    Python arbitrary-precision sums (rev^2 partials exceed int64 at
+    scale; DuckDB's HUGEINT does the same on the twin side)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from gdal_boots_ray.stages.agg import bucketed_aggregate
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat_of = dict(
+        zip(sup.column("s_suppkey").to_numpy(), sup.column("s_nationkey").to_numpy())
+    )
+    nat_ref = ray.put(nat_of)
+
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey").cast(pa.int64()),
+                "rev": pa.array(c, pa.int64()),
+            }
+        )
+
+    per_sup = bucketed_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"), ["l_suppkey"], {"rev": "sum"}
+    )
+
+    def tag(batch: pa.Table, _cache={}) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = _cache["m"] = ray.get(nat_ref)
+        sk = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "nation": pa.array([int(m[k]) for k in sk], pa.int64()),
+                "rev": batch.column("rev").cast(pa.int64()),
+            }
+        )
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        rev = [int(x) for x in g["rev"]]
+        tot = sum(rev)
+        s2 = sum(r * r for r in rev)
+        return pd.DataFrame(
+            {
+                "nation": [int(g["nation"].iloc[0])],
+                "n_suppliers": [len(rev)],
+                "hhi": [10000.0 * float(s2) / float(tot * tot)],
+            }
+        )
+
+    out = per_sup.map_batches(tag, batch_format="pyarrow").groupby("nation").map_groups(
+        hhi, batch_format="pandas"
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nation": batch.column("nation").cast(pa.int64()),
+                "n_suppliers": batch.column("n_suppliers").cast(pa.int64()),
+                "hhi": batch.column("hhi").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_point_poly_distance(sf_dir: str):
     """Nearest-feature distance (the ST_Distance / gdal_proximity-
     to-vector primitive): for every sample point, the euclidean
@@ -9183,6 +9261,19 @@ ORACLE_SQL: Dict[str, str] = {
     "recode_stats_webp": _RECODE_STATS_SQL,
     "recode_stats_lerc": _RECODE_STATS_SQL,
     "recode_stats_zstd": _RECODE_STATS_SQL,
+    "nation_hhi": """
+        WITH r AS (
+            SELECT s.s_nationkey AS nat, l.l_suppkey AS sk,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(nat AS BIGINT) AS nation,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               10000.0 * CAST(sum(rev * rev) AS DOUBLE)
+                   / CAST(sum(rev) * sum(rev) AS DOUBLE) AS hhi
+        FROM r GROUP BY nat
+    """,
     "revenue_ma7": """
         WITH daily AS (
             SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
@@ -11974,6 +12065,7 @@ QUERIES = {
     "revenue_autocorr": q_revenue_autocorr,
     "revenue_ma7": q_revenue_ma7,
     "tile_glcm": q_tile_glcm,
+    "nation_hhi": q_nation_hhi,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
