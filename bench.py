@@ -196,6 +196,7 @@ def run_bench() -> dict:
         "revenue_ma7",
         "tile_glcm",
         "nation_hhi",
+        "tile_spatial_autocorr",
     )
     for name in query_names:
         t = time.perf_counter()

@@ -1162,6 +1162,49 @@ def q_tile_glcm(sf_dir: str, levels_shift: int = 4):
     return ds.map_batches(glcm, batch_format="pyarrow")
 
 
+def q_tile_spatial_autocorr(sf_dir: str):
+    """Per-tile spatial autocorrelation (horizontal lag-1 Pearson —
+    the Moran's-I-flavored texture statistic remote sensing uses to
+    separate smooth from noisy tiles).  Integer moments over
+    (pixel, east-neighbor) pairs; the final r replays the twin's
+    exact IEEE tree (cast num -> double, cast each variance ->
+    double, multiply, sqrt, divide) — the same determinism recipe as
+    revenue_autocorr, here per tile.  Pure map over decoded tiles:
+    one row per image, no exchange."""
+    import math
+
+    from gdal_boots_ray.stages.decode import batch_pixel_views
+
+    ds = _tiles_dataset(sf_dir, decode=True)
+
+    def autocorr(batch: pa.Table) -> pa.Table:
+        views = batch_pixel_views(batch)
+        ids = batch.column("image_id").to_pylist()
+        m = len(ids)
+        n_pairs = np.empty(m, np.int64)
+        corr = np.empty(m, np.float64)
+        for i, img in enumerate(views):
+            b0 = (img if img.ndim == 2 else img[0]).astype(np.int64)
+            a, b = b0[:, :-1], b0[:, 1:]
+            n = a.size
+            sx, sy = int(a.sum()), int(b.sum())
+            sxx, syy, sxy = int((a * a).sum()), int((b * b).sum()), int((a * b).sum())
+            num = n * sxy - sx * sy
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            n_pairs[i] = n
+            corr[i] = float(num) / math.sqrt(float(d1) * float(d2))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_pairs": pa.array(n_pairs),
+                "lag1_corr": pa.array(corr),
+            }
+        )
+
+    return ds.map_batches(autocorr, batch_format="pyarrow")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Overview/pyramid build — the GDAL ``BuildOverviews('AVERAGE')``
     analog the reference relies on GDAL for: per tile, downsample
@@ -10448,6 +10491,23 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(v * wx * wy) AS BIGINT) AS box_total
         FROM px GROUP BY image_id, w, h
     """,
+    "tile_spatial_autocorr": f"""
+        WITH {TILE_SQL_CTE},
+        p AS (
+            SELECT tiles.image_id,
+                   ((gx.x * 31 + gy.y * 17 + tiles.k) % 256) AS a,
+                   (((gx.x + 1) * 31 + gy.y * 17 + tiles.k) % 256) AS b
+            FROM tiles,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.w - 2 AS INT))) AS x) gx,
+                 LATERAL (SELECT unnest(generate_series(0, CAST(tiles.h - 1 AS INT))) AS y) gy
+        )
+        SELECT image_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) * sum(a * b) - sum(a) * sum(b) AS DOUBLE)
+                   / sqrt(CAST(count(*) * sum(a * a) - sum(a) * sum(a) AS DOUBLE)
+                        * CAST(count(*) * sum(b * b) - sum(b) * sum(b) AS DOUBLE))
+                   AS lag1_corr
+        FROM p GROUP BY image_id
+    """,
     "tile_glcm": f"""
         WITH {TILE_SQL_CTE},
         pairs AS (
@@ -12066,6 +12126,7 @@ QUERIES = {
     "revenue_ma7": q_revenue_ma7,
     "tile_glcm": q_tile_glcm,
     "nation_hhi": q_nation_hhi,
+    "tile_spatial_autocorr": q_tile_spatial_autocorr,
     # Everything below is previously-driver-green with its r05-touched
     # code path (if any) represented in-window by a sibling above:
     # price_quantiles (same ungrouped-quantile path as
